@@ -1,0 +1,150 @@
+"""FCIDUMP reader/writer and model-Hamiltonian generators.
+
+TPU-native counterpart of block2's FCIDUMP<FL> (reference
+src/core/integral.hpp:540: TInt/V1Int/V4Int/V8Int storage, RHF 8-fold and UHF
+4-fold permutation symmetry, IUHF section parsing) and the model generators
+HubbardFCIDUMP / HeisenbergFCIDUMP (reference src/core/hubbard.hpp:31,
+src/core/heisenberg.hpp:31).  We store integrals as dense numpy arrays with
+all permutations materialized (host memory is cheap relative to the C++
+packed-triangle storage; Cr2's K=42 g2e is ~25 MB in f64).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class FCIDUMP:
+    n_sites: int
+    n_elec: int
+    twos: int
+    ipg: int = 0                      # target point-group irrep (XOR label)
+    orb_sym: Optional[np.ndarray] = None   # XOR labels, shape (n_sites,)
+    const_e: float = 0.0
+    uhf: bool = False
+    # RHF: h1e (K,K), g2e (K,K,K,K) in chemist notation (ij|kl)
+    # UHF: h1e = (ha, hb); g2e = (vaa, vbb, vab)
+    h1e: object = None
+    g2e: object = None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def parse(path: str) -> "FCIDUMP":
+        with open(path) as f:
+            text = f.read()
+        return FCIDUMP.parse_string(text)
+
+    @staticmethod
+    def parse_string(text: str) -> "FCIDUMP":
+        # --- header: &FCI ... / or &END terminated namelist
+        m = re.search(r"&FCI(.*?)(?:/|&END)", text, re.S | re.I)
+        assert m is not None, "no FCIDUMP header"
+        header = m.group(1)
+        body = text[m.end():]
+
+        def get_int(key, default=None):
+            mm = re.search(key + r"\s*=\s*([0-9\-]+)", header, re.I)
+            if mm is None:
+                assert default is not None, key
+                return default
+            return int(mm.group(1))
+
+        norb = get_int("NORB")
+        nelec = get_int("NELEC")
+        ms2 = get_int("MS2", 0)
+        iuhf = get_int("IUHF", 0)
+        isym = get_int("ISYM", 1)
+        mo = re.search(r"ORBSYM\s*=\s*([0-9,\s]+)", header, re.I)
+        if mo is not None:
+            orbsym = np.array([int(x) for x in mo.group(1).replace(",", " ").split()],
+                              dtype=np.int64)
+            orb_sym = orbsym - 1      # MOLPRO d2h labels 1..8 -> XOR labels 0..7
+        else:
+            orb_sym = np.zeros(norb, dtype=np.int64)
+
+        fd = FCIDUMP(n_sites=norb, n_elec=nelec, twos=ms2,
+                     ipg=max(isym - 1, 0), orb_sym=orb_sym, uhf=bool(iuhf))
+
+        if not fd.uhf:
+            h1e = np.zeros((norb, norb))
+            g2e = np.zeros((norb, norb, norb, norb))
+        else:
+            ha = np.zeros((norb, norb))
+            hb = np.zeros((norb, norb))
+            vaa = np.zeros((norb, norb, norb, norb))
+            vbb = np.zeros((norb, norb, norb, norb))
+            vab = np.zeros((norb, norb, norb, norb))
+            sections4 = [vaa, vbb, vab]
+            sections2 = [ha, hb]
+        section = 0
+
+        def set_g2e_8fold(v, i, j, k, l, val):
+            for (a, b, c, d) in ((i, j, k, l), (j, i, k, l), (i, j, l, k),
+                                 (j, i, l, k), (k, l, i, j), (l, k, i, j),
+                                 (k, l, j, i), (l, k, j, i)):
+                v[a, b, c, d] = val
+
+        def set_g2e_4fold(v, i, j, k, l, val):
+            # (ij|kl) with i,j of spin A and k,l of spin B: no bra-ket swap
+            for (a, b, c, d) in ((i, j, k, l), (j, i, k, l),
+                                 (i, j, l, k), (j, i, l, k)):
+                v[a, b, c, d] = val
+
+        for line in body.split("\n"):
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split()
+            if len(parts) < 5:
+                continue
+            val = float(parts[0].replace("D", "E").replace("d", "e"))
+            i, j, k, l = (int(x) for x in parts[1:5])
+            if i == 0 and j == 0 and k == 0 and l == 0:
+                if val != 0.0:
+                    fd.const_e = val
+                section += 1
+                continue
+            if not fd.uhf:
+                if k == 0 and l == 0:
+                    h1e[i - 1, j - 1] = val
+                    h1e[j - 1, i - 1] = val
+                else:
+                    set_g2e_8fold(g2e, i - 1, j - 1, k - 1, l - 1, val)
+            else:
+                if k == 0 and l == 0:
+                    hx = sections2[min(max(section - 3, 0), 1)]
+                    hx[i - 1, j - 1] = val
+                    hx[j - 1, i - 1] = val
+                else:
+                    idx = min(section, 2)
+                    v = sections4[idx]
+                    if idx < 2:
+                        set_g2e_8fold(v, i - 1, j - 1, k - 1, l - 1, val)
+                    else:
+                        set_g2e_4fold(v, i - 1, j - 1, k - 1, l - 1, val)
+
+        if not fd.uhf:
+            fd.h1e, fd.g2e = h1e, g2e
+        else:
+            fd.h1e, fd.g2e = (ha, hb), (vaa, vbb, vab)
+        return fd
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def hubbard(n_sites: int, u: float = 2.0, t: float = 1.0,
+                n_elec: Optional[int] = None, twos: int = 0) -> "FCIDUMP":
+        """1D Hubbard chain, open boundary (reference src/core/hubbard.hpp:31)."""
+        h1e = np.zeros((n_sites, n_sites))
+        for i in range(n_sites - 1):
+            h1e[i, i + 1] = h1e[i + 1, i] = -t
+        g2e = np.zeros((n_sites,) * 4)
+        for i in range(n_sites):
+            g2e[i, i, i, i] = u
+        return FCIDUMP(n_sites=n_sites, n_elec=n_elec or n_sites, twos=twos,
+                       orb_sym=np.zeros(n_sites, dtype=np.int64),
+                       h1e=h1e, g2e=g2e)

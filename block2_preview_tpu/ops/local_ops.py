@@ -1,0 +1,90 @@
+"""Local site bases and elementary second-quantized operators.
+
+TPU-native counterpart of the site-operator factories in block2's
+Hamiltonian/GeneralHamiltonian (reference src/core/hamiltonian.hpp:66-97
+SiteBasis, src/dmrg/general_hamiltonian.hpp:47 site op production).
+
+SZ mode uses one spatial orbital per site with the 4-dim Fock basis
+|0>, |alpha>, |beta>, |2> = c+_a c+_b |0>.  All Jordan-Wigner fermion strings
+are materialized into the per-site operator matrices at term-construction time
+(core/expr.py), so every downstream tensor contraction is purely bosonic —
+this mirrors how block2's symbolic layer confines fermion signs to operator
+definitions rather than contraction code.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..core.symmetry import QN, SymmetryGroup, SZ_GROUP
+
+# Elementary operator codes (spin orbital ops on a spatial-orbital site)
+CRE_A, DES_A, CRE_B, DES_B = 0, 1, 2, 3
+
+# Basis order |0>, |a>, |b>, |2>;  |2> = c+_a c+_b |0>
+_CA = np.zeros((4, 4)); _CA[1, 0] = 1.0; _CA[3, 2] = 1.0
+_DA = _CA.T.copy()
+_CB = np.zeros((4, 4)); _CB[2, 0] = 1.0; _CB[3, 1] = -1.0
+_DB = _CB.T.copy()
+IDENT = np.eye(4)
+PARITY = np.diag([1.0, -1.0, -1.0, 1.0])   # (-1)^n, the JW string operator
+
+ELEM_MATS = {CRE_A: _CA, DES_A: _DA, CRE_B: _CB, DES_B: _DB}
+
+# delta quantum of elementary ops in SZ mode (n, twosz) — pg added per site
+ELEM_DQ = {CRE_A: (1, 1), DES_A: (-1, -1), CRE_B: (1, -1), DES_B: (-1, 1)}
+
+
+def sz_site_basis_quanta(pg: int = 0) -> List[QN]:
+    """Quantum numbers of the 4 site-basis states, in basis order."""
+    return [(0, 0, 0), (1, 1, pg), (1, -1, pg), (2, 0, 0)]
+
+
+def op_delta_quantum(group: SymmetryGroup, mat: np.ndarray,
+                     site_quanta: List[QN]) -> QN:
+    """Infer the (unique) delta quantum of a 4x4 site operator from its
+    nonzero pattern against the site basis quanta.  Identity-like all-zero
+    patterns return the group zero."""
+    dq = None
+    for b in range(len(site_quanta)):
+        for k in range(len(site_quanta)):
+            if mat[b, k] != 0.0:
+                d = group.sub(site_quanta[b], site_quanta[k])
+                if dq is None:
+                    dq = d
+                else:
+                    assert dq == d, "operator mixes delta quanta"
+    return dq if dq is not None else group.zero
+
+
+class OpRegistry:
+    """Deduplicating registry of numeric site-operator matrices.
+
+    ids 0 and 1 are reserved for identity and JW parity so that term tables
+    can encode pass-through sites compactly."""
+
+    ID_I = 0
+    ID_Z = 1
+
+    def __init__(self):
+        self.mats: List[np.ndarray] = []
+        self._index = {}
+        assert self.register(IDENT) == self.ID_I
+        assert self.register(PARITY) == self.ID_Z
+
+    def register(self, mat: np.ndarray) -> int:
+        key = np.round(mat, 14).tobytes()
+        idx = self._index.get(key)
+        if idx is None:
+            idx = len(self.mats)
+            self.mats.append(np.asarray(mat, dtype=np.float64))
+            self._index[key] = idx
+        return idx
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return self.mats[idx]
+
+    def __len__(self) -> int:
+        return len(self.mats)
