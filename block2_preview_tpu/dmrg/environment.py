@@ -1,0 +1,137 @@
+"""Moving environments: left/right contracted operator tensors per bond.
+
+TPU-native counterpart of block2's MovingEnvironment + Partition (reference
+src/dmrg/moving_environment.hpp:149, src/dmrg/partition.hpp:39) and of the
+TensorFunctions::left_contract/right_contract + rotate blocking step
+(reference src/core/tensor_functions.hpp:2842, operator_functions.hpp:175
+tensor_rotate).  An environment at bond t is {mpo bond symbol -> BlockMatrix
+over the MPS bond basis}; the recursion fuses one site's MPO column into the
+environment and rotates it through the (left- or right-canonical) MPS tensor.
+
+Environments are kept in host RAM (the analog of the reference's disk-backed
+Partition save/load — HBM spill comes later with the device executor).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.blocks import BlockMatrix
+from ..core.symmetry import QN
+from .mpo import MPO
+from .mps import MPS
+
+EnvMap = Dict[int, BlockMatrix]   # mpo bond symbol -> operator on bond basis
+
+
+class MovingEnvironment:
+    def __init__(self, mpo: MPO, mps: MPS):
+        self.mpo = mpo
+        self.mps = mps
+        self.g = mpo.group
+        L = mpo.n_sites
+        self.left_envs: List[Optional[EnvMap]] = [None] * (L + 1)
+        self.right_envs: List[Optional[EnvMap]] = [None] * (L + 1)
+        # boundaries
+        vac = self.g.zero
+        lb = BlockMatrix(self.g, vac)
+        lb.add_block(vac, vac, np.ones((1, 1)))
+        self.left_envs[0] = {0: lb}
+        target = mps.info.target
+        rb = BlockMatrix(self.g, vac)
+        rb.add_block(target, target, np.ones((1, 1)))
+        self.right_envs[L] = {0: rb}
+
+    # ------------------------------------------------------------------
+    def init_environments(self) -> None:
+        """Build all right environments down to bond 2 (for a forward sweep
+        starting at center 0; reference moving_environment.hpp:1245)."""
+        L = self.mpo.n_sites
+        for t in range(L - 1, 1, -1):
+            self.right_envs[t] = self._right_contract(t)
+
+    # ------------------------------------------------------------------
+    def _left_contract(self, t: int) -> EnvMap:
+        """E_L[t+1][o] = sum_i A_t^dag (E_L[t][i] (x) W_t[(i,o)]) A_t."""
+        g = self.g
+        env = self.left_envs[t]
+        assert env is not None
+        A = self.mps.tensors[t]
+        quanta = self.mpo.site_quanta[t]
+        # index A blocks by (ql, p)
+        ablocks = {}
+        for (ql, qp, qr), b in A.blocks.items():
+            for p, q in enumerate(quanta):
+                if q == qp:
+                    ablocks[(ql, p)] = (qr, b.reshape(b.shape[0], b.shape[2]))
+        out: EnvMap = {}
+        for (i, o), w in self.mpo.tensors[t].items():
+            if i not in env:
+                continue
+            e = env[i]
+            dq_o = self.mpo.bond_dqs[t + 1][o]
+            for pb, pk in zip(*np.nonzero(w)):
+                coef = w[pb, pk]
+                for (qlb, qlk), eb in e.blocks.items():
+                    ab = ablocks.get((qlb, int(pb)))
+                    ak = ablocks.get((qlk, int(pk)))
+                    if ab is None or ak is None:
+                        continue
+                    qrb, mb = ab
+                    qrk, mk = ak
+                    contrib = coef * (mb.T @ eb @ mk)
+                    if o not in out:
+                        out[o] = BlockMatrix(g, dq_o)
+                    out[o].add_block(qrb, qrk, contrib)
+        return out
+
+    def _right_contract(self, t: int) -> EnvMap:
+        """E_R[t][i] = sum_o B_t (E_R[t+1][o] (x) W_t[(i,o)]) B_t^dag."""
+        g = self.g
+        env = self.right_envs[t + 1]
+        assert env is not None
+        B = self.mps.tensors[t]
+        quanta = self.mpo.site_quanta[t]
+        # index B blocks by (p, qr) -> (ql, matrix)
+        bblocks = {}
+        for (ql, qp, qr), b in B.blocks.items():
+            for p, q in enumerate(quanta):
+                if q == qp:
+                    bblocks[(p, qr)] = (ql, b.reshape(b.shape[0], b.shape[2]))
+        out: EnvMap = {}
+        for (i, o), w in self.mpo.tensors[t].items():
+            if o not in env:
+                continue
+            e = env[o]
+            dq_i = g.neg(self.mpo.bond_dqs[t][i])
+            for pb, pk in zip(*np.nonzero(w)):
+                coef = w[pb, pk]
+                for (qb2, qk2), eb in e.blocks.items():
+                    xb = bblocks.get((int(pb), qb2))
+                    xk = bblocks.get((int(pk), qk2))
+                    if xb is None or xk is None:
+                        continue
+                    qlb, mb = xb
+                    qlk, mk = xk
+                    contrib = coef * (mb @ eb @ mk.T)
+                    if i not in out:
+                        out[i] = BlockMatrix(g, dq_i)
+                    out[i].add_block(qlb, qlk, contrib)
+        return out
+
+    # ------------------------------------------------------------------
+    def update_left(self, t: int) -> None:
+        self.left_envs[t + 1] = self._left_contract(t)
+
+    def update_right(self, t: int) -> None:
+        self.right_envs[t] = self._right_contract(t)
+
+    def invalidate_left(self, t: int) -> None:
+        for i in range(t + 1, len(self.left_envs)):
+            self.left_envs[i] = None
+
+    def invalidate_right(self, t: int) -> None:
+        for i in range(t, -1, -1):
+            self.right_envs[i] = None
