@@ -126,10 +126,11 @@ class DMRG:
     """Ground-state two-site DMRG (reference sweep_algorithm.hpp:71)."""
 
     def __init__(self, mpo: MPO, mps: MPS, backend: str = "numpy",
-                 iprint: int = 1):
+                 iprint: int = 1, dtype=np.float64):
         self.mpo = mpo
         self.mps = mps
         self.backend = backend
+        self.dtype = dtype
         self.iprint = iprint
         self.me = MovingEnvironment(mpo, mps)
         self.me.init_environments()
@@ -140,10 +141,8 @@ class DMRG:
     # ------------------------------------------------------------------
     def _matvec_fn(self, eff: EffectiveHamiltonian2):
         if self.backend == "jax":
-            from ..ops.exec_jax import compile_matvec
-            if self._jax_cache is None:
-                self._jax_cache = {}
-            return compile_matvec(eff, self._jax_cache)
+            from ..ops.exec_jax import PlanExecutor
+            return PlanExecutor(eff, dtype=self.dtype).matvec
         return eff.matvec_np
 
     def update_two_dot(self, t: int, forward: bool, bond_dim: int,

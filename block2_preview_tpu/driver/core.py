@@ -1,0 +1,154 @@
+"""DMRGDriver: the user-facing API.
+
+TPU-native counterpart of pyblock2's DMRGDriver (reference
+pyblock2/driver/core.py:544: initialize_system at :854, get_qc_mpo at :3282
+with default FastBipartite, get_mpo from ExprBuilder at :3885, dmrg at :4437,
+get_random_mps at :7494).  Same conceptual surface, JAX-era internals.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.expr import TermTable, build_term_table, qc_raw_terms, qc_term_table
+from ..core.fcidump import FCIDUMP
+from ..core.symmetry import SZ_GROUP, SymmetryGroup
+from ..dmrg.mpo import MPO
+from ..dmrg.mpo_builder import build_mpo
+from ..dmrg.mps import MPS, MPSInfo
+from ..dmrg.sweep import DMRG
+from ..ops.local_ops import CRE_A, CRE_B, DES_A, DES_B
+
+
+class SymmetryTypes(enum.Enum):
+    """Mirrors reference pyblock2/driver/core.py:25 (subset; SU2/SGF later)."""
+    SZ = "sz"
+
+
+# SZ-mode operator letters, matching pyblock2's ExprBuilder vocabulary
+# (reference core.py:8975): c/d = alpha create/destroy, C/D = beta.
+_OP_LETTERS = {"c": CRE_A, "d": DES_A, "C": CRE_B, "D": DES_B}
+
+
+class ExprBuilder:
+    """Collects second-quantized operator strings for custom Hamiltonians
+    (reference pyblock2/driver/core.py:8975)."""
+
+    def __init__(self, driver: "DMRGDriver"):
+        self.driver = driver
+        self.terms: List[Tuple[float, List[Tuple[int, int]]]] = []
+        self.const_e = 0.0
+
+    def add_term(self, expr: str, idx: Sequence[int], coeff) -> "ExprBuilder":
+        """expr like "cd" (one letter per operator), idx = site indices."""
+        if len(expr) == 0:
+            self.const_e += float(coeff)
+            return self
+        assert len(expr) == len(idx)
+        ops = [(int(i), _OP_LETTERS[ch]) for ch, i in zip(expr, idx)]
+        self.terms.append((float(coeff), ops))
+        return self
+
+    def add_sum_term(self, expr: str, arr: np.ndarray,
+                     cutoff: float = 1e-13) -> "ExprBuilder":
+        """Add sum_{indices} arr[indices] * expr(indices)."""
+        arr = np.asarray(arr)
+        for idx in zip(*np.nonzero(np.abs(arr) > cutoff)):
+            self.add_term(expr, [int(i) for i in idx], float(arr[idx]))
+        return self
+
+    def finalize(self) -> TermTable:
+        return build_term_table(self.driver.n_sites, self.terms,
+                                group=self.driver.group)
+
+
+class DMRGDriver:
+    def __init__(self, symm_type: SymmetryTypes = SymmetryTypes.SZ,
+                 stack_mem: Optional[int] = None,
+                 n_threads: Optional[int] = None,
+                 scratch: str = "./tmp"):
+        self.symm_type = symm_type
+        self.group: SymmetryGroup = SZ_GROUP
+        self.scratch = scratch
+        self.n_sites = 0
+        self.n_elec = 0
+        self.spin = 0
+        self.pg_irrep = 0
+        self.orb_sym: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    def initialize_system(self, n_sites: int, n_elec: int = 0, spin: int = 0,
+                          orb_sym: Optional[Sequence[int]] = None,
+                          pg_irrep: int = 0) -> None:
+        """reference pyblock2/driver/core.py:854"""
+        self.n_sites = n_sites
+        self.n_elec = n_elec
+        self.spin = spin
+        self.pg_irrep = pg_irrep
+        self.orb_sym = (np.zeros(n_sites, dtype=np.int64)
+                        if orb_sym is None else np.asarray(orb_sym))
+
+    @property
+    def target(self):
+        return (self.n_elec, self.spin, self.pg_irrep)
+
+    # ------------------------------------------------------------------
+    def read_fcidump(self, filename: str) -> FCIDUMP:
+        fd = FCIDUMP.parse(filename)
+        self.initialize_system(fd.n_sites, fd.n_elec, fd.twos,
+                               orb_sym=fd.orb_sym, pg_irrep=fd.ipg)
+        return fd
+
+    def get_qc_mpo(self, h1e=None, g2e=None, ecore: float = 0.0,
+                   fcidump: Optional[FCIDUMP] = None,
+                   cutoff: float = 1e-13) -> MPO:
+        """Quantum-chemistry MPO via bipartite compression
+        (reference pyblock2/driver/core.py:3282, default FastBipartite)."""
+        if fcidump is None:
+            assert h1e is not None and g2e is not None
+            fcidump = FCIDUMP(n_sites=self.n_sites, n_elec=self.n_elec,
+                              twos=self.spin, ipg=self.pg_irrep,
+                              orb_sym=self.orb_sym, const_e=ecore,
+                              h1e=np.asarray(h1e), g2e=np.asarray(g2e))
+        tt = qc_term_table(fcidump, group=self.group, cutoff=cutoff)
+        return build_mpo(tt, site_pgs=fcidump.orb_sym,
+                         const_e=fcidump.const_e)
+
+    def get_mpo(self, term_table: TermTable, const_e: float = 0.0) -> MPO:
+        """MPO from an ExprBuilder term table
+        (reference pyblock2/driver/core.py:3885)."""
+        return build_mpo(term_table, site_pgs=self.orb_sym, const_e=const_e)
+
+    def expr_builder(self) -> ExprBuilder:
+        return ExprBuilder(self)
+
+    # ------------------------------------------------------------------
+    def get_random_mps(self, bond_dim: int = 250, target=None,
+                       seed: int = 1234) -> MPS:
+        """reference pyblock2/driver/core.py:7494"""
+        from ..ops.local_ops import sz_site_basis_quanta
+        site_quanta = [sz_site_basis_quanta(int(p)) for p in self.orb_sym]
+        info = MPSInfo(self.group, site_quanta, target or self.target,
+                       bond_dim)
+        return MPS.random(info, seed=seed)
+
+    def dmrg(self, mpo: MPO, ket: MPS,
+             bond_dims: Sequence[int] = (250,),
+             noises: Sequence[float] = (1e-4, 1e-5, 0.0),
+             thrds: Sequence[float] = (1e-10,),
+             n_sweeps: int = 16, tol: float = 1e-9,
+             backend: str = "numpy", iprint: int = 1) -> float:
+        """Ground-state DMRG (reference pyblock2/driver/core.py:4437)."""
+        solver = DMRG(mpo, ket, backend=backend, iprint=iprint)
+        e = solver.solve(list(bond_dims), list(noises), list(thrds),
+                         n_sweeps=n_sweeps, tol=tol)
+        self._last_dmrg = solver
+        return e
+
+    def get_dmrg_results(self):
+        """reference pyblock2/driver/core.py:4988"""
+        s = self._last_dmrg
+        return s.energies, s.discarded_weights
