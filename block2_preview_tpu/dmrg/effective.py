@@ -40,7 +40,7 @@ class EffectiveHamiltonian2:
     def __init__(self, me: MovingEnvironment, t: int):
         self.me = me
         self.t = t
-        mpo, mps = me.mpo, me.mps
+        mpo, mps = me.mpo, me.ket
         g = mpo.group
         self.g = g
         self.target = mps.info.target
@@ -208,7 +208,7 @@ class EffectiveHamiltonian2:
     def initial_guess(self) -> Dict[Key2, np.ndarray]:
         """psi from contracting MPS tensors at t, t+1 into the fused bases."""
         g, target = self.g, self.target
-        mps = self.me.mps
+        mps = self.me.ket
         Tl, Tr = mps.tensors[self.t], mps.tensors[self.t + 1]
         psi = {k: np.zeros(self.shapes[k]) for k in self.psi_keys}
         # index right blocks by left bond quantum

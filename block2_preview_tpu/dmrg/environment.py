@@ -27,9 +27,10 @@ EnvMap = Dict[int, BlockMatrix]   # mpo bond symbol -> operator on bond basis
 
 
 class MovingEnvironment:
-    def __init__(self, mpo: MPO, mps: MPS):
+    def __init__(self, mpo: MPO, ket: MPS, bra: Optional[MPS] = None):
         self.mpo = mpo
-        self.mps = mps
+        self.ket = ket
+        self.bra = bra if bra is not None else ket
         self.g = mpo.group
         L = mpo.n_sites
         self.left_envs: List[Optional[EnvMap]] = [None] * (L + 1)
@@ -39,7 +40,7 @@ class MovingEnvironment:
         lb = BlockMatrix(self.g, vac)
         lb.add_block(vac, vac, np.ones((1, 1)))
         self.left_envs[0] = {0: lb}
-        target = mps.info.target
+        target = ket.info.target
         rb = BlockMatrix(self.g, vac)
         rb.add_block(target, target, np.ones((1, 1)))
         self.right_envs[L] = {0: rb}
@@ -58,14 +59,20 @@ class MovingEnvironment:
         g = self.g
         env = self.left_envs[t]
         assert env is not None
-        A = self.mps.tensors[t]
+        Ab = self.bra.tensors[t]
+        Ak = self.ket.tensors[t]
         quanta = self.mpo.site_quanta[t]
-        # index A blocks by (ql, p)
-        ablocks = {}
-        for (ql, qp, qr), b in A.blocks.items():
-            for p, q in enumerate(quanta):
-                if q == qp:
-                    ablocks[(ql, p)] = (qr, b.reshape(b.shape[0], b.shape[2]))
+        # index site-tensor blocks by (ql, p)
+        def _index(T, conj):
+            d = {}
+            for (ql, qp, qr), b in T.blocks.items():
+                for p, q in enumerate(quanta):
+                    if q == qp:
+                        m = b.reshape(b.shape[0], b.shape[2])
+                        d[(ql, p)] = (qr, m.conj() if conj else m)
+            return d
+        bra_blocks = _index(Ab, True)
+        ket_blocks = _index(Ak, False)
         out: EnvMap = {}
         for (i, o), w in self.mpo.tensors[t].items():
             if i not in env:
@@ -75,8 +82,8 @@ class MovingEnvironment:
             for pb, pk in zip(*np.nonzero(w)):
                 coef = w[pb, pk]
                 for (qlb, qlk), eb in e.blocks.items():
-                    ab = ablocks.get((qlb, int(pb)))
-                    ak = ablocks.get((qlk, int(pk)))
+                    ab = bra_blocks.get((qlb, int(pb)))
+                    ak = ket_blocks.get((qlk, int(pk)))
                     if ab is None or ak is None:
                         continue
                     qrb, mb = ab
@@ -92,14 +99,20 @@ class MovingEnvironment:
         g = self.g
         env = self.right_envs[t + 1]
         assert env is not None
-        B = self.mps.tensors[t]
+        Bb = self.bra.tensors[t]
+        Bk = self.ket.tensors[t]
         quanta = self.mpo.site_quanta[t]
-        # index B blocks by (p, qr) -> (ql, matrix)
-        bblocks = {}
-        for (ql, qp, qr), b in B.blocks.items():
-            for p, q in enumerate(quanta):
-                if q == qp:
-                    bblocks[(p, qr)] = (ql, b.reshape(b.shape[0], b.shape[2]))
+        # index site-tensor blocks by (p, qr) -> (ql, matrix)
+        def _index(T, conj):
+            d = {}
+            for (ql, qp, qr), b in T.blocks.items():
+                for p, q in enumerate(quanta):
+                    if q == qp:
+                        m = b.reshape(b.shape[0], b.shape[2])
+                        d[(p, qr)] = (ql, m.conj() if conj else m)
+            return d
+        bra_blocks = _index(Bb, True)
+        ket_blocks = _index(Bk, False)
         out: EnvMap = {}
         for (i, o), w in self.mpo.tensors[t].items():
             if o not in env:
@@ -109,8 +122,8 @@ class MovingEnvironment:
             for pb, pk in zip(*np.nonzero(w)):
                 coef = w[pb, pk]
                 for (qb2, qk2), eb in e.blocks.items():
-                    xb = bblocks.get((int(pb), qb2))
-                    xk = bblocks.get((int(pk), qk2))
+                    xb = bra_blocks.get((int(pb), qb2))
+                    xk = ket_blocks.get((int(pk), qk2))
                     if xb is None or xk is None:
                         continue
                     qlb, mb = xb

@@ -1,0 +1,282 @@
+"""Expectation values: MPO expectations and operator-string sweeps (PDMs).
+
+TPU-native counterpart of block2's Expect driver and the conventional
+1PDM/2PDM machinery (reference src/dmrg/sweep_algorithm.hpp:5280 Expect,
+src/dmrg/qc_pdm1.hpp:40 PDM1MPOQC, qc_pdm2.hpp:62 PDM2MPOQC).  Instead of
+hand-coded PDM MPOs, density-matrix elements are evaluated as operator-string
+expectations over the MPS with prefix-cached transfer environments — the same
+O(K^2 L D^3)-ish complexity class, with the per-string transfer being the
+identical blocked GEMM kernel the sweep engine uses.
+
+Conventions match the reference: 1PDM dm[s, i, j] = <c+_{i,s} c_{j,s}>;
+spatial 2PDM dm2[i, j, k, l] = sum_{s,t} <c+_{i,s} c+_{j,t} c_{k,t} c_{l,s}>
+(reference pyblock2 get_npdm / unit_test/test_npdm_n2_sto3g.cpp:703-760).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.expr import RawTerm, term_row
+from ..core.symmetry import QN
+from ..ops.local_ops import (CRE_A, CRE_B, DES_A, DES_B, OpRegistry)
+from .environment import MovingEnvironment
+from .mpo import MPO
+from .mps import MPS
+
+EnvBlocks = Dict[Tuple[QN, QN], np.ndarray]
+
+
+def mpo_expectation(mpo: MPO, ket: MPS, bra: Optional[MPS] = None) -> float:
+    """<bra|MPO|ket> by full left contraction (reference
+    effective_hamiltonian.hpp:721 expect)."""
+    me = MovingEnvironment(mpo, ket, bra=bra)
+    L = mpo.n_sites
+    for t in range(L):
+        me.update_left(t)
+    env = me.left_envs[L]
+    target = ket.info.target
+    val = 0.0
+    for sym, bm in env.items():
+        blk = bm.blocks.get((target, target))
+        if blk is not None:
+            val += blk[0, 0]
+    if mpo.const_e != 0.0:
+        val += mpo.const_e * mps_overlap(bra or ket, ket)
+    return float(val)
+
+
+def mps_overlap(bra: MPS, ket: MPS) -> float:
+    """<bra|ket> via identity transfer."""
+    g = bra.group
+    e: EnvBlocks = {(g.zero, g.zero): np.ones((1, 1))}
+    for t in range(bra.n_sites):
+        e = _transfer_identity(e, bra.tensors[t], ket.tensors[t])
+    target = ket.info.target
+    return float(e.get((target, target), np.zeros((1, 1)))[0, 0])
+
+
+def _transfer_identity(e: EnvBlocks, Tb, Tk) -> EnvBlocks:
+    out: EnvBlocks = {}
+    for (qb, qk), eb in e.items():
+        for (qlb, qpb, qrb), bb in Tb.blocks.items():
+            if qlb != qb:
+                continue
+            mb = bb.reshape(bb.shape[0], bb.shape[2]).conj()
+            for (qlk, qpk, qrk), bk in Tk.blocks.items():
+                if qlk != qk or qpk != qpb:
+                    continue
+                mk = bk.reshape(bk.shape[0], bk.shape[2])
+                key = (qrb, qrk)
+                contrib = mb.T @ eb @ mk
+                if key in out:
+                    out[key] += contrib
+                else:
+                    out[key] = contrib
+    return out
+
+
+class StringExpectation:
+    """Prefix-cached evaluation of <psi| operator-string |psi> for many
+    strings sharing prefixes (the conventional-NPDM evaluation engine)."""
+
+    def __init__(self, mps: MPS):
+        self.g = mps.group
+        self.L = mps.n_sites
+        # work on a left-canonical copy so identity left-environments are
+        # exact identities
+        import copy
+        m = MPS(mps.info, [t for t in mps.tensors], mps.center)
+        m.tensors = [type(t)(t.group, dict(t.blocks)) for t in mps.tensors]
+        for t in range(self.L - 1):
+            m.left_canonicalize_site(t)
+        self.mps = m
+        self.registry = OpRegistry()
+        self.site_quanta = mps.info.site_quanta
+        self.target = mps.info.target
+        # right identity environments R[t] at every bond
+        self.renvs: List[EnvBlocks] = [None] * (self.L + 1)
+        self.renvs[self.L] = {(self.target, self.target): np.ones((1, 1))}
+        for t in range(self.L - 1, -1, -1):
+            self.renvs[t] = self._transfer_right_identity(
+                self.renvs[t + 1], m.tensors[t])
+
+    def _transfer_right_identity(self, e: EnvBlocks, T) -> EnvBlocks:
+        out: EnvBlocks = {}
+        blocks = list(T.blocks.items())
+        for (qb2, qk2), eb in e.items():
+            for (qlb, qpb, qrb), bb in blocks:
+                if qrb != qb2:
+                    continue
+                mb = bb.reshape(bb.shape[0], bb.shape[2]).conj()
+                for (qlk, qpk, qrk), bk in blocks:
+                    if qrk != qk2 or qpk != qpb:
+                        continue
+                    mk = bk.reshape(bk.shape[0], bk.shape[2])
+                    key = (qlb, qlk)
+                    contrib = mb @ eb @ mk.T
+                    if key in out:
+                        out[key] += contrib
+                    else:
+                        out[key] = contrib
+        return out
+
+    def _transfer_op(self, e: Optional[EnvBlocks], t: int,
+                     opmat: np.ndarray) -> EnvBlocks:
+        """One site left-to-right transfer with a 4x4 site operator.
+        e=None means 'exact identity environment' (left-canonical prefix)."""
+        T = self.mps.tensors[t]
+        quanta = self.site_quanta[t]
+        if e is None:
+            # materialize identity on the bond-t basis
+            dims: Dict[QN, int] = {}
+            if t == 0:
+                dims[self.g.zero] = 1
+            else:
+                for (ql, qp, qr), b in self.mps.tensors[t - 1].blocks.items():
+                    dims[qr] = max(dims.get(qr, 0), b.shape[2])
+            e = {(q, q): np.eye(d) for q, d in dims.items()}
+        out: EnvBlocks = {}
+        bidx: Dict[Tuple[QN, int], Tuple[QN, np.ndarray]] = {}
+        for (ql, qp, qr), b in T.blocks.items():
+            for p, q in enumerate(quanta):
+                if q == qp:
+                    bidx[(ql, p)] = (qr, b.reshape(b.shape[0], b.shape[2]))
+        for pb, pk in zip(*np.nonzero(opmat)):
+            w = opmat[pb, pk]
+            for (qb, qk), eb in e.items():
+                xb = bidx.get((qb, int(pb)))
+                xk = bidx.get((qk, int(pk)))
+                if xb is None or xk is None:
+                    continue
+                qrb, mb = xb
+                qrk, mk = xk
+                key = (qrb, qrk)
+                contrib = w * (mb.conj().T @ eb @ mk)
+                if key in out:
+                    out[key] += contrib
+                else:
+                    out[key] = contrib
+        return out
+
+    def _close(self, e: Optional[EnvBlocks], t: int) -> float:
+        """Contract an environment at bond t with the right identity env."""
+        if e is None:
+            # identity operator: <psi|psi>
+            return 1.0
+        r = self.renvs[t]
+        val = 0.0
+        for key, eb in e.items():
+            rb = r.get(key)
+            if rb is not None:
+                val += float(np.sum(eb * rb))
+        return val
+
+    def evaluate(self, raw_terms: Sequence[RawTerm]) -> np.ndarray:
+        """Expectations of many operator strings with prefix caching."""
+        rows = []
+        metas = []
+        for i, (coeff, ops) in enumerate(raw_terms):
+            res = term_row(self.L, coeff, ops, self.registry)
+            if res is None:
+                rows.append(None)
+                metas.append(None)
+                continue
+            c, row = res
+            nz = np.nonzero(row != OpRegistry.ID_I)[0]
+            last = int(nz[-1]) if len(nz) else -1
+            rows.append((c, tuple(int(x) for x in row), last))
+        order = sorted((i for i in range(len(rows)) if rows[i] is not None),
+                       key=lambda i: rows[i][1])
+        vals = np.zeros(len(raw_terms))
+        prev_key: Tuple[int, ...] = ()
+        valid_upto = 0   # stack entries <= valid_upto agree with prev_key
+        stack: List[Optional[EnvBlocks]] = [None] * (self.L + 1)
+        # stack[t] = env after processing sites < t (None = identity)
+        for i in order:
+            c, key, last = rows[i]
+            if last < 0:
+                vals[i] = c
+                continue
+            # common prefix with previous processed row
+            cp = 0
+            while cp < len(prev_key) and cp < len(key) \
+                    and key[cp] == prev_key[cp]:
+                cp += 1
+            cp = min(cp, last + 1, valid_upto)
+            # env at bond cp is valid; process sites cp..last
+            e = stack[cp] if cp > 0 else None
+            for t in range(cp, last + 1):
+                opid = key[t]
+                if e is None and opid == OpRegistry.ID_I:
+                    stack[t + 1] = None
+                    continue
+                e = self._transfer_op(e, t, self.registry[opid])
+                stack[t + 1] = e
+            vals[i] = c * self._close(stack[last + 1], last + 1)
+            prev_key = key
+            valid_upto = last + 1
+        return vals
+
+
+# ----------------------------------------------------------------------
+def pdm1(mps: MPS, orb_sym: Optional[np.ndarray] = None) -> np.ndarray:
+    """Spin-resolved 1PDM dm[s, i, j] = <c+_{i,s} c_{j,s}>
+    (reference Expect::get_1pdm, sweep_algorithm.hpp)."""
+    L = mps.n_sites
+    eng = StringExpectation(mps)
+    spins = ((CRE_A, DES_A), (CRE_B, DES_B))
+    terms = []
+    idx = []
+    for s in (0, 1):
+        cre, des = spins[s]
+        for i in range(L):
+            for j in range(i, L):
+                if orb_sym is not None and \
+                        (int(orb_sym[i]) ^ int(orb_sym[j])) != 0:
+                    continue
+                terms.append((1.0, [(i, cre), (j, des)]))
+                idx.append((s, i, j))
+    vals = eng.evaluate(terms)
+    dm = np.zeros((2, L, L))
+    for (s, i, j), v in zip(idx, vals):
+        dm[s, i, j] = v
+        dm[s, j, i] = v
+    return dm
+
+
+def pdm2_spatial(mps: MPS, orb_sym: Optional[np.ndarray] = None,
+                 assume_singlet: bool = True) -> np.ndarray:
+    """Spatial 2PDM dm2[i,j,k,l] = sum_{s,t} <c+_{i,s} c+_{j,t} c_{k,t} c_{l,s}>
+    (reference Expect::get_2pdm_spatial convention, checked against
+    data/N2.STO3G.2PDM in unit_test/test_npdm_n2_sto3g.cpp:760)."""
+    L = mps.n_sites
+    eng = StringExpectation(mps)
+    dm2 = np.zeros((L, L, L, L))
+    # spin sectors: (s,t) in {aa, ab, ba, bb}; for singlet Sz=0 states
+    # aa == bb and ab == ba under spin flip
+    spin_pairs = [((CRE_A, CRE_A, DES_A, DES_A), 2.0 if assume_singlet else 1.0),
+                  ((CRE_A, CRE_B, DES_B, DES_A), 2.0 if assume_singlet else 1.0)]
+    if not assume_singlet:
+        spin_pairs += [((CRE_B, CRE_B, DES_B, DES_B), 1.0),
+                       ((CRE_B, CRE_A, DES_A, DES_B), 1.0)]
+    for (c1, c2, d2, d1), weight in spin_pairs:
+        terms = []
+        idx = []
+        for i in range(L):
+            for j in range(L):
+                for k in range(L):
+                    for l in range(L):
+                        if orb_sym is not None and \
+                                (int(orb_sym[i]) ^ int(orb_sym[j]) ^
+                                 int(orb_sym[k]) ^ int(orb_sym[l])) != 0:
+                            continue
+                        terms.append((1.0, [(i, c1), (j, c2),
+                                            (k, d2), (l, d1)]))
+                        idx.append((i, j, k, l))
+        vals = eng.evaluate(terms)
+        for (i, j, k, l), v in zip(idx, vals):
+            dm2[i, j, k, l] += weight * v
+    return dm2

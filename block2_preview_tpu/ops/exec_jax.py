@@ -45,6 +45,22 @@ def _execute_impl(x, buckets):
 _execute = jax.jit(_execute_impl)
 
 
+# One jit per BUCKET SHAPE (not per plan): the trace cache is then shared
+# across center steps and sweeps, since block shapes repeat heavily while
+# the particular mix of buckets at each site does not.
+@jax.jit
+def _bucket_exec(sigma, xp, A, R, pidx, oidx):
+    P = xp[pidx]
+    out = jnp.einsum("bak,bkn,bpn->bap", A, P, R,
+                     preferred_element_type=xp.dtype)
+    return sigma.at[oidx].add(out, mode="drop")
+
+
+@jax.jit
+def _pad_one(x):
+    return jnp.concatenate([x, jnp.zeros(1, dtype=x.dtype)])
+
+
 def _round_batch(b: int) -> int:
     """Pad batch counts to powers of two so jit signatures repeat across
     center steps and sweeps (compile-once, the plan-cache analog of the
@@ -98,10 +114,13 @@ class PlanExecutor:
         self.device_buckets = tuple(self.device_buckets)
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
-        xp = np.zeros(self.size_p, dtype=self.dtype)
+        xp = np.zeros(self.size_p + 1, dtype=self.dtype)
         xp[:self.size] = x
-        out = _execute(jnp.asarray(xp), self.device_buckets)
-        return np.asarray(out, dtype=np.float64)[:self.size]
+        xj = jnp.asarray(xp)
+        sigma = jnp.zeros(self.size_p + 1, dtype=self.dtype)
+        for bk in self.device_buckets:
+            sigma = _bucket_exec(sigma, xj, *bk)
+        return np.asarray(sigma, dtype=np.float64)[:self.size]
 
 
 def compile_matvec(eff, cache: dict):
