@@ -154,10 +154,18 @@ class DMRG:
             x0 = np.random.RandomState(42).standard_normal(eff.size)
         x0 /= np.linalg.norm(x0)
         diag = eff.diagonal()
-        w, v, nmv = davidson(self._matvec_fn(eff), diag, x0,
-                             conv_thrd=dav_thrd)
-        energy = float(w[0]) + self.mpo.const_e
-        psi = eff.unflatten(v[:, 0])
+        if self.backend == "jax":
+            from ..ops.exec_jax import FusedPlanExecutor
+            ex = FusedPlanExecutor(eff, dtype=self.dtype)
+            th, xv, nmv = ex.solve_ground_state(
+                x0, diag, conv_thrd=dav_thrd, max_iter=200, max_subspace=20)
+            energy = th + self.mpo.const_e
+            psi = eff.unflatten(xv)
+        else:
+            w, v, nmv = davidson(self._matvec_fn(eff), diag, x0,
+                                 conv_thrd=dav_thrd)
+            energy = float(w[0]) + self.mpo.const_e
+            psi = eff.unflatten(v[:, 0])
         g, target = eff.g, eff.target
 
         if forward:

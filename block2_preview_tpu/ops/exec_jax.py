@@ -14,6 +14,7 @@ ConnectionInfo reuse across sweeps.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -126,3 +127,126 @@ class PlanExecutor:
 def compile_matvec(eff, cache: dict):
     ex = PlanExecutor(eff)
     return ex.matvec
+
+
+# ----------------------------------------------------------------------
+# Fused executor: per-bucket batched einsums feed ONE sorted segment-sum
+# (no arbitrary scatters — XLA TPU handles sorted segment reductions far
+# better than generic scatter-add), plus a fully device-resident Davidson.
+# ----------------------------------------------------------------------
+
+def _fused_sigma_impl(xp, buckets, perm, seg_ids, mask, num_segments):
+    pieces = []
+    for (A, R, pidx) in buckets:
+        P = xp[pidx]
+        out = jnp.einsum("bak,bkn,bpn->bap", A, P, R,
+                         preferred_element_type=xp.dtype)
+        pieces.append(out.reshape(-1))
+    vals = jnp.concatenate(pieces)[perm]
+    sig = jax.ops.segment_sum(vals, seg_ids, num_segments=num_segments,
+                              indices_are_sorted=True)
+    return sig * mask
+
+
+_fused_sigma = jax.jit(_fused_sigma_impl,
+                       static_argnames=("num_segments",))
+
+
+class FusedPlanExecutor:
+    """Single-kernel sigma-vector plan with sorted segment-sum accumulation."""
+
+    VEC_PAD = 2048
+
+    def __init__(self, eff, dtype=np.float64):
+        self.size = eff.size
+        self.size_p = ((eff.size + self.VEC_PAD) // self.VEC_PAD) \
+            * self.VEC_PAD
+        self.dtype = dtype
+        invalid = self.size_p
+        buckets: Dict[Tuple[int, int, int, int], List] = {}
+        for (m, lk, pk, rk, ok) in eff.triples:
+            lb = eff.LW[m][lk]
+            rb = eff.RW[m][rk]
+            a0, k0 = lb.shape
+            p0, n0 = rb.shape
+            key = (_round_dim(a0), _round_dim(k0),
+                   _round_dim(n0), _round_dim(p0))
+            buckets.setdefault(key, []).append(
+                (lb, rb, eff.offsets[pk], eff.shapes[pk],
+                 eff.offsets[ok], eff.shapes[ok]))
+        dev_buckets = []
+        out_targets = []    # flat target index per output element, in order
+        for (a, k, n, p), items in sorted(buckets.items()):
+            B = _round_batch(len(items))
+            A = np.zeros((B, a, k), dtype=dtype)
+            R = np.zeros((B, p, n), dtype=dtype)
+            pidx = np.full((B, k, n), invalid, dtype=np.int32)
+            tidx = np.full((B, a, p), invalid, dtype=np.int32)
+            for b, (lb, rb, poff, pshape, ooff, oshape) in enumerate(items):
+                a0, k0 = lb.shape
+                p0, n0 = rb.shape
+                A[b, :a0, :k0] = lb
+                R[b, :p0, :n0] = rb
+                kk, nn = pshape
+                pidx[b, :kk, :nn] = (poff + np.arange(kk * nn)
+                                     ).reshape(kk, nn)
+                aa, pp = oshape
+                tidx[b, :aa, :pp] = (ooff + np.arange(aa * pp)
+                                     ).reshape(aa, pp)
+            dev_buckets.append((jnp.asarray(A), jnp.asarray(R),
+                                jnp.asarray(pidx)))
+            out_targets.append(tidx.reshape(-1))
+        self.device_buckets = tuple(dev_buckets)
+        targets = np.concatenate(out_targets) if out_targets else \
+            np.zeros(0, dtype=np.int32)
+        perm = np.argsort(targets, kind="stable").astype(np.int32)
+        self.perm = jnp.asarray(perm)
+        self.seg_ids = jnp.asarray(targets[perm])
+        self.num_segments = self.size_p + 1
+        msk = np.zeros(self.size_p + 1, dtype=dtype)
+        msk[:self.size] = 1.0
+        self.mask = jnp.asarray(msk)
+
+    # device-level matvec on padded vectors [size_p + 1]
+    def matvec_device(self, xp):
+        return _fused_sigma(xp, self.device_buckets, self.perm,
+                            self.seg_ids, self.mask, self.num_segments)
+
+    def pad(self, x: np.ndarray) -> np.ndarray:
+        xp = np.zeros(self.size_p + 1, dtype=self.dtype)
+        xp[:self.size] = x
+        return xp
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        out = self.matvec_device(jnp.asarray(self.pad(x)))
+        return np.asarray(out, dtype=np.float64)[:self.size]
+
+    # ------------------------------------------------------------------
+    def solve_ground_state(self, x0: np.ndarray, diag: np.ndarray,
+                           conv_thrd: float = 1e-8, max_iter: int = 100,
+                           max_subspace: int = 20):
+        """On-device Davidson; returns (theta, x [true size], n_matvec)."""
+        from .device_davidson import device_davidson
+        dp = np.ones(self.size_p + 1, dtype=self.dtype)
+        dp[:self.size] = diag
+        th, xv, it = _dav_jit(self.device_buckets, self.perm, self.seg_ids,
+                              self.mask, self.num_segments,
+                              jnp.asarray(self.pad(x0)),
+                              jnp.asarray(dp), conv_thrd, max_iter,
+                              max_subspace)
+        return (float(th), np.asarray(xv, dtype=np.float64)[:self.size],
+                int(it))
+
+
+@partial(jax.jit, static_argnames=("num_segments", "conv_thrd", "max_iter",
+                                   "max_subspace"))
+def _dav_jit(buckets, perm, seg_ids, mask, num_segments, x0, diag, conv_thrd,
+             max_iter, max_subspace):
+    from .device_davidson import device_davidson
+
+    def mv(v):
+        return _fused_sigma_impl(v, buckets, perm, seg_ids, mask,
+                                 num_segments)
+
+    return device_davidson(mv, diag, x0, conv_thrd=conv_thrd,
+                           max_iter=max_iter, max_subspace=max_subspace)
