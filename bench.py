@@ -59,7 +59,7 @@ def true_flops(eff):
 
 
 def main():
-    from block2_preview_tpu.ops.exec_jax import PlanExecutor
+    from block2_preview_tpu.ops.exec_jax import FusedPlanExecutor
 
     import jax
     dev_kind = jax.devices()[0].platform
@@ -77,14 +77,24 @@ def main():
         eff.matvec_np(x)
     t_np = (time.time() - t0) / n_np
 
-    # device f32 bucketed executor
-    ex = PlanExecutor(eff, dtype=np.float32)
-    ex.matvec(x)   # compile
-    n_dev = 25
+    # device f32 fused executor (device-resident input, as used by the
+    # on-device Davidson loop)
+    import jax.numpy as jnp
+    ex = FusedPlanExecutor(eff, dtype=np.float32)
+    xj = jnp.asarray(ex.pad(x))
+    y = ex.matvec_device(xj)
+    y.block_until_ready()   # compile
+    n_dev = 50
     t0 = time.time()
     for _ in range(n_dev):
-        ex.matvec(x)
+        y = ex.matvec_device(xj)
+    y.block_until_ready()
     t_dev = (time.time() - t0) / n_dev
+    # with host roundtrip (as used by the host-Davidson hybrid)
+    t0 = time.time()
+    for _ in range(10):
+        ex.matvec(x)
+    t_rt = (time.time() - t0) / 10
 
     gf_dev = fl / t_dev / 1e9
     gf_np = fl / t_np / 1e9
@@ -104,6 +114,7 @@ def main():
         "sigma_size": eff.size,
         "true_gflop_per_matvec": round(fl / 1e9, 3),
         "host_numpy_f64_gflops": round(gf_np, 2),
+        "matvec_with_host_roundtrip_ms": round(t_rt * 1e3, 3),
         "n2_sto3g_d250_energy_f64": e_np,
         "n2_sto3g_abs_err_vs_block2_ha": abs(e_np - ref),
         "n2_sto3g_d250_solve_seconds": round(t_solve, 2),

@@ -171,3 +171,26 @@ def qc_raw_terms(fd: FCIDUMP, cutoff: float = 1e-13) -> List[RawTerm]:
 def qc_term_table(fd: FCIDUMP, group: SymmetryGroup = SZ_GROUP,
                   cutoff: float = 1e-13) -> TermTable:
     return build_term_table(fd.n_sites, qc_raw_terms(fd, cutoff), group=group)
+
+
+def spin_square_raw_terms(n_sites: int) -> List[RawTerm]:
+    """S^2 = sum_ij [Sz_i Sz_j + (S+_i S-_j + S-_i S+_j)/2] as operator
+    strings (reference pyblock2/driver/core.py:4073 get_spin_square_mpo).
+    Used both as an observable and as a spin penalty H + lambda*S^2 for
+    targeting spin states in non-spin-adapted SZ mode."""
+    terms: List[RawTerm] = []
+    for i in range(n_sites):
+        for j in range(n_sites):
+            # Sz_i Sz_j
+            for (ei, si) in ((CRE_A, 0.5), (CRE_B, -0.5)):
+                di = DES_A if ei == CRE_A else DES_B
+                for (ej, sj) in ((CRE_A, 0.5), (CRE_B, -0.5)):
+                    dj = DES_A if ej == CRE_A else DES_B
+                    terms.append((si * sj, [(i, ei), (i, di),
+                                            (j, ej), (j, dj)]))
+            # (S+_i S-_j + S-_i S+_j) / 2
+            terms.append((0.5, [(i, CRE_A), (i, DES_B),
+                                (j, CRE_B), (j, DES_A)]))
+            terms.append((0.5, [(i, CRE_B), (i, DES_A),
+                                (j, CRE_A), (j, DES_B)]))
+    return terms

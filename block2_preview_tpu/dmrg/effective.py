@@ -205,11 +205,15 @@ class EffectiveHamiltonian2:
         return self.flatten(diag)
 
     # ------------------------------------------------------------------
-    def initial_guess(self) -> Dict[Key2, np.ndarray]:
-        """psi from contracting MPS tensors at t, t+1 into the fused bases."""
+    def initial_guess(self, tensor_l=None, tensor_r=None
+                      ) -> Dict[Key2, np.ndarray]:
+        """psi from contracting MPS tensors at t, t+1 into the fused bases.
+        tensor_l/tensor_r override the site tensors (per-root centers for
+        state-averaged sweeps, MultiMPS analog)."""
         g, target = self.g, self.target
         mps = self.me.ket
-        Tl, Tr = mps.tensors[self.t], mps.tensors[self.t + 1]
+        Tl = tensor_l if tensor_l is not None else mps.tensors[self.t]
+        Tr = tensor_r if tensor_r is not None else mps.tensors[self.t + 1]
         psi = {k: np.zeros(self.shapes[k]) for k in self.psi_keys}
         # index right blocks by left bond quantum
         rby: Dict[QN, List] = {}

@@ -1,20 +1,23 @@
-"""Two-site DMRG sweep driver.
+"""Two-site DMRG sweep driver (ground-state and state-averaged excited).
 
 TPU-native counterpart of block2's DMRG sweep algorithm (reference
-src/dmrg/sweep_algorithm.hpp:71: update_two_dot at :811, blocking :2491,
-sweep :2551, solve :3032) with density-matrix decimation + perturbative-style
-noise (reference src/dmrg/moving_environment.hpp density_matrix /
-split_density_matrix; effective_hamiltonian.hpp:253 perturbative_noise).
+src/dmrg/sweep_algorithm.hpp:71: update_two_dot at :811, state-averaged
+update_multi_two_dot at :1960, blocking :2491, sweep :2551, solve :3032)
+with density-matrix decimation + perturbative-style noise (reference
+src/dmrg/moving_environment.hpp density_matrix / split_density_matrix;
+effective_hamiltonian.hpp:253 perturbative_noise).  State averaging follows
+MultiMPS semantics (reference src/dmrg/state_averaged.hpp:157): shared
+rotation tensors, one center wavefunction per root, weighted density matrix.
 
-The Davidson outer loop runs on host; the sigma-vector matvec is pluggable
-("numpy" reference executor here; the jit-compiled bucketed executor in
-ops/exec_jax.py is selected with backend="jax").
+The Davidson outer loop runs on host; the sigma-vector matvec is pluggable:
+backend="numpy" (host BLAS reference), "jax" (fused device matvec +
+host Davidson), "jax_device" (everything on device).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -26,79 +29,88 @@ from .mpo import MPO
 from .mps import MPS, MPSTensor
 
 
-def _split_forward(eff: EffectiveHamiltonian2, psi: Dict[Key2, np.ndarray],
-                   bond_dim: int, noise: float, trunc_cutoff: float = 1e-16
-                   ) -> Tuple[Dict[QN, np.ndarray], float]:
-    """Left density matrix + eigh decimation; returns kept rotation per qL
-    sector and the discarded weight."""
+def _average_rho_forward(eff: EffectiveHamiltonian2,
+                         psis: Sequence[Dict[Key2, np.ndarray]],
+                         weights: Sequence[float],
+                         noise: float) -> Dict[QN, np.ndarray]:
     g, target = eff.g, eff.target
     rho: Dict[QN, np.ndarray] = {}
-    for (qL, qR), b in psi.items():
-        acc = rho.get(qL)
-        rho[qL] = b @ b.T if acc is None else acc + b @ b.T
+    for w_r, psi in zip(weights, psis):
+        for (qL, qR), b in psi.items():
+            acc = rho.get(qL)
+            contrib = w_r * (b @ b.T)
+            rho[qL] = contrib if acc is None else acc + contrib
     if noise > 0:
         rho_n: Dict[QN, np.ndarray] = {}
-        for m, lw in eff.LW.items():
-            xs: Dict[Tuple[QN, QN], np.ndarray] = {}
-            for (qLb, qLk), blk in lw.items():
-                pk = (qLk, g.sub(target, qLk))
-                if pk not in psi:
-                    continue
-                x = blk @ psi[pk]
-                key = (qLb, pk[1])
-                xs[key] = xs.get(key, 0) + x
-            for (qLb, _), x in xs.items():
-                acc = rho_n.get(qLb)
-                rho_n[qLb] = x @ x.T if acc is None else acc + x @ x.T
+        for w_r, psi in zip(weights, psis):
+            for m, lw in eff.LW.items():
+                xs: Dict[Tuple[QN, QN], np.ndarray] = {}
+                for (qLb, qLk), blk in lw.items():
+                    pk = (qLk, g.sub(target, qLk))
+                    if pk not in psi:
+                        continue
+                    x = blk @ psi[pk]
+                    key = (qLb, pk[1])
+                    xs[key] = xs.get(key, 0) + x
+                for (qLb, _), x in xs.items():
+                    acc = rho_n.get(qLb)
+                    contrib = w_r * (x @ x.T)
+                    rho_n[qLb] = contrib if acc is None else acc + contrib
         tr = sum(np.trace(v) for v in rho_n.values())
         if tr > 1e-30:
             for q, v in rho_n.items():
                 blk = rho.get(q)
                 add = (noise / tr) * v
                 rho[q] = add if blk is None else blk + add
-    return _decimate(rho, bond_dim, trunc_cutoff)
+    return rho
 
 
-def _split_backward(eff: EffectiveHamiltonian2, psi: Dict[Key2, np.ndarray],
-                    bond_dim: int, noise: float, trunc_cutoff: float = 1e-16
-                    ) -> Tuple[Dict[QN, np.ndarray], float]:
+def _average_rho_backward(eff: EffectiveHamiltonian2,
+                          psis: Sequence[Dict[Key2, np.ndarray]],
+                          weights: Sequence[float],
+                          noise: float) -> Dict[QN, np.ndarray]:
     g, target = eff.g, eff.target
     rho: Dict[QN, np.ndarray] = {}
-    for (qL, qR), b in psi.items():
-        acc = rho.get(qR)
-        rho[qR] = b.T @ b if acc is None else acc + b.T @ b
+    for w_r, psi in zip(weights, psis):
+        for (qL, qR), b in psi.items():
+            acc = rho.get(qR)
+            contrib = w_r * (b.T @ b)
+            rho[qR] = contrib if acc is None else acc + contrib
     if noise > 0:
         rho_n: Dict[QN, np.ndarray] = {}
-        for m, rw in eff.RW.items():
-            xs: Dict[Tuple[QN, QN], np.ndarray] = {}
-            for (qRb, qRk), blk in rw.items():
-                pk = (g.sub(target, qRk), qRk)
-                if pk not in psi:
-                    continue
-                x = psi[pk] @ blk.T
-                key = (pk[0], qRb)
-                xs[key] = xs.get(key, 0) + x
-            for (_, qRb), x in xs.items():
-                acc = rho_n.get(qRb)
-                rho_n[qRb] = x.T @ x if acc is None else acc + x.T @ x
+        for w_r, psi in zip(weights, psis):
+            for m, rw in eff.RW.items():
+                xs: Dict[Tuple[QN, QN], np.ndarray] = {}
+                for (qRb, qRk), blk in rw.items():
+                    pk = (g.sub(target, qRk), qRk)
+                    if pk not in psi:
+                        continue
+                    x = psi[pk] @ blk.T
+                    key = (pk[0], qRb)
+                    xs[key] = xs.get(key, 0) + x
+                for (_, qRb), x in xs.items():
+                    acc = rho_n.get(qRb)
+                    contrib = w_r * (x.T @ x)
+                    rho_n[qRb] = contrib if acc is None else acc + contrib
         tr = sum(np.trace(v) for v in rho_n.values())
         if tr > 1e-30:
             for q, v in rho_n.items():
                 blk = rho.get(q)
                 add = (noise / tr) * v
                 rho[q] = add if blk is None else blk + add
-    return _decimate(rho, bond_dim, trunc_cutoff)
+    return rho
 
 
-def _decimate(rho: Dict[QN, np.ndarray], bond_dim: int, trunc_cutoff: float
+def _decimate(rho: Dict[QN, np.ndarray], bond_dim: int,
+              trunc_cutoff: float = 1e-16
               ) -> Tuple[Dict[QN, np.ndarray], float]:
     eigs: List[Tuple[float, QN, int]] = []
     vecs: Dict[QN, np.ndarray] = {}
     for q, r in rho.items():
-        w, v = np.linalg.eigh(0.5 * (r + r.T))
+        w, v = np.linalg.eigh(0.5 * (r + r.conj().T))
         vecs[q] = v
         for i, x in enumerate(w):
-            eigs.append((float(x), q, i))
+            eigs.append((float(x.real), q, i))
     eigs.sort(key=lambda z: -z[0])
     total = sum(max(x, 0.0) for x, _, _ in eigs)
     kept: Dict[QN, List[int]] = {}
@@ -117,82 +129,120 @@ def _decimate(rho: Dict[QN, np.ndarray], bond_dim: int, trunc_cutoff: float
 
 @dataclass
 class SweepResults:
-    energies: List[float] = field(default_factory=list)
+    energies: List[np.ndarray] = field(default_factory=list)
     discarded: List[float] = field(default_factory=list)
     n_matvec: int = 0
 
 
 class DMRG:
-    """Ground-state two-site DMRG (reference sweep_algorithm.hpp:71)."""
+    """Two-site (state-averaged) DMRG (reference sweep_algorithm.hpp:71)."""
 
     def __init__(self, mpo: MPO, mps: MPS, backend: str = "numpy",
-                 iprint: int = 1, dtype=np.float64):
+                 iprint: int = 1, dtype=np.float64, n_roots: int = 1,
+                 weights: Optional[Sequence[float]] = None):
         self.mpo = mpo
         self.mps = mps
         self.backend = backend
         self.dtype = dtype
         self.iprint = iprint
+        self.n_roots = n_roots
+        self.weights = list(weights) if weights is not None \
+            else [1.0 / n_roots] * n_roots
         self.me = MovingEnvironment(mpo, mps)
         self.me.init_environments()
-        self.energies: List[float] = []
+        self.energies: List[np.ndarray] = []
         self.discarded_weights: List[float] = []
-        self._jax_cache = None
+        # per-root center wavefunction tensors (MultiMPS analog); None means
+        # "use the MPS center tensor" (root replication at cold start)
+        self._center_tensors: Optional[List[MPSTensor]] = None
+        self._center_pos = -1
 
     # ------------------------------------------------------------------
-    def _matvec_fn(self, eff: EffectiveHamiltonian2):
-        if self.backend == "jax":
-            from ..ops.exec_jax import PlanExecutor
-            return PlanExecutor(eff, dtype=self.dtype).matvec
-        return eff.matvec_np
+    def _initial_guesses(self, eff: EffectiveHamiltonian2, t: int
+                         ) -> np.ndarray:
+        guesses = []
+        if self._center_tensors is not None and \
+                self._center_pos in (t, t + 1):
+            for ct in self._center_tensors:
+                if self._center_pos == t:
+                    g0 = eff.initial_guess(tensor_l=ct)
+                else:
+                    g0 = eff.initial_guess(tensor_r=ct)
+                guesses.append(eff.flatten(g0))
+        else:
+            guesses.append(eff.flatten(eff.initial_guess()))
+        x0 = np.stack(guesses, axis=1)
+        rng = np.random.RandomState(7)
+        while x0.shape[1] < self.n_roots:
+            x0 = np.concatenate(
+                [x0, rng.standard_normal((eff.size, 1))], axis=1)
+        for r in range(x0.shape[1]):
+            nrm = np.linalg.norm(x0[:, r])
+            if nrm < 1e-14:
+                x0[:, r] = rng.standard_normal(eff.size)
+                nrm = np.linalg.norm(x0[:, r])
+            x0[:, r] /= nrm
+        return x0
 
-    def update_two_dot(self, t: int, forward: bool, bond_dim: int,
-                       noise: float, dav_thrd: float) -> Tuple[float, float, int]:
-        eff = EffectiveHamiltonian2(self.me, t)
-        x0 = eff.flatten(eff.initial_guess())
-        nrm = np.linalg.norm(x0)
-        if nrm < 1e-14:
-            x0 = np.random.RandomState(42).standard_normal(eff.size)
-        x0 /= np.linalg.norm(x0)
-        diag = eff.diagonal()
-        if self.backend == "jax":
+    def _solve_eff(self, eff: EffectiveHamiltonian2, x0, diag, dav_thrd):
+        if self.backend == "jax_device" and self.n_roots == 1:
             from ..ops.exec_jax import FusedPlanExecutor
             ex = FusedPlanExecutor(eff, dtype=self.dtype)
             th, xv, nmv = ex.solve_ground_state(
-                x0, diag, conv_thrd=dav_thrd, max_iter=200, max_subspace=20)
-            energy = th + self.mpo.const_e
-            psi = eff.unflatten(xv)
-        else:
-            w, v, nmv = davidson(self._matvec_fn(eff), diag, x0,
-                                 conv_thrd=dav_thrd)
-            energy = float(w[0]) + self.mpo.const_e
-            psi = eff.unflatten(v[:, 0])
+                x0[:, 0], diag, conv_thrd=dav_thrd, max_iter=200,
+                max_subspace=20)
+            return np.array([th]), xv[:, None], nmv
+        if self.backend in ("jax", "jax_device"):
+            from ..ops.exec_jax import FusedPlanExecutor
+            ex = FusedPlanExecutor(eff, dtype=self.dtype)
+            return davidson(ex.matvec, diag, x0, n_roots=self.n_roots,
+                            conv_thrd=dav_thrd)
+        return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,
+                        conv_thrd=dav_thrd)
+
+    def update_two_dot(self, t: int, forward: bool, bond_dim: int,
+                       noise: float, dav_thrd: float
+                       ) -> Tuple[np.ndarray, float, int]:
+        eff = EffectiveHamiltonian2(self.me, t)
+        x0 = self._initial_guesses(eff, t)
+        diag = eff.diagonal()
+        w, v, nmv = self._solve_eff(eff, x0, diag, dav_thrd)
+        energies = w[:self.n_roots] + self.mpo.const_e
+        psis = [eff.unflatten(v[:, r]) for r in range(self.n_roots)]
         g, target = eff.g, eff.target
 
         if forward:
-            rot, dw = _split_forward(eff, psi, bond_dim, noise)
+            rho = _average_rho_forward(eff, psis, self.weights, noise)
+            rot, dw = _decimate(rho, bond_dim)
             a_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
             for qL, vmat in rot.items():
                 for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
                     a_blocks[(ql, qp, qL)] = vmat[off:off + dl * dp, :] \
                         .reshape(dl, dp, -1)
-            c_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
-            for qL, vmat in rot.items():
-                qR = g.sub(target, qL)
-                pk = (qL, qR)
-                if pk not in psi:
-                    continue
-                mmat = vmat.T @ psi[pk]
-                for (qp, qc2, off, dp, db) in eff.fr.maps[qR]:
-                    qr2 = g.sub(target, qc2)
-                    blk = mmat[:, off:off + dp * db].reshape(-1, dp, db)
-                    key = (qL, qp, qr2)
-                    c_blocks[key] = c_blocks.get(key, 0) + blk
+            centers = []
+            for psi in psis:
+                c_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
+                for qL, vmat in rot.items():
+                    qR = g.sub(target, qL)
+                    pk = (qL, qR)
+                    if pk not in psi:
+                        continue
+                    mmat = vmat.T @ psi[pk]
+                    for (qp, qc2, off, dp, db) in eff.fr.maps[qR]:
+                        qr2 = g.sub(target, qc2)
+                        blk = mmat[:, off:off + dp * db].reshape(-1, dp, db)
+                        key = (qL, qp, qr2)
+                        c_blocks[key] = c_blocks.get(key, 0) + blk
+                centers.append(MPSTensor(g, c_blocks))
             self.mps.tensors[t] = MPSTensor(g, a_blocks)
-            self.mps.tensors[t + 1] = MPSTensor(g, c_blocks)
+            self.mps.tensors[t + 1] = centers[0]
+            self._center_tensors = centers
+            self._center_pos = t + 1
             self.me.update_left(t)
             self.me.invalidate_right(t + 1)
         else:
-            rot, dw = _split_backward(eff, psi, bond_dim, noise)
+            rho = _average_rho_backward(eff, psis, self.weights, noise)
+            rot, dw = _decimate(rho, bond_dim)
             b_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
             for qR, vmat in rot.items():
                 ql_new = g.sub(target, qR)
@@ -200,22 +250,27 @@ class DMRG:
                     qr2 = g.sub(target, qc2)
                     b_blocks[(ql_new, qp, qr2)] = vmat[off:off + dp * db, :] \
                         .T.reshape(-1, dp, db)
-            c_blocks = {}
-            for qR, vmat in rot.items():
-                qL = g.sub(target, qR)
-                pk = (qL, qR)
-                if pk not in psi:
-                    continue
-                mmat = psi[pk] @ vmat
-                for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
-                    blk = mmat[off:off + dl * dp, :].reshape(dl, dp, -1)
-                    key = (ql, qp, qL)
-                    c_blocks[key] = c_blocks.get(key, 0) + blk
+            centers = []
+            for psi in psis:
+                c_blocks = {}
+                for qR, vmat in rot.items():
+                    qL = g.sub(target, qR)
+                    pk = (qL, qR)
+                    if pk not in psi:
+                        continue
+                    mmat = psi[pk] @ vmat
+                    for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
+                        blk = mmat[off:off + dl * dp, :].reshape(dl, dp, -1)
+                        key = (ql, qp, qL)
+                        c_blocks[key] = c_blocks.get(key, 0) + blk
+                centers.append(MPSTensor(g, c_blocks))
             self.mps.tensors[t + 1] = MPSTensor(g, b_blocks)
-            self.mps.tensors[t] = MPSTensor(g, c_blocks)
+            self.mps.tensors[t] = centers[0]
+            self._center_tensors = centers
+            self._center_pos = t
             self.me.update_right(t + 1)
             self.me.invalidate_left(t)
-        return energy, dw, nmv
+        return energies, dw, nmv
 
     # ------------------------------------------------------------------
     def sweep(self, forward: bool, bond_dim: int, noise: float,
@@ -230,35 +285,38 @@ class DMRG:
             res.discarded.append(dw)
             res.n_matvec += nmv
             if self.iprint >= 2:
+                estr = " ".join(f"{x:.12f}" for x in e)
                 print(f"   {'-->' if forward else '<--'} site {t:3d} "
-                      f"E = {e:.12f}  dw = {dw:.2e}  nmv = {nmv}")
+                      f"E = {estr}  dw = {dw:.2e}  nmv = {nmv}")
         return res
 
     def solve(self, bond_dims: List[int], noises: List[float],
               dav_thrds: List[float], n_sweeps: int = 20,
               tol: float = 1e-8) -> float:
-        def sched(lst, i, last=None):
-            if i < len(lst):
-                return lst[i]
-            return lst[-1] if last is None else last
+        def sched(lst, i):
+            return lst[min(i, len(lst) - 1)]
 
         forward = True
-        last_e = np.inf
+        last_e = np.full(self.n_roots, np.inf)
         for isw in range(n_sweeps):
             bd = sched(bond_dims, isw)
             ns = sched(noises, isw)
             dt = sched(dav_thrds, isw)
             res = self.sweep(forward, bd, ns, dt)
-            e = min(res.energies)
+            earr = np.stack(res.energies)
+            e = earr.min(axis=0)
             dw = max(res.discarded) if res.discarded else 0.0
             self.energies.append(e)
             self.discarded_weights.append(dw)
             if self.iprint >= 1:
+                estr = " ".join(f"{x:.12f}" for x in e)
                 print(f"sweep {isw:3d} {'F' if forward else 'B'} D={bd:5d} "
-                      f"noise={ns:.1e}  E = {e:.12f}  dE = {e - last_e:+.3e} "
+                      f"noise={ns:.1e}  E = {estr}  "
+                      f"dE = {np.max(np.abs(e - last_e)):+.3e} "
                       f" dw = {dw:.2e}  nmv = {res.n_matvec}")
-            if abs(e - last_e) < tol and ns == 0:
+            if np.max(np.abs(e - last_e)) < tol and ns == 0:
                 break
             last_e = e
             forward = not forward
-        return self.energies[-1] if self.energies else np.nan
+        final = self.energies[-1] if self.energies else np.array([np.nan])
+        return float(final[0]) if self.n_roots == 1 else final

@@ -117,6 +117,30 @@ class DMRGDriver:
         return build_mpo(tt, site_pgs=fcidump.orb_sym,
                          const_e=fcidump.const_e)
 
+    def get_spin_square_mpo(self) -> MPO:
+        """S^2 MPO (reference pyblock2/driver/core.py:4073)."""
+        from ..core.expr import spin_square_raw_terms
+        tt = build_term_table(self.n_sites,
+                              spin_square_raw_terms(self.n_sites),
+                              group=self.group)
+        return build_mpo(tt, site_pgs=self.orb_sym)
+
+    def get_qc_mpo_spin_penalty(self, fcidump: FCIDUMP, penalty: float,
+                                twos: Optional[int] = None,
+                                cutoff: float = 1e-13) -> MPO:
+        """H + penalty * (S^2 - S(S+1)): targets total-spin states in SZ mode
+        (the non-spin-adapted spin-targeting device; analog of the reference
+        SZ workflows that add an S^2 penalty)."""
+        from ..core.expr import qc_raw_terms, spin_square_raw_terms
+        s2 = [(penalty * c, ops)
+              for c, ops in spin_square_raw_terms(fcidump.n_sites)]
+        raw = qc_raw_terms(fcidump, cutoff) + s2
+        tt = build_term_table(fcidump.n_sites, raw, group=self.group)
+        tw = fcidump.twos if twos is None else twos
+        shift = -penalty * (tw / 2.0) * (tw / 2.0 + 1.0)
+        return build_mpo(tt, site_pgs=fcidump.orb_sym,
+                         const_e=fcidump.const_e + shift)
+
     def get_mpo(self, term_table: TermTable, const_e: float = 0.0) -> MPO:
         """MPO from an ExprBuilder term table
         (reference pyblock2/driver/core.py:3885)."""
