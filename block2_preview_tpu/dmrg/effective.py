@@ -15,6 +15,10 @@ factorization (DelayedOperatorTensor, reference src/core/operator_tensor.hpp:209
 the list of matching (LW block, psi block, RW block) GEMM triples is the
 static contraction plan that the device executor buckets into batched matmuls.
 
+Supports bra != ket (mixed bases): the operator then maps ket-space vectors to
+bra-space vectors — the engine behind compression / MPO-fitting / linear
+solves (the reference's Linear sweep, sweep_algorithm.hpp:3270).
+
 Charge conventions: a psi sector is (qL, qR) with qL + qR = target; qL is the
 accumulated charge of sites <= t and qR the charge of sites >= t+1 (bond
 quanta of the right half are stored complemented: qc = target - q_bond).
@@ -36,52 +40,88 @@ from .mps import MPS
 Key2 = Tuple[QN, QN]
 
 
-class EffectiveHamiltonian2:
-    def __init__(self, me: MovingEnvironment, t: int):
-        self.me = me
-        self.t = t
-        mpo, mps = me.mpo, me.ket
-        g = mpo.group
-        self.g = g
-        self.target = mps.info.target
-        L = mpo.n_sites
-        assert 0 <= t < L - 1
+def _fused_bases(mps: MPS, t: int, target: QN):
+    g = mps.group
+    L = mps.n_sites
+    bond_l = mps.bond_info_at(t)
+    if t + 2 == L:
+        bond_r = StateInfo.single(g, target)
+    else:
+        dims: Dict[QN, int] = {}
+        for (ql, qp, qr), b in mps.tensors[t + 2].blocks.items():
+            dims[ql] = max(dims.get(ql, 0), b.shape[0])
+        bond_r = StateInfo(g, dims)
+    site_l = mps.info.site_infos[t]
+    site_r = mps.info.site_infos[t + 1]
+    comp_r = StateInfo(g, {g.sub(target, q): d for q, d in bond_r.items()})
+    return FusedBasis(g, bond_l, site_l), FusedBasis(g, site_r, comp_r)
 
-        bond_l = mps.bond_info_at(t)
-        bond_r = mps.bond_info_at(t + 2) if t + 2 <= L else None
-        if t + 2 == L:
-            bond_r = StateInfo.single(g, self.target)
-        else:
-            # derive from tensor t+1 left index? use tensor t+2's left index
-            dims = {}
-            for (ql, qp, qr), b in mps.tensors[t + 2].blocks.items():
-                dims[ql] = max(dims.get(ql, 0), b.shape[0])
-            bond_r = StateInfo(g, dims)
-        site_l = mps.info.site_infos[t]
-        site_r = mps.info.site_infos[t + 1]
-        # complemented right bond: qc = target - q
-        comp_r = StateInfo(g, {g.sub(self.target, q): d
-                               for q, d in bond_r.items()})
-        self.fl = FusedBasis(g, bond_l, site_l)
-        self.fr = FusedBasis(g, site_r, comp_r)
 
-        # active sectors
-        self.psi_keys: List[Key2] = []
-        for qL in self.fl.sectors():
-            qR = g.sub(self.target, qL)
-            if qR in self.fr.maps:
-                self.psi_keys.append((qL, qR))
-        self.psi_keys.sort()
-        self.shapes = {
-            (qL, qR): (self.fl.info[qL], self.fr.info[qR])
-            for (qL, qR) in self.psi_keys}
+class _Space:
+    """Sector keys / shapes / flat offsets of a two-site wavefunction space."""
+
+    def __init__(self, g, fl: FusedBasis, fr: FusedBasis, target: QN):
+        self.fl, self.fr = fl, fr
+        self.keys: List[Key2] = []
+        for qL in fl.sectors():
+            qR = g.sub(target, qL)
+            if qR in fr.maps:
+                self.keys.append((qL, qR))
+        self.keys.sort()
+        self.shapes = {(qL, qR): (fl.info[qL], fr.info[qR])
+                       for (qL, qR) in self.keys}
         self.offsets: Dict[Key2, int] = {}
         off = 0
-        for k in self.psi_keys:
+        for k in self.keys:
             self.offsets[k] = off
             dl, dr = self.shapes[k]
             off += dl * dr
         self.size = off
+
+    def flatten(self, blocks: Dict[Key2, np.ndarray],
+                dtype=np.float64) -> np.ndarray:
+        x = np.zeros(self.size, dtype=dtype)
+        for k, b in blocks.items():
+            if k in self.offsets:
+                off = self.offsets[k]
+                x[off:off + b.size] = b.ravel()
+        return x
+
+    def unflatten(self, x: np.ndarray) -> Dict[Key2, np.ndarray]:
+        out = {}
+        for k in self.keys:
+            dl, dr = self.shapes[k]
+            off = self.offsets[k]
+            out[k] = x[off:off + dl * dr].reshape(dl, dr)
+        return out
+
+
+class EffectiveHamiltonian2:
+    def __init__(self, me: MovingEnvironment, t: int):
+        self.me = me
+        self.t = t
+        mpo, ket, bra = me.mpo, me.ket, me.bra
+        g = mpo.group
+        self.g = g
+        self.target = ket.info.target
+        L = mpo.n_sites
+        assert 0 <= t < L - 1
+        self.mixed = bra is not ket
+
+        flk, frk = _fused_bases(ket, t, self.target)
+        self.ket_space = _Space(g, flk, frk, self.target)
+        if self.mixed:
+            flb, frb = _fused_bases(bra, t, bra.info.target)
+            self.bra_space = _Space(g, flb, frb, bra.info.target)
+        else:
+            self.bra_space = self.ket_space
+
+        # backwards-compatible aliases (bra == ket case)
+        self.fl, self.fr = flk, frk
+        self.psi_keys = self.ket_space.keys
+        self.shapes = self.ket_space.shapes
+        self.offsets = self.ket_space.offsets
+        self.size = self.ket_space.size
 
         self._assemble(t)
         self._build_triples()
@@ -93,9 +133,14 @@ class EffectiveHamiltonian2:
         env_l = me.left_envs[t]
         env_r = me.right_envs[t + 2]
         assert env_l is not None and env_r is not None
-        target = self.target
-        active_l = {qL for (qL, _) in self.psi_keys}
-        active_r = {qR for (_, qR) in self.psi_keys}
+        tk = self.target
+        tb = self.me.bra.info.target if self.mixed else tk
+        flb, frb = self.bra_space.fl, self.bra_space.fr
+        flk, frk = self.ket_space.fl, self.ket_space.fr
+        active_lb = {qL for (qL, _) in self.bra_space.keys}
+        active_rb = {qR for (_, qR) in self.bra_space.keys}
+        active_lk = {qL for (qL, _) in self.ket_space.keys}
+        active_rk = {qR for (_, qR) in self.ket_space.keys}
         quanta_l = mpo.site_quanta[t]
         quanta_r = mpo.site_quanta[t + 1]
 
@@ -110,14 +155,14 @@ class EffectiveHamiltonian2:
                 qpb, qpk = quanta_l[int(pb)], quanta_l[int(pk)]
                 for (qlb, qlk), eb in e.blocks.items():
                     qLb, qLk = g.add(qlb, qpb), g.add(qlk, qpk)
-                    if qLb not in active_l or qLk not in active_l:
+                    if qLb not in active_lb or qLk not in active_lk:
                         continue
-                    ob, dlb, _ = self.fl.sub_offset(qLb, qlb, qpb)
-                    ok, dlk, _ = self.fl.sub_offset(qLk, qlk, qpk)
+                    ob, dlb, _ = flb.sub_offset(qLb, qlb, qpb)
+                    ok, dlk, _ = flk.sub_offset(qLk, qlk, qpk)
                     dm = LW.setdefault(m, {})
                     blk = dm.get((qLb, qLk))
                     if blk is None:
-                        blk = np.zeros((self.fl.info[qLb], self.fl.info[qLk]))
+                        blk = np.zeros((flb.info[qLb], flk.info[qLk]))
                         dm[(qLb, qLk)] = blk
                     blk[ob:ob + dlb, ok:ok + dlk] += coef * eb
 
@@ -131,18 +176,16 @@ class EffectiveHamiltonian2:
                 coef = w[pb, pk]
                 qpb, qpk = quanta_r[int(pb)], quanta_r[int(pk)]
                 for (qb2, qk2), eb in e.blocks.items():
-                    qRb = g.add(qpb, g.sub(target, qb2))
-                    qRk = g.add(qpk, g.sub(target, qk2))
-                    if qRb not in active_r or qRk not in active_r:
+                    qRb = g.add(qpb, g.sub(tb, qb2))
+                    qRk = g.add(qpk, g.sub(tk, qk2))
+                    if qRb not in active_rb or qRk not in active_rk:
                         continue
-                    ob, _, dbb = self.fr.sub_offset(
-                        qRb, qpb, g.sub(target, qb2))
-                    ok, _, dbk = self.fr.sub_offset(
-                        qRk, qpk, g.sub(target, qk2))
+                    ob, _, dbb = frb.sub_offset(qRb, qpb, g.sub(tb, qb2))
+                    ok, _, dbk = frk.sub_offset(qRk, qpk, g.sub(tk, qk2))
                     dm = RW.setdefault(m, {})
                     blk = dm.get((qRb, qRk))
                     if blk is None:
-                        blk = np.zeros((self.fr.info[qRb], self.fr.info[qRk]))
+                        blk = np.zeros((frb.info[qRb], frk.info[qRk]))
                         dm[(qRb, qRk)] = blk
                     blk[ob:ob + dbb, ok:ok + dbk] += coef * eb
         self.LW, self.RW = LW, RW
@@ -150,48 +193,46 @@ class EffectiveHamiltonian2:
     def _build_triples(self) -> None:
         """Static contraction plan: (m, LW block key, psi key, RW block key,
         out psi key) for every nonvanishing sigma contribution."""
-        g, target = self.g, self.target
+        g = self.g
+        tk = self.target
+        tb = self.me.bra.info.target if self.mixed else tk
         triples = []
         for m, lw in self.LW.items():
             rw = self.RW.get(m)
             if rw is None:
                 continue
             for (qLb, qLk) in lw:
-                qRk = g.sub(target, qLk)
-                qRb = g.sub(target, qLb)
-                if (qLk, qRk) not in self.shapes:
+                qRk = g.sub(tk, qLk)
+                qRb = g.sub(tb, qLb)
+                if (qLk, qRk) not in self.ket_space.shapes:
                     continue
-                if (qRb, qRk) in rw and (qLb, qRb) in self.shapes:
+                if (qRb, qRk) in rw and (qLb, qRb) in self.bra_space.shapes:
                     triples.append((m, (qLb, qLk), (qLk, qRk),
                                     (qRb, qRk), (qLb, qRb)))
         self.triples = triples
 
     # ------------------------------------------------------------------
     def flatten(self, blocks: Dict[Key2, np.ndarray]) -> np.ndarray:
-        x = np.zeros(self.size)
-        for k, b in blocks.items():
-            if k in self.offsets:
-                off = self.offsets[k]
-                x[off:off + b.size] = b.ravel()
-        return x
+        return self.ket_space.flatten(blocks)
 
     def unflatten(self, x: np.ndarray) -> Dict[Key2, np.ndarray]:
-        out = {}
-        for k in self.psi_keys:
-            dl, dr = self.shapes[k]
-            off = self.offsets[k]
-            out[k] = x[off:off + dl * dr].reshape(dl, dr)
-        return out
+        return self.ket_space.unflatten(x)
 
     # ------------------------------------------------------------------
-    def matvec_np(self, x: np.ndarray) -> np.ndarray:
-        psi = self.unflatten(x)
-        sig = {k: np.zeros(self.shapes[k]) for k in self.psi_keys}
+    def matvec_blocks(self, psi: Dict[Key2, np.ndarray]
+                      ) -> Dict[Key2, np.ndarray]:
+        sig = {k: np.zeros(self.bra_space.shapes[k])
+               for k in self.bra_space.keys}
         for (m, lk, pk, rk, ok) in self.triples:
             sig[ok] += self.LW[m][lk] @ psi[pk] @ self.RW[m][rk].T
-        return self.flatten(sig)
+        return sig
+
+    def matvec_np(self, x: np.ndarray) -> np.ndarray:
+        psi = self.ket_space.unflatten(x)
+        return self.bra_space.flatten(self.matvec_blocks(psi))
 
     def diagonal(self) -> np.ndarray:
+        assert not self.mixed
         diag = {k: np.zeros(self.shapes[k]) for k in self.psi_keys}
         for m, lw in self.LW.items():
             rw = self.RW.get(m)
@@ -201,35 +242,39 @@ class EffectiveHamiltonian2:
                 lb = lw.get((qL, qL))
                 rb = rw.get((qR, qR))
                 if lb is not None and rb is not None:
-                    diag[(qL, qR)] += np.diag(lb)[:, None] * np.diag(rb)[None, :]
+                    diag[(qL, qR)] += np.diag(lb)[:, None] * \
+                        np.diag(rb)[None, :]
         return self.flatten(diag)
 
     # ------------------------------------------------------------------
-    def initial_guess(self, tensor_l=None, tensor_r=None
+    def initial_guess(self, tensor_l=None, tensor_r=None, use_bra=False
                       ) -> Dict[Key2, np.ndarray]:
         """psi from contracting MPS tensors at t, t+1 into the fused bases.
         tensor_l/tensor_r override the site tensors (per-root centers for
         state-averaged sweeps, MultiMPS analog)."""
-        g, target = self.g, self.target
-        mps = self.me.ket
+        g = self.g
+        mps = self.me.bra if use_bra else self.me.ket
+        space = self.bra_space if use_bra else self.ket_space
+        target = mps.info.target
         Tl = tensor_l if tensor_l is not None else mps.tensors[self.t]
         Tr = tensor_r if tensor_r is not None else mps.tensors[self.t + 1]
-        psi = {k: np.zeros(self.shapes[k]) for k in self.psi_keys}
-        # index right blocks by left bond quantum
+        psi = {k: np.zeros(space.shapes[k]) for k in space.keys}
         rby: Dict[QN, List] = {}
         for (qm, qp, qr2), b in Tr.blocks.items():
             rby.setdefault(qm, []).append((qp, qr2, b))
         for (ql, qp, qm), bl in Tl.blocks.items():
             qL = g.add(ql, qp)
-            if g.sub(target, qL) not in self.fr.maps:
+            if g.sub(target, qL) not in space.fr.maps:
                 continue
             for (qp2, qr2, br) in rby.get(qm, []):
                 qR = g.sub(target, qL)
                 qc2 = g.sub(target, qr2)
                 try:
-                    lo, dl, dp = self.fl.sub_offset(qL, ql, qp)
-                    ro, dp2, db = self.fr.sub_offset(qR, qp2, qc2)
+                    lo, dl, dp = space.fl.sub_offset(qL, ql, qp)
+                    ro, dp2, db = space.fr.sub_offset(qR, qp2, qc2)
                 except KeyError:
+                    continue
+                if (qL, qR) not in psi:
                     continue
                 mat = np.einsum("lpm,mqr->lpqr", bl, br, optimize=True)
                 dl_, dp_, dq_, dr_ = mat.shape

@@ -176,3 +176,53 @@ class DMRGDriver:
         """reference pyblock2/driver/core.py:4988"""
         s = self._last_dmrg
         return s.energies, s.discarded_weights
+
+    # ------------------------------------------------------------------
+    def get_identity_mpo(self, template: MPO) -> MPO:
+        from ..dmrg.linear import identity_mpo
+        return identity_mpo(template)
+
+    def compress_mps(self, ket: MPS, bond_dim: int, template_mpo: MPO,
+                     n_sweeps: int = 8, seed: int = 4321) -> Tuple[MPS, float]:
+        """|x> ~ |ket> at smaller bond dimension
+        (reference pyblock2/driver/core.py:6300)."""
+        from ..dmrg.linear import Linear, identity_mpo
+        bra = self.get_random_mps(bond_dim, target=ket.info.target, seed=seed)
+        lin = Linear(bra, [(identity_mpo(template_mpo), ket)])
+        nrm = lin.solve(bond_dim, n_sweeps=n_sweeps)
+        return bra, nrm
+
+    def multiply(self, mpo: MPO, ket: MPS, bond_dim: int,
+                 n_sweeps: int = 8, seed: int = 4321) -> Tuple[MPS, float]:
+        """|x> ~ MPO|ket> (reference pyblock2/driver/core.py:6506)."""
+        from ..dmrg.linear import Linear
+        bra = self.get_random_mps(bond_dim, target=ket.info.target, seed=seed)
+        lin = Linear(bra, [(mpo, ket)])
+        nrm = lin.solve(bond_dim, n_sweeps=n_sweeps)
+        return bra, nrm
+
+    def addition(self, a: MPS, b: MPS, template_mpo: MPO, bond_dim: int,
+                 coeffs: Tuple[float, float] = (1.0, 1.0),
+                 n_sweeps: int = 8, seed: int = 4321) -> Tuple[MPS, float]:
+        """|x> ~ ca|a> + cb|b> (reference pyblock2/driver/core.py:6702)."""
+        from ..dmrg.linear import Linear, identity_mpo
+        imp = identity_mpo(template_mpo)
+        bra = self.get_random_mps(bond_dim, target=a.info.target, seed=seed)
+        lin = Linear(bra, [(imp, a), (imp, b)], coeffs=list(coeffs))
+        nrm = lin.solve(bond_dim, n_sweeps=n_sweeps)
+        return bra, nrm
+
+    def expectation(self, bra: MPS, mpo: MPO, ket: MPS) -> float:
+        """<bra|MPO|ket> (reference pyblock2/driver/core.py:6840)."""
+        from ..dmrg.expect import mpo_expectation
+        return mpo_expectation(mpo, ket, bra=bra)
+
+    def get_npdm(self, ket: MPS, pdm_type: int = 1):
+        """1PDM / 2PDM (reference pyblock2/driver/core.py:5504)."""
+        from ..dmrg.expect import pdm1, pdm2_spatial
+        if pdm_type == 1:
+            return pdm1(ket, orb_sym=self.orb_sym)
+        elif pdm_type == 2:
+            return pdm2_spatial(ket, orb_sym=self.orb_sym,
+                                assume_singlet=self.spin == 0)
+        raise NotImplementedError(f"pdm order {pdm_type}")
