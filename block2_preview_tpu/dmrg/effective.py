@@ -108,6 +108,24 @@ class EffectiveHamiltonian2:
         assert 0 <= t < L - 1
         self.mixed = bra is not ket
 
+        # dtype: complex if MPO entries or environments are complex
+        dt = np.float64
+        for w in (mpo.tensors[t], mpo.tensors[t + 1]):
+            for blk in w.values():
+                dt = np.result_type(dt, blk.dtype)
+        for env in (me.left_envs[t], me.right_envs[t + 2]):
+            if env:
+                for bm in env.values():
+                    for b in bm.blocks.values():
+                        dt = np.result_type(dt, b.dtype)
+                        break
+                    break
+        for T in (ket.tensors[t], ket.tensors[t + 1]):
+            for b in T.blocks.values():
+                dt = np.result_type(dt, b.dtype)
+                break
+        self.dtype = dt
+
         flk, frk = _fused_bases(ket, t, self.target)
         self.ket_space = _Space(g, flk, frk, self.target)
         if self.mixed:
@@ -162,7 +180,8 @@ class EffectiveHamiltonian2:
                     dm = LW.setdefault(m, {})
                     blk = dm.get((qLb, qLk))
                     if blk is None:
-                        blk = np.zeros((flb.info[qLb], flk.info[qLk]))
+                        blk = np.zeros((flb.info[qLb], flk.info[qLk]),
+                                       dtype=self.dtype)
                         dm[(qLb, qLk)] = blk
                     blk[ob:ob + dlb, ok:ok + dlk] += coef * eb
 
@@ -185,7 +204,8 @@ class EffectiveHamiltonian2:
                     dm = RW.setdefault(m, {})
                     blk = dm.get((qRb, qRk))
                     if blk is None:
-                        blk = np.zeros((frb.info[qRb], frk.info[qRk]))
+                        blk = np.zeros((frb.info[qRb], frk.info[qRk]),
+                                       dtype=self.dtype)
                         dm[(qRb, qRk)] = blk
                     blk[ob:ob + dbb, ok:ok + dbk] += coef * eb
         self.LW, self.RW = LW, RW
@@ -213,7 +233,10 @@ class EffectiveHamiltonian2:
 
     # ------------------------------------------------------------------
     def flatten(self, blocks: Dict[Key2, np.ndarray]) -> np.ndarray:
-        return self.ket_space.flatten(blocks)
+        dt = np.result_type(np.float64,
+                            *(b.dtype for b in blocks.values())) \
+            if blocks else np.float64
+        return self.ket_space.flatten(blocks, dtype=dt)
 
     def unflatten(self, x: np.ndarray) -> Dict[Key2, np.ndarray]:
         return self.ket_space.unflatten(x)
@@ -221,7 +244,10 @@ class EffectiveHamiltonian2:
     # ------------------------------------------------------------------
     def matvec_blocks(self, psi: Dict[Key2, np.ndarray]
                       ) -> Dict[Key2, np.ndarray]:
-        sig = {k: np.zeros(self.bra_space.shapes[k])
+        dt = np.result_type(self.dtype,
+                            *(b.dtype for b in psi.values())) \
+            if psi else self.dtype
+        sig = {k: np.zeros(self.bra_space.shapes[k], dtype=dt)
                for k in self.bra_space.keys}
         for (m, lk, pk, rk, ok) in self.triples:
             sig[ok] += self.LW[m][lk] @ psi[pk] @ self.RW[m][rk].T
@@ -229,11 +255,14 @@ class EffectiveHamiltonian2:
 
     def matvec_np(self, x: np.ndarray) -> np.ndarray:
         psi = self.ket_space.unflatten(x)
-        return self.bra_space.flatten(self.matvec_blocks(psi))
+        return self.bra_space.flatten(self.matvec_blocks(psi),
+                                      dtype=np.result_type(self.dtype,
+                                                           x.dtype))
 
     def diagonal(self) -> np.ndarray:
         assert not self.mixed
         diag = {k: np.zeros(self.shapes[k]) for k in self.psi_keys}
+        # (diagonal of a Hermitian operator is real)
         for m, lw in self.LW.items():
             rw = self.RW.get(m)
             if rw is None:
@@ -242,9 +271,19 @@ class EffectiveHamiltonian2:
                 lb = lw.get((qL, qL))
                 rb = rw.get((qR, qR))
                 if lb is not None and rb is not None:
-                    diag[(qL, qR)] += np.diag(lb)[:, None] * \
-                        np.diag(rb)[None, :]
+                    diag[(qL, qR)] += (np.diag(lb)[:, None]
+                                       * np.diag(rb)[None, :]).real
         return self.flatten(diag)
+
+    # ------------------------------------------------------------------
+    def expect(self, psi: Dict[Key2, np.ndarray]) -> float:
+        """<psi|H_eff|psi> (reference effective_hamiltonian.hpp:721)."""
+        sig = self.matvec_blocks(psi)
+        val = 0.0
+        for k, b in psi.items():
+            if k in sig:
+                val += np.vdot(b, sig[k])
+        return val
 
     # ------------------------------------------------------------------
     def initial_guess(self, tensor_l=None, tensor_r=None, use_bra=False
@@ -258,7 +297,12 @@ class EffectiveHamiltonian2:
         target = mps.info.target
         Tl = tensor_l if tensor_l is not None else mps.tensors[self.t]
         Tr = tensor_r if tensor_r is not None else mps.tensors[self.t + 1]
-        psi = {k: np.zeros(space.shapes[k]) for k in space.keys}
+        dt = np.float64
+        for T in (Tl, Tr):
+            for b in T.blocks.values():
+                dt = np.result_type(dt, b.dtype)
+                break
+        psi = {k: np.zeros(space.shapes[k], dtype=dt) for k in space.keys}
         rby: Dict[QN, List] = {}
         for (qm, qp, qr2), b in Tr.blocks.items():
             rby.setdefault(qm, []).append((qp, qr2, b))
@@ -281,3 +325,169 @@ class EffectiveHamiltonian2:
                 psi[(qL, qR)][lo:lo + dl_ * dp_, ro:ro + dq_ * dr_] += \
                     mat.reshape(dl_ * dp_, dq_ * dr_)
         return psi
+
+
+class EffectiveHamiltonian1:
+    """One-site effective Hamiltonian at site s, built from E_L[s], W_s, and
+    E_R[s+1] — the back-evolution operator of two-site TDVP (reference
+    src/dmrg/sweep_algorithm_td.hpp:794 TimeEvolution 1-site steps) and the
+    single-site update operator of 1-site DMRG.
+
+    The one-site center tensor C[(qm, qp, qr2)] is viewed as a matrix between
+    the fused (bond_s (x) site_s) basis and the complemented bond_{s+1} basis;
+    sigma = sum_m LW[m] psi RW[m]^T with RW[m] = E_R[s+1][m] relabeled.
+    """
+
+    def __init__(self, me: MovingEnvironment, s: int):
+        self.me = me
+        self.s = s
+        mpo, ket = me.mpo, me.ket
+        g = mpo.group
+        self.g = g
+        self.target = ket.info.target
+        env_l = me.left_envs[s]
+        env_r = me.right_envs[s + 1]
+        assert env_l is not None and env_r is not None
+
+        bond_l = ket.bond_info_at(s)
+        # bond s+1 basis from the current center tensor's right index
+        dims: Dict[QN, int] = {}
+        for (ql, qp, qr), b in ket.tensors[s].blocks.items():
+            dims[qr] = max(dims.get(qr, 0), b.shape[2])
+        bond_r = StateInfo(g, dims)
+        comp_r = StateInfo(g, {g.sub(self.target, q): d
+                               for q, d in bond_r.items()})
+        self.fl = FusedBasis(g, bond_l, ket.info.site_infos[s])
+        self.comp_r = comp_r
+
+        # dtype
+        dt = np.float64
+        for w in (mpo.tensors[s],):
+            for blk in w.values():
+                dt = np.result_type(dt, blk.dtype)
+        for env in (env_l, env_r):
+            for bm in env.values():
+                for b in bm.blocks.values():
+                    dt = np.result_type(dt, b.dtype)
+                    break
+                break
+        for b in ket.tensors[s].blocks.values():
+            dt = np.result_type(dt, b.dtype)
+            break
+        self.dtype = dt
+
+        # sector keys
+        self.keys: List[Key2] = []
+        for qL in self.fl.sectors():
+            qc = g.sub(self.target, qL)
+            if qc in comp_r:
+                self.keys.append((qL, qc))
+        self.keys.sort()
+        self.shapes = {(qL, qc): (self.fl.info[qL], comp_r[qc])
+                       for (qL, qc) in self.keys}
+        self.offsets: Dict[Key2, int] = {}
+        off = 0
+        for k in self.keys:
+            self.offsets[k] = off
+            dl, dr = self.shapes[k]
+            off += dl * dr
+        self.size = off
+
+        active_l = {qL for (qL, _) in self.keys}
+        active_r = {qc for (_, qc) in self.keys}
+        quanta = mpo.site_quanta[s]
+
+        LW: Dict[int, Dict[Key2, np.ndarray]] = {}
+        for (i, m), w in mpo.tensors[s].items():
+            if i not in env_l:
+                continue
+            e = env_l[i]
+            for pb, pk in zip(*np.nonzero(w)):
+                coef = w[pb, pk]
+                qpb, qpk = quanta[int(pb)], quanta[int(pk)]
+                for (qlb, qlk), eb in e.blocks.items():
+                    qLb, qLk = g.add(qlb, qpb), g.add(qlk, qpk)
+                    if qLb not in active_l or qLk not in active_l:
+                        continue
+                    ob, dlb, _ = self.fl.sub_offset(qLb, qlb, qpb)
+                    ok, dlk, _ = self.fl.sub_offset(qLk, qlk, qpk)
+                    dm = LW.setdefault(m, {})
+                    blk = dm.get((qLb, qLk))
+                    if blk is None:
+                        blk = np.zeros((self.fl.info[qLb],
+                                        self.fl.info[qLk]), dtype=self.dtype)
+                        dm[(qLb, qLk)] = blk
+                    blk[ob:ob + dlb, ok:ok + dlk] += coef * eb
+        RW: Dict[int, Dict[Key2, np.ndarray]] = {}
+        for m, bm in env_r.items():
+            dm = RW.setdefault(m, {})
+            for (qb2, qk2), eb in bm.blocks.items():
+                qcb = g.sub(self.target, qb2)
+                qck = g.sub(self.target, qk2)
+                if qcb in active_r and qck in active_r:
+                    dm[(qcb, qck)] = eb
+        self.LW, self.RW = LW, RW
+
+        triples = []
+        for m, lw in self.LW.items():
+            rw = self.RW.get(m)
+            if rw is None:
+                continue
+            for (qLb, qLk) in lw:
+                qck = g.sub(self.target, qLk)
+                qcb = g.sub(self.target, qLb)
+                if (qLk, qck) in self.offsets and (qcb, qck) in rw \
+                        and (qLb, qcb) in self.offsets:
+                    triples.append((m, (qLb, qLk), (qLk, qck),
+                                    (qcb, qck), (qLb, qcb)))
+        self.triples = triples
+
+    # ------------------------------------------------------------------
+    def tensor_to_vec(self, T) -> np.ndarray:
+        g = self.g
+        dt = self.dtype
+        for b in T.blocks.values():
+            dt = np.result_type(dt, b.dtype)
+        x = np.zeros(self.size, dtype=dt)
+        for (ql, qp, qr2), b in T.blocks.items():
+            qL = g.add(ql, qp)
+            qc = g.sub(self.target, qr2)
+            key = (qL, qc)
+            if key not in self.offsets:
+                continue
+            off = self.offsets[key]
+            dl, dr = self.shapes[key]
+            so, d1, d2 = self.fl.sub_offset(qL, ql, qp)
+            mat = b.reshape(-1, b.shape[2])
+            base = off + so * dr
+            x[base:base + mat.size] = mat.ravel()
+        return x
+
+    def vec_to_tensor(self, x: np.ndarray):
+        from .mps import MPSTensor
+        g = self.g
+        blocks = {}
+        for key in self.keys:
+            qL, qc = key
+            off = self.offsets[key]
+            dl, dr = self.shapes[key]
+            mat = x[off:off + dl * dr].reshape(dl, dr)
+            qr2 = g.sub(self.target, qc)
+            for (ql, qp, so, d1, d2) in self.fl.maps[qL]:
+                blocks[(ql, qp, qr2)] = \
+                    mat[so:so + d1 * d2, :].reshape(d1, d2, dr)
+        return MPSTensor(g, blocks)
+
+    def matvec_np(self, x: np.ndarray) -> np.ndarray:
+        psi = {}
+        for k in self.keys:
+            dl, dr = self.shapes[k]
+            off = self.offsets[k]
+            psi[k] = x[off:off + dl * dr].reshape(dl, dr)
+        dt = np.result_type(self.dtype, x.dtype)
+        out = np.zeros(self.size, dtype=dt)
+        for (m, lk, pk, rk, ok) in self.triples:
+            contrib = self.LW[m][lk] @ psi[pk] @ self.RW[m][rk].T
+            off = self.offsets[ok]
+            out[off:off + contrib.size] += contrib.ravel()
+        return out

@@ -35,14 +35,19 @@ class MovingEnvironment:
         L = mpo.n_sites
         self.left_envs: List[Optional[EnvMap]] = [None] * (L + 1)
         self.right_envs: List[Optional[EnvMap]] = [None] * (L + 1)
-        # boundaries
+        # boundaries; the final MPO bond symbol may carry a nonzero charge
+        # (site MPOs like c/c+ change particle number: bra target differs)
         vac = self.g.zero
         lb = BlockMatrix(self.g, vac)
         lb.add_block(vac, vac, np.ones((1, 1)))
         self.left_envs[0] = {0: lb}
-        target = ket.info.target
-        rb = BlockMatrix(self.g, vac)
-        rb.add_block(target, target, np.ones((1, 1)))
+        tk = ket.info.target
+        tb = self.bra.info.target
+        dq_fin = mpo.bond_dqs[L][0]
+        assert self.g.add(tk, dq_fin) == tb or self.bra is ket, \
+            "bra target must equal ket target + MPO charge"
+        rb = BlockMatrix(self.g, self.g.sub(tb, tk))
+        rb.add_block(tb, tk, np.ones((1, 1)))
         self.right_envs[L] = {0: rb}
 
     # ------------------------------------------------------------------
@@ -118,7 +123,7 @@ class MovingEnvironment:
             if o not in env:
                 continue
             e = env[o]
-            dq_i = g.neg(self.mpo.bond_dqs[t][i])
+            dq_i = g.sub(self.mpo.bond_dqs[-1][0], self.mpo.bond_dqs[t][i])
             for pb, pk in zip(*np.nonzero(w)):
                 coef = w[pb, pk]
                 for (qb2, qk2), eb in e.blocks.items():

@@ -1,0 +1,99 @@
+"""Dynamical Green's functions via correction-vector (DDMRG++) sweeps.
+
+TPU-native counterpart of block2's Linear driver in EquationTypes::
+GreensFunction mode (reference src/dmrg/sweep_algorithm.hpp:3239,
+src/dmrg/effective_functions.hpp:40 EffectiveFunctions::greens_function,
+local solves via GCROT/IDRS/LSQR in iterative_matrix_functions.hpp) and the
+pyblock2 application driver (reference pyblock2/gfdmrg.py:490,
+DMRGDriver.greens_function core.py:6923).
+
+Computes X(z) = <b| (z - H)^{-1} |b'> by optimizing a complex correction
+vector MPS |x> with local GMRES solves of (z - H_eff) x_loc = b_loc.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.symmetry import QN
+from ..ops.krylov import gmres_solve
+from .effective import EffectiveHamiltonian2, Key2
+from .environment import MovingEnvironment
+from .linear import identity_mpo
+from .mpo import MPO
+from .mps import MPS, MPSTensor
+from .sweep import split_backward_update, split_forward_update
+
+
+class GreensFunction:
+    def __init__(self, h_mpo: MPO, b: MPS, x: MPS, iprint: int = 0):
+        """h_mpo: Hamiltonian MPO (const_e included in the solve);
+        b: right-hand-side MPS (e.g. c_j|gs> from a site-MPO multiply);
+        x: initial correction-vector MPS (same target as b)."""
+        self.h_mpo = h_mpo
+        self.b = b
+        self.x = x
+        self.iprint = iprint
+        self.me_h = MovingEnvironment(h_mpo, x)
+        self.me_h.init_environments()
+        self.me_b = MovingEnvironment(identity_mpo(h_mpo), b, bra=x)
+        self.me_b.init_environments()
+
+    def update_two_dot(self, t: int, forward: bool, z: complex,
+                       bond_dim: int, solve_tol: float) -> Tuple[complex, int]:
+        eff_h = EffectiveHamiltonian2(self.me_h, t)
+        eff_b = EffectiveHamiltonian2(self.me_b, t)
+        psi_b = eff_b.initial_guess()
+        rhs_blocks = eff_b.matvec_blocks(psi_b)
+        rhs = eff_h.ket_space.flatten(rhs_blocks, dtype=np.complex128)
+        const = self.h_mpo.const_e
+
+        def amat(v):
+            return z * v - (eff_h.matvec_np(v) + const * v)
+
+        x0 = eff_h.flatten(eff_h.initial_guess()).astype(np.complex128)
+        sol, nmv = gmres_solve(amat, rhs, x0=x0, tol=solve_tol)
+        val = complex(np.vdot(rhs, sol))
+        blocks = eff_h.unflatten(sol)
+        if forward:
+            a_t, centers, dw = split_forward_update(
+                eff_h, [blocks], [1.0], 0.0, bond_dim)
+            self.x.tensors[t] = a_t
+            self.x.tensors[t + 1] = centers[0]
+            for me in (self.me_h, self.me_b):
+                me.update_left(t)
+                me.invalidate_right(t + 1)
+        else:
+            b_t, centers, dw = split_backward_update(
+                eff_h, [blocks], [1.0], 0.0, bond_dim)
+            self.x.tensors[t + 1] = b_t
+            self.x.tensors[t] = centers[0]
+            for me in (self.me_h, self.me_b):
+                me.update_right(t + 1)
+                me.invalidate_left(t)
+        return val, nmv
+
+    def solve(self, omega: float, eta: float, bond_dim: int,
+              n_sweeps: int = 6, tol: float = 1e-8,
+              solve_tol: float = 1e-10) -> complex:
+        """X(omega + i*eta) = <b|(omega + i*eta - H)^{-1}|b>."""
+        z = omega + 1j * eta
+        L = self.h_mpo.n_sites
+        forward = True
+        last = None
+        val = 0.0j
+        for isw in range(n_sweeps):
+            rng = range(L - 1) if forward else range(L - 2, -1, -1)
+            for t in rng:
+                val, nmv = self.update_two_dot(t, forward, z, bond_dim,
+                                               solve_tol)
+            if self.iprint >= 1:
+                print(f"gf sweep {isw:3d} {'F' if forward else 'B'} "
+                      f"G = {val.real:+.10f} {val.imag:+.10f}i")
+            if last is not None and abs(val - last) < tol * max(abs(val), 1.0):
+                break
+            last = val
+            forward = not forward
+        return val

@@ -38,7 +38,7 @@ def _average_rho_forward(eff: EffectiveHamiltonian2,
     for w_r, psi in zip(weights, psis):
         for (qL, qR), b in psi.items():
             acc = rho.get(qL)
-            contrib = w_r * (b @ b.T)
+            contrib = w_r * (b @ b.conj().T)
             rho[qL] = contrib if acc is None else acc + contrib
     if noise > 0:
         rho_n: Dict[QN, np.ndarray] = {}
@@ -54,9 +54,9 @@ def _average_rho_forward(eff: EffectiveHamiltonian2,
                     xs[key] = xs.get(key, 0) + x
                 for (qLb, _), x in xs.items():
                     acc = rho_n.get(qLb)
-                    contrib = w_r * (x @ x.T)
+                    contrib = w_r * (x @ x.conj().T)
                     rho_n[qLb] = contrib if acc is None else acc + contrib
-        tr = sum(np.trace(v) for v in rho_n.values())
+        tr = sum(np.trace(v).real for v in rho_n.values())
         if tr > 1e-30:
             for q, v in rho_n.items():
                 blk = rho.get(q)
@@ -74,7 +74,7 @@ def _average_rho_backward(eff: EffectiveHamiltonian2,
     for w_r, psi in zip(weights, psis):
         for (qL, qR), b in psi.items():
             acc = rho.get(qR)
-            contrib = w_r * (b.T @ b)
+            contrib = w_r * (b.T @ b.conj())
             rho[qR] = contrib if acc is None else acc + contrib
     if noise > 0:
         rho_n: Dict[QN, np.ndarray] = {}
@@ -90,9 +90,9 @@ def _average_rho_backward(eff: EffectiveHamiltonian2,
                     xs[key] = xs.get(key, 0) + x
                 for (_, qRb), x in xs.items():
                     acc = rho_n.get(qRb)
-                    contrib = w_r * (x.T @ x)
+                    contrib = w_r * (x.T @ x.conj())
                     rho_n[qRb] = contrib if acc is None else acc + contrib
-        tr = sum(np.trace(v) for v in rho_n.values())
+        tr = sum(np.trace(v).real for v in rho_n.values())
         if tr > 1e-30:
             for q, v in rho_n.items():
                 blk = rho.get(q)
@@ -125,6 +125,67 @@ def _decimate(rho: Dict[QN, np.ndarray], bond_dim: int,
         rot[q] = vecs[q][:, idxs]
     dw = max(0.0, (total - kept_w) / max(total, 1e-300))
     return rot, dw
+
+
+
+
+def split_forward_update(eff, psis, weights, noise, bond_dim):
+    """Decimate psis into a left-canonical site tensor + per-root center
+    tensors at t+1.  Returns (A_tensor, center_tensors, dw)."""
+    g, target = eff.g, eff.target
+    rho = _average_rho_forward(eff, psis, weights, noise)
+    rot, dw = _decimate(rho, bond_dim)
+    a_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
+    for qL, vmat in rot.items():
+        for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
+            a_blocks[(ql, qp, qL)] = vmat[off:off + dl * dp, :] \
+                .reshape(dl, dp, -1)
+    centers = []
+    for psi in psis:
+        c_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
+        for qL, vmat in rot.items():
+            qR = g.sub(target, qL)
+            pk = (qL, qR)
+            if pk not in psi:
+                continue
+            mmat = vmat.conj().T @ psi[pk]
+            for (qp, qc2, off, dp, db) in eff.fr.maps[qR]:
+                qr2 = g.sub(target, qc2)
+                blk = mmat[:, off:off + dp * db].reshape(-1, dp, db)
+                key = (qL, qp, qr2)
+                c_blocks[key] = c_blocks.get(key, 0) + blk
+        centers.append(MPSTensor(g, c_blocks))
+    return MPSTensor(g, a_blocks), centers, dw
+
+
+def split_backward_update(eff, psis, weights, noise, bond_dim):
+    """Decimate psis into a right-canonical site tensor at t+1 + per-root
+    center tensors at t.  Returns (B_tensor, center_tensors, dw)."""
+    g, target = eff.g, eff.target
+    rho = _average_rho_backward(eff, psis, weights, noise)
+    rot, dw = _decimate(rho, bond_dim)
+    b_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
+    for qR, vmat in rot.items():
+        ql_new = g.sub(target, qR)
+        for (qp, qc2, off, dp, db) in eff.fr.maps[qR]:
+            qr2 = g.sub(target, qc2)
+            b_blocks[(ql_new, qp, qr2)] = vmat[off:off + dp * db, :] \
+                .T.reshape(-1, dp, db)
+    centers = []
+    for psi in psis:
+        c_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
+        for qR, vmat in rot.items():
+            qL = g.sub(target, qR)
+            pk = (qL, qR)
+            if pk not in psi:
+                continue
+            mmat = psi[pk] @ vmat.conj()
+            for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
+                blk = mmat[off:off + dl * dp, :].reshape(dl, dp, -1)
+                key = (ql, qp, qL)
+                c_blocks[key] = c_blocks.get(key, 0) + blk
+        centers.append(MPSTensor(g, c_blocks))
+    return MPSTensor(g, b_blocks), centers, dw
 
 
 @dataclass
@@ -212,59 +273,18 @@ class DMRG:
         g, target = eff.g, eff.target
 
         if forward:
-            rho = _average_rho_forward(eff, psis, self.weights, noise)
-            rot, dw = _decimate(rho, bond_dim)
-            a_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
-            for qL, vmat in rot.items():
-                for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
-                    a_blocks[(ql, qp, qL)] = vmat[off:off + dl * dp, :] \
-                        .reshape(dl, dp, -1)
-            centers = []
-            for psi in psis:
-                c_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
-                for qL, vmat in rot.items():
-                    qR = g.sub(target, qL)
-                    pk = (qL, qR)
-                    if pk not in psi:
-                        continue
-                    mmat = vmat.T @ psi[pk]
-                    for (qp, qc2, off, dp, db) in eff.fr.maps[qR]:
-                        qr2 = g.sub(target, qc2)
-                        blk = mmat[:, off:off + dp * db].reshape(-1, dp, db)
-                        key = (qL, qp, qr2)
-                        c_blocks[key] = c_blocks.get(key, 0) + blk
-                centers.append(MPSTensor(g, c_blocks))
-            self.mps.tensors[t] = MPSTensor(g, a_blocks)
+            a_tensor, centers, dw = split_forward_update(
+                eff, psis, self.weights, noise, bond_dim)
+            self.mps.tensors[t] = a_tensor
             self.mps.tensors[t + 1] = centers[0]
             self._center_tensors = centers
             self._center_pos = t + 1
             self.me.update_left(t)
             self.me.invalidate_right(t + 1)
         else:
-            rho = _average_rho_backward(eff, psis, self.weights, noise)
-            rot, dw = _decimate(rho, bond_dim)
-            b_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
-            for qR, vmat in rot.items():
-                ql_new = g.sub(target, qR)
-                for (qp, qc2, off, dp, db) in eff.fr.maps[qR]:
-                    qr2 = g.sub(target, qc2)
-                    b_blocks[(ql_new, qp, qr2)] = vmat[off:off + dp * db, :] \
-                        .T.reshape(-1, dp, db)
-            centers = []
-            for psi in psis:
-                c_blocks = {}
-                for qR, vmat in rot.items():
-                    qL = g.sub(target, qR)
-                    pk = (qL, qR)
-                    if pk not in psi:
-                        continue
-                    mmat = psi[pk] @ vmat
-                    for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
-                        blk = mmat[off:off + dl * dp, :].reshape(dl, dp, -1)
-                        key = (ql, qp, qL)
-                        c_blocks[key] = c_blocks.get(key, 0) + blk
-                centers.append(MPSTensor(g, c_blocks))
-            self.mps.tensors[t + 1] = MPSTensor(g, b_blocks)
+            b_tensor, centers, dw = split_backward_update(
+                eff, psis, self.weights, noise, bond_dim)
+            self.mps.tensors[t + 1] = b_tensor
             self.mps.tensors[t] = centers[0]
             self._center_tensors = centers
             self._center_pos = t

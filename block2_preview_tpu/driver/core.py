@@ -141,6 +141,14 @@ class DMRGDriver:
         return build_mpo(tt, site_pgs=fcidump.orb_sym,
                          const_e=fcidump.const_e + shift)
 
+    def get_site_mpo(self, op: str, site: int) -> MPO:
+        """MPO for a single elementary operator c/d/C/D at a site
+        (reference pyblock2/driver/core.py:4029)."""
+        tt = build_term_table(self.n_sites,
+                              [(1.0, [(site, _OP_LETTERS[op])])],
+                              group=self.group)
+        return build_mpo(tt, site_pgs=self.orb_sym)
+
     def get_mpo(self, term_table: TermTable, const_e: float = 0.0) -> MPO:
         """MPO from an ExprBuilder term table
         (reference pyblock2/driver/core.py:3885)."""

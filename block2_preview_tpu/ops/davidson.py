@@ -37,19 +37,20 @@ def davidson(matvec: Callable[[np.ndarray], np.ndarray],
     nroots = min(n_roots, n)
     max_sub = min(max(max_subspace, nroots * 4), n)
 
+    dtype = np.result_type(np.float64, x0.dtype, diag.dtype)
     basis: List[np.ndarray] = []
     sigmas: List[np.ndarray] = []
     for i in range(min(x0.shape[1], nroots)):
-        v = x0[:, i].astype(np.float64)
+        v = x0[:, i].astype(dtype)
         for b in basis:
-            v -= (b @ v) * b
+            v -= np.vdot(b, v) * b
         nv = np.linalg.norm(v)
         if nv > 1e-12:
             basis.append(v / nv)
     while len(basis) < nroots:
-        v = np.random.RandomState(len(basis)).standard_normal(n)
+        v = np.random.RandomState(len(basis)).standard_normal(n).astype(dtype)
         for b in basis:
-            v -= (b @ v) * b
+            v -= np.vdot(b, v) * b
         basis.append(v / np.linalg.norm(v))
 
     nmv = 0
@@ -62,13 +63,13 @@ def davidson(matvec: Callable[[np.ndarray], np.ndarray],
         m = len(basis)
         B = np.stack(basis, axis=1)
         S = np.stack(sigmas, axis=1)
-        h = B.T @ S
-        h = 0.5 * (h + h.T)
+        h = B.conj().T @ S
+        h = 0.5 * (h + h.conj().T)
         w, c = np.linalg.eigh(h)
-        theta = w[:nroots]
+        theta = w[:nroots].real
         ritz = B @ c[:, :nroots]
         rvecs = S @ c[:, :nroots] - ritz * theta[None, :]
-        rnorms2 = (rvecs ** 2).sum(axis=0)
+        rnorms2 = (np.abs(rvecs) ** 2).sum(axis=0)
         if iprint:
             print(f"  dav it {it:3d} m {m:3d} e {theta[0]:.12f} "
                   f"|r|^2 {rnorms2.max():.3e}")
@@ -81,7 +82,7 @@ def davidson(matvec: Callable[[np.ndarray], np.ndarray],
             # re-orthonormalize
             for i in range(1, len(basis)):
                 for j in range(i):
-                    basis[i] -= (basis[j] @ basis[i]) * basis[j]
+                    basis[i] -= np.vdot(basis[j], basis[i]) * basis[j]
                 basis[i] /= np.linalg.norm(basis[i])
             sigmas = []
             continue
@@ -95,16 +96,17 @@ def davidson(matvec: Callable[[np.ndarray], np.ndarray],
                              np.sign(denom + 1e-30) * 1e-12, denom)
             v = rvecs[:, i] / denom
             for b in basis:
-                v -= (b @ v) * b
+                v -= np.vdot(b, v) * b
             nv = np.linalg.norm(v)
             if nv > 1e-10:
                 basis.append(v / nv)
                 added = True
         if not added:
             # stuck: random expansion
-            v = np.random.RandomState(1000 + it).standard_normal(n)
+            v = np.random.RandomState(1000 + it).standard_normal(n) \
+                .astype(dtype)
             for b in basis:
-                v -= (b @ v) * b
+                v -= np.vdot(b, v) * b
             nv = np.linalg.norm(v)
             if nv < 1e-12:
                 break

@@ -1,0 +1,94 @@
+"""Time evolution and Green's function tests (mirrors reference
+unit_test/test_real_te_h10_sto6g.cpp, test_itddmrg_h8_sto6g.cpp,
+test_green_func_h10_sto6g.cpp tiers, on the small 6-orbital system)."""
+
+import numpy as np
+import pytest
+
+from block2_preview_tpu.core.expr import build_term_table, qc_term_table
+from block2_preview_tpu.core.blocks import MPSTensor
+from block2_preview_tpu.dmrg import expect as EXP
+from block2_preview_tpu.dmrg.greens import GreensFunction
+from block2_preview_tpu.dmrg.linear import Linear
+from block2_preview_tpu.dmrg.mps import MPS
+from block2_preview_tpu.dmrg.sweep import DMRG
+from block2_preview_tpu.dmrg.tdvp import TimeEvolution
+from block2_preview_tpu.driver.core import DMRGDriver
+from block2_preview_tpu.ops.local_ops import DES_A
+from block2_preview_tpu.utils.ed import sector_indices, term_table_to_sparse
+
+
+@pytest.fixture(scope="module")
+def driver6():
+    drv = DMRGDriver()
+    fd = drv.read_fcidump("/root/reference/tests/driver/FCIDUMP")
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    gs = drv.get_random_mps(150, seed=2)
+    d = DMRG(mpo, gs, iprint=0)
+    e0 = d.solve([150], [1e-4, 1e-5, 0], [1e-10], n_sweeps=6, tol=1e-11)
+    return drv, fd, mpo, gs, e0
+
+
+def _copy_mps(m):
+    return MPS(m.info, [MPSTensor(t.group,
+                                  {k: v.copy() for k, v in t.blocks.items()})
+                        for t in m.tensors], m.center)
+
+
+def test_imaginary_time_relaxation(driver6):
+    drv, fd, mpo, gs, e0 = driver6
+    mps = drv.get_random_mps(100, seed=5)
+    te = TimeEvolution(mpo, mps, imaginary=True, iprint=0)
+    te.solve(10, 0.5, 100)
+    e_early = te.energies[-1]
+    te.solve(10, 0.5, 100)
+    e_late = te.energies[-1]
+    # monotone approach to the ground state
+    assert e_late <= e_early + 1e-10
+    assert e_late - e0 < 0.02
+
+
+def test_real_time_phase(driver6):
+    drv, fd, mpo, gs, e0 = driver6
+    mps = _copy_mps(gs)
+    ket0 = _copy_mps(gs)
+    te = TimeEvolution(mpo, mps, imaginary=False, iprint=0)
+    dt, nst = 0.05, 3
+    te.solve(nst, dt, 150)
+    g = mps.group
+    env = {(g.zero, g.zero): np.ones((1, 1))}
+    for t in range(mps.n_sites):
+        env = EXP._transfer_identity(env, ket0.tensors[t], mps.tensors[t])
+    tgt = mps.info.target
+    ov = env[(tgt, tgt)][0, 0]
+    phase = np.exp(-1j * (e0 - mpo.const_e) * nst * dt)
+    assert abs(abs(ov) - 1.0) < 1e-8      # norm conservation
+    assert abs(ov - phase) < 1e-7          # exact eigenstate phase
+
+
+def test_greens_function_vs_ed(driver6):
+    drv, fd, mpo, gs, e0 = driver6
+    smpo = drv.get_site_mpo("d", 0)
+    tb = (fd.n_elec - 1, fd.twos - 1, int(fd.orb_sym[0]))
+    bmps = drv.get_random_mps(150, target=tb, seed=11)
+    Linear(bmps, [(smpo, gs)]).solve(150, n_sweeps=6)
+    x = drv.get_random_mps(150, target=tb, seed=13)
+    gf = GreensFunction(mpo, bmps, x, iprint=0)
+    omega, eta = e0 - 0.4, 0.05
+    G = gf.solve(omega, eta, 150, n_sweeps=6)
+
+    tt = qc_term_table(fd)
+    h = term_table_to_sparse(tt)
+    ixN = sector_indices(fd.n_sites, fd.n_elec, fd.twos)
+    ixM = sector_indices(fd.n_sites, fd.n_elec - 1, fd.twos - 1)
+    hN = h[np.ix_(ixN, ixN)].toarray() + fd.const_e * np.eye(len(ixN))
+    hM = h[np.ix_(ixM, ixM)].toarray() + fd.const_e * np.eye(len(ixM))
+    wN, vN = np.linalg.eigh(hN)
+    gsv = vN[:, 0]
+    ct = build_term_table(fd.n_sites, [(1.0, [(0, DES_A)])])
+    cmat = term_table_to_sparse(ct).toarray()
+    bvec = cmat[np.ix_(ixM, ixN)] @ gsv
+    zz = omega + 1j * eta
+    Ged = bvec.conj() @ np.linalg.solve(
+        zz * np.eye(len(ixM)) - hM, bvec)
+    assert abs(G - Ged) < 5e-5
