@@ -21,7 +21,8 @@ import numpy as np
 from ..core.fcidump import FCIDUMP
 from ..core.symmetry import QN, SymmetryGroup, SZ_GROUP
 from ..ops.local_ops import (CRE_A, CRE_B, DES_A, DES_B, ELEM_MATS, IDENT,
-                             PARITY, OpRegistry)
+                             PARITY, OpRegistry, SGF_SITE, SZ_SITE,
+                             SiteBasisSpec)
 
 RawTerm = Tuple[float, Sequence[Tuple[int, int]]]   # (coeff, [(site, elem), ...])
 
@@ -47,7 +48,7 @@ class TermTable:
     def deduplicate(self, cutoff: float = 0.0) -> "TermTable":
         """Merge identical operator strings, drop negligible coefficients."""
         rows, inv = np.unique(self.opids, axis=0, return_inverse=True)
-        coeffs = np.zeros(len(rows))
+        coeffs = np.zeros(len(rows), dtype=self.coeffs.dtype)
         np.add.at(coeffs, inv.ravel(), self.coeffs)
         keep = np.abs(coeffs) > cutoff
         return TermTable(self.group, self.n_sites, coeffs[keep], rows[keep],
@@ -65,7 +66,9 @@ def _inversion_parity(seq: Sequence[int]) -> int:
 
 
 def term_row(n_sites: int, coeff: float, ops: Sequence[Tuple[int, int]],
-             registry: OpRegistry) -> Optional[Tuple[float, np.ndarray]]:
+             registry: OpRegistry,
+             spec: SiteBasisSpec = SZ_SITE
+             ) -> Optional[Tuple[float, np.ndarray]]:
     """Normal-order one raw operator string by site, folding the Jordan-Wigner
     string into per-site matrices.
 
@@ -92,11 +95,11 @@ def term_row(n_sites: int, coeff: float, ops: Sequence[Tuple[int, int]],
             row[t] = OpRegistry.ID_Z if (n_right & 1) else OpRegistry.ID_I
             continue
         n_right -= len(here)
-        mat = ELEM_MATS[here[0]]
+        mat = spec.elem_mats[here[0]]
         for e in here[1:]:
-            mat = mat @ ELEM_MATS[e]
+            mat = mat @ spec.elem_mats[e]
         if n_right & 1:
-            mat = mat @ PARITY
+            mat = mat @ spec.parity
         if not np.any(mat):
             return None
         row[t] = registry.register(mat)
@@ -106,15 +109,16 @@ def term_row(n_sites: int, coeff: float, ops: Sequence[Tuple[int, int]],
 def build_term_table(n_sites: int, raw_terms: Iterable[RawTerm],
                      group: SymmetryGroup = SZ_GROUP,
                      registry: Optional[OpRegistry] = None,
-                     cutoff: float = 1e-14) -> TermTable:
+                     cutoff: float = 1e-14,
+                     spec: SiteBasisSpec = SZ_SITE) -> TermTable:
     """Normal-order raw operator strings into a packed, deduplicated table."""
-    registry = registry or OpRegistry()
+    registry = registry or spec.registry()
     coeff_rows: List[float] = []
     opid_rows: List[np.ndarray] = []
     for coeff, ops in raw_terms:
         if coeff == 0.0:
             continue
-        res = term_row(n_sites, coeff, ops, registry)
+        res = term_row(n_sites, coeff, ops, registry, spec=spec)
         if res is None:
             continue
         coeff_rows.append(res[0])
@@ -193,4 +197,24 @@ def spin_square_raw_terms(n_sites: int) -> List[RawTerm]:
                                 (j, CRE_B), (j, DES_A)]))
             terms.append((0.5, [(i, CRE_B), (i, DES_A),
                                 (j, CRE_A), (j, DES_B)]))
+    return terms
+
+
+def qc_raw_terms_sgf(fd: FCIDUMP, cutoff: float = 1e-13) -> List[RawTerm]:
+    """Spin-orbital (SGF / general-spin) expansion: one site per spin
+    orbital, integrals used directly (reference GHF/DHF workflows,
+    qc_hamiltonian.hpp:1059 HamiltonianQC<SGF>)."""
+    terms: List[RawTerm] = []
+    h1e, g2e = fd.h1e, fd.g2e
+    for i, j in zip(*np.nonzero(np.abs(h1e) > cutoff)):
+        terms.append((complex(h1e[i, j]) if np.iscomplexobj(h1e)
+                      else float(h1e[i, j]),
+                      [(int(i), CRE_A), (int(j), DES_A)]))
+    idx = np.nonzero(np.abs(g2e) > cutoff)
+    vals = g2e[idx]
+    for (i, j, k, l), val in zip(zip(*idx), vals):
+        terms.append((0.5 * (complex(val) if np.iscomplexobj(g2e)
+                             else float(val)),
+                      [(int(i), CRE_A), (int(k), CRE_A),
+                       (int(l), DES_A), (int(j), DES_A)]))
     return terms

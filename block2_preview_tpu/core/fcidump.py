@@ -27,6 +27,8 @@ class FCIDUMP:
     orb_sym: Optional[np.ndarray] = None   # XOR labels, shape (n_sites,)
     const_e: float = 0.0
     uhf: bool = False
+    general: bool = False             # IGENERAL=1: no integral permutations
+    tgeneral: bool = False            # ITGENERAL=1: non-symmetric h1e
     # RHF: h1e (K,K), g2e (K,K,K,K) in chemist notation (ij|kl)
     # UHF: h1e = (ha, hb); g2e = (vaa, vbb, vab)
     h1e: object = None
@@ -59,6 +61,8 @@ class FCIDUMP:
         ms2 = get_int("MS2", 0)
         iuhf = get_int("IUHF", 0)
         isym = get_int("ISYM", 1)
+        igeneral = get_int("IGENERAL", 0)
+        itgeneral = get_int("ITGENERAL", 0)
         mo = re.search(r"ORBSYM\s*=\s*([0-9,\s]+)", header, re.I)
         if mo is not None:
             orbsym = np.array([int(x) for x in mo.group(1).replace(",", " ").split()],
@@ -68,11 +72,27 @@ class FCIDUMP:
             orb_sym = np.zeros(norb, dtype=np.int64)
 
         fd = FCIDUMP(n_sites=norb, n_elec=nelec, twos=ms2,
-                     ipg=max(isym - 1, 0), orb_sym=orb_sym, uhf=bool(iuhf))
+                     ipg=max(isym - 1, 0), orb_sym=orb_sym, uhf=bool(iuhf),
+                     general=bool(igeneral), tgeneral=bool(itgeneral))
+
+        # detect complex data: "re im i j k l" lines (DHF relativistic)
+        is_complex = False
+        for line in body.split("\n")[:50]:
+            parts = line.split()
+            if len(parts) == 6:
+                try:
+                    float(parts[1])
+                    if "." in parts[1] or "e" in parts[1].lower() \
+                            or "d" in parts[1].lower():
+                        is_complex = True
+                except ValueError:
+                    pass
+                break
+        dtype = np.complex128 if is_complex else np.float64
 
         if not fd.uhf:
-            h1e = np.zeros((norb, norb))
-            g2e = np.zeros((norb, norb, norb, norb))
+            h1e = np.zeros((norb, norb), dtype=dtype)
+            g2e = np.zeros((norb, norb, norb, norb), dtype=dtype)
         else:
             ha = np.zeros((norb, norb))
             hb = np.zeros((norb, norb))
@@ -102,17 +122,27 @@ class FCIDUMP:
             parts = line.split()
             if len(parts) < 5:
                 continue
-            val = float(parts[0].replace("D", "E").replace("d", "e"))
-            i, j, k, l = (int(x) for x in parts[1:5])
+            if is_complex and len(parts) >= 6:
+                val = complex(float(parts[0].replace("D", "E")),
+                              float(parts[1].replace("D", "E")))
+                i, j, k, l = (int(x) for x in parts[2:6])
+            else:
+                val = float(parts[0].replace("D", "E").replace("d", "e"))
+                i, j, k, l = (int(x) for x in parts[1:5])
             if i == 0 and j == 0 and k == 0 and l == 0:
                 if val != 0.0:
-                    fd.const_e = val
+                    fd.const_e = val.real if is_complex else val
                 section += 1
                 continue
             if not fd.uhf:
                 if k == 0 and l == 0:
-                    h1e[i - 1, j - 1] = val
-                    h1e[j - 1, i - 1] = val
+                    if fd.tgeneral:
+                        h1e[i - 1, j - 1] = val
+                    else:
+                        h1e[i - 1, j - 1] = val
+                        h1e[j - 1, i - 1] = val
+                elif fd.general:
+                    g2e[i - 1, j - 1, k - 1, l - 1] = val
                 else:
                     set_g2e_8fold(g2e, i - 1, j - 1, k - 1, l - 1, val)
             else:

@@ -491,3 +491,194 @@ class EffectiveHamiltonian1:
             off = self.offsets[ok]
             out[off:off + contrib.size] += contrib.ravel()
         return out
+
+    def diagonal(self) -> np.ndarray:
+        diag = np.zeros(self.size)
+        for m, lw in self.LW.items():
+            rw = self.RW.get(m)
+            if rw is None:
+                continue
+            for (qL, qc) in self.keys:
+                lb = lw.get((qL, qL))
+                rb = rw.get((qc, qc))
+                if lb is not None and rb is not None:
+                    off = self.offsets[(qL, qc)]
+                    dl, dr = self.shapes[(qL, qc)]
+                    d2 = (np.diag(lb)[:, None] * np.diag(rb)[None, :]).real
+                    diag[off:off + dl * dr] += d2.ravel()
+        return diag
+
+
+class EffectiveHamiltonian1R:
+    """Right-fused one-site effective Hamiltonian at site s: the center is a
+    matrix between the plain bond_s basis and the fused (site_s (x) bond_{s+1})
+    complement basis (block2's FuseTypes::FuseR, reference
+    effective_hamiltonian.hpp:42).  Used by backward one-site sweeps."""
+
+    def __init__(self, me: MovingEnvironment, s: int):
+        self.me = me
+        self.s = s
+        mpo, ket = me.mpo, me.ket
+        g = mpo.group
+        self.g = g
+        self.target = ket.info.target
+        env_l = me.left_envs[s]
+        env_r = me.right_envs[s + 1]
+        assert env_l is not None and env_r is not None
+
+        bond_l = ket.bond_info_at(s)
+        dims: Dict[QN, int] = {}
+        for (ql, qp, qr), b in ket.tensors[s].blocks.items():
+            dims[qr] = max(dims.get(qr, 0), b.shape[2])
+        bond_r = StateInfo(g, dims)
+        comp_r = StateInfo(g, {g.sub(self.target, q): d
+                               for q, d in bond_r.items()})
+        self.bond_l = bond_l
+        self.fr = FusedBasis(g, ket.info.site_infos[s], comp_r)
+
+        dt = np.float64
+        for blk in mpo.tensors[s].values():
+            dt = np.result_type(dt, blk.dtype)
+        for env in (env_l, env_r):
+            for bm in env.values():
+                for b in bm.blocks.values():
+                    dt = np.result_type(dt, b.dtype)
+                    break
+                break
+        for b in ket.tensors[s].blocks.values():
+            dt = np.result_type(dt, b.dtype)
+            break
+        self.dtype = dt
+
+        self.keys: List[Key2] = []
+        for qb in bond_l:
+            qRf = g.sub(self.target, qb)
+            if qRf in self.fr.maps:
+                self.keys.append((qb, qRf))
+        self.keys.sort()
+        self.shapes = {(qb, qRf): (bond_l[qb], self.fr.info[qRf])
+                       for (qb, qRf) in self.keys}
+        self.offsets: Dict[Key2, int] = {}
+        off = 0
+        for k in self.keys:
+            self.offsets[k] = off
+            dl, dr = self.shapes[k]
+            off += dl * dr
+        self.size = off
+
+        active_l = {qb for (qb, _) in self.keys}
+        active_r = {qRf for (_, qRf) in self.keys}
+        quanta = mpo.site_quanta[s]
+
+        # LW[m] = E_L[s][m] directly
+        LW: Dict[int, Dict[Key2, np.ndarray]] = {}
+        for m, bm in env_l.items():
+            dm = LW.setdefault(m, {})
+            for (qb2, qk2), eb in bm.blocks.items():
+                if qb2 in active_l and qk2 in active_l:
+                    dm[(qb2, qk2)] = eb
+        # RW[m] assembled from W_s and E_R[s+1] on the right-fused basis
+        RW: Dict[int, Dict[Key2, np.ndarray]] = {}
+        for (m, o), w in mpo.tensors[s].items():
+            if o not in env_r:
+                continue
+            e = env_r[o]
+            for pb, pk in zip(*np.nonzero(w)):
+                coef = w[pb, pk]
+                qpb, qpk = quanta[int(pb)], quanta[int(pk)]
+                for (qb2, qk2), eb in e.blocks.items():
+                    qRb = g.add(qpb, g.sub(self.target, qb2))
+                    qRk = g.add(qpk, g.sub(self.target, qk2))
+                    if qRb not in active_r or qRk not in active_r:
+                        continue
+                    ob, _, dbb = self.fr.sub_offset(
+                        qRb, qpb, g.sub(self.target, qb2))
+                    ok, _, dbk = self.fr.sub_offset(
+                        qRk, qpk, g.sub(self.target, qk2))
+                    dm = RW.setdefault(m, {})
+                    blk = dm.get((qRb, qRk))
+                    if blk is None:
+                        blk = np.zeros((self.fr.info[qRb],
+                                        self.fr.info[qRk]), dtype=self.dtype)
+                        dm[(qRb, qRk)] = blk
+                    blk[ob:ob + dbb, ok:ok + dbk] += coef * eb
+        self.LW, self.RW = LW, RW
+
+        triples = []
+        for m, lw in self.LW.items():
+            rw = self.RW.get(m)
+            if rw is None:
+                continue
+            for (qbb, qbk) in lw:
+                qRk = g.sub(self.target, qbk)
+                qRb = g.sub(self.target, qbb)
+                if (qbk, qRk) in self.offsets and (qRb, qRk) in rw \
+                        and (qbb, qRb) in self.offsets:
+                    triples.append((m, (qbb, qbk), (qbk, qRk),
+                                    (qRb, qRk), (qbb, qRb)))
+        self.triples = triples
+
+    # ------------------------------------------------------------------
+    def tensor_to_vec(self, T) -> np.ndarray:
+        g = self.g
+        dt = self.dtype
+        for b in T.blocks.values():
+            dt = np.result_type(dt, b.dtype)
+        x = np.zeros(self.size, dtype=dt)
+        for (ql, qp, qr2), b in T.blocks.items():
+            qRf = g.add(qp, g.sub(self.target, qr2))
+            key = (ql, qRf)
+            if key not in self.offsets:
+                continue
+            off = self.offsets[key]
+            dl, dr = self.shapes[key]
+            so, d1, d2 = self.fr.sub_offset(qRf, qp, g.sub(self.target, qr2))
+            mat = b.reshape(b.shape[0], -1)   # (dl, dp*dr2)
+            x_view = x[off:off + dl * dr].reshape(dl, dr)
+            x_view[:, so:so + d1 * d2] = mat
+        return x
+
+    def vec_to_tensor(self, x: np.ndarray):
+        from .mps import MPSTensor
+        g = self.g
+        blocks = {}
+        for key in self.keys:
+            qb, qRf = key
+            off = self.offsets[key]
+            dl, dr = self.shapes[key]
+            mat = x[off:off + dl * dr].reshape(dl, dr)
+            for (qp, qc2, so, d1, d2) in self.fr.maps[qRf]:
+                qr2 = g.sub(self.target, qc2)
+                blocks[(qb, qp, qr2)] = \
+                    mat[:, so:so + d1 * d2].reshape(dl, d1, d2)
+        return MPSTensor(g, blocks)
+
+    def matvec_np(self, x: np.ndarray) -> np.ndarray:
+        psi = {}
+        for k in self.keys:
+            dl, dr = self.shapes[k]
+            off = self.offsets[k]
+            psi[k] = x[off:off + dl * dr].reshape(dl, dr)
+        dt = np.result_type(self.dtype, x.dtype)
+        out = np.zeros(self.size, dtype=dt)
+        for (m, lk, pk, rk, ok) in self.triples:
+            contrib = self.LW[m][lk] @ psi[pk] @ self.RW[m][rk].T
+            off = self.offsets[ok]
+            out[off:off + contrib.size] += contrib.ravel()
+        return out
+
+    def diagonal(self) -> np.ndarray:
+        diag = np.zeros(self.size)
+        for m, lw in self.LW.items():
+            rw = self.RW.get(m)
+            if rw is None:
+                continue
+            for (qb, qRf) in self.keys:
+                lb = lw.get((qb, qb))
+                rb = rw.get((qRf, qRf))
+                if lb is not None and rb is not None:
+                    off = self.offsets[(qb, qRf)]
+                    dl, dr = self.shapes[(qb, qRf)]
+                    d2 = (np.diag(lb)[:, None] * np.diag(rb)[None, :]).real
+                    diag[off:off + dl * dr] += d2.ravel()
+        return diag

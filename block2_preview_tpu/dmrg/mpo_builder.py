@@ -36,7 +36,8 @@ from scipy.sparse.csgraph import maximum_bipartite_matching
 
 from ..core.expr import TermTable
 from ..core.symmetry import QN, SymmetryGroup
-from ..ops.local_ops import OpRegistry, op_delta_quantum, sz_site_basis_quanta
+from ..ops.local_ops import (OpRegistry, SZ_SITE, SiteBasisSpec,
+                             op_delta_quantum, sz_site_basis_quanta)
 from .mpo import MPO
 
 
@@ -74,13 +75,14 @@ def _min_vertex_cover(nl: int, nr: int, el: np.ndarray, er: np.ndarray
 
 
 def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
-              const_e: float = 0.0, cutoff: float = 1e-14) -> MPO:
+              const_e: float = 0.0, cutoff: float = 1e-14,
+              spec: SiteBasisSpec = SZ_SITE) -> MPO:
     """Compile a TermTable into a bipartite-compressed numeric MPO."""
     g = tt.group
     L = tt.n_sites
     if site_pgs is None:
         site_pgs = [0] * L
-    site_quanta = [sz_site_basis_quanta(int(p)) for p in site_pgs]
+    site_quanta = [spec.quanta(int(p)) for p in site_pgs]
 
     # delta quantum per (registry id, site)
     nreg = len(tt.registry)
@@ -122,7 +124,7 @@ def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
         # unique edges with summed coefficients
         e_pack = lk_idx * nr + rk_idx
         e_vals, e_inv = np.unique(e_pack, return_inverse=True)
-        e_coeff = np.zeros(len(e_vals))
+        e_coeff = np.zeros(len(e_vals), dtype=tt.coeffs.dtype)
         np.add.at(e_coeff, e_inv.ravel(), act_coeff)
         e_l = e_vals // nr
         e_r = e_vals % nr
@@ -176,7 +178,7 @@ def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
                 assert dqs[o_sym] == dq_here, "inconsistent suffix charge"
             if abs(e_coeff[ei]) > cutoff:
                 add_entry(int(lk_sym[li]), o_sym,
-                          float(e_coeff[ei]) * tt.registry[int(lk_op[li])])
+                          e_coeff[ei] * tt.registry[int(lk_op[li])])
 
         tensors.append(w)
         bond_dqs.append([d if d is not None else g.zero for d in dqs])
@@ -195,7 +197,7 @@ def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
             pack = lt_sym * nr + lt_rk
             uvals, ufirst, uinv = np.unique(pack, return_index=True,
                                             return_inverse=True)
-            ucoeff = np.zeros(len(uvals))
+            ucoeff = np.zeros(len(uvals), dtype=tt.coeffs.dtype)
             np.add.at(ucoeff, uinv.ravel(), lt_coeff)
             keep = np.abs(ucoeff) > cutoff
             nxt_rows.append(lt_rows[ufirst[keep]])

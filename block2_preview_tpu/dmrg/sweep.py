@@ -23,7 +23,9 @@ import numpy as np
 
 from ..core.symmetry import QN
 from ..ops.davidson import davidson
-from .effective import EffectiveHamiltonian2, Key2
+from .effective import (EffectiveHamiltonian1,
+                        EffectiveHamiltonian1R,
+                        EffectiveHamiltonian2, Key2)
 from .environment import MovingEnvironment
 from .mpo import MPO
 from .mps import MPS, MPSTensor
@@ -292,15 +294,159 @@ class DMRG:
             self.me.invalidate_left(t)
         return energies, dw, nmv
 
+
+    # ------------------------------------------------------------------
+    def update_one_dot(self, t: int, forward: bool, bond_dim: int,
+                       noise: float, dav_thrd: float
+                       ) -> Tuple[np.ndarray, float, int]:
+        """Single-site update (reference sweep_algorithm.hpp:183
+        update_one_dot); the center tensor sits at site t."""
+        assert self.n_roots == 1, "one-site mode: single root only"
+        g = self.mpo.group
+        L = self.mpo.n_sites
+        target = self.mps.info.target
+        if forward:
+            eff = EffectiveHamiltonian1(self.me, t)
+        else:
+            eff = EffectiveHamiltonian1R(self.me, t)
+        x0 = eff.tensor_to_vec(self.mps.tensors[t])
+        nrm = np.linalg.norm(x0)
+        if nrm < 1e-14:
+            x0 = np.random.RandomState(42).standard_normal(eff.size)
+        x0 = x0 / np.linalg.norm(x0)
+        diag = eff.diagonal()
+        w, v, nmv = davidson(eff.matvec_np, diag, x0, conv_thrd=dav_thrd)
+        energy = np.array([float(w[0]) + self.mpo.const_e])
+        psi = {}
+        for k in eff.keys:
+            dl, dr = eff.shapes[k]
+            off = eff.offsets[k]
+            psi[k] = v[off:off + dl * dr, 0].reshape(dl, dr)
+
+        last = (t == L - 1) if forward else (t == 0)
+        if last:
+            self.mps.tensors[t] = eff.vec_to_tensor(v[:, 0])
+            self._center_tensors = [self.mps.tensors[t]]
+            self._center_pos = t
+            return energy, 0.0, nmv
+
+        if forward:
+            # rho over the fused (bond x site) rows
+            rho: Dict[QN, np.ndarray] = {}
+            for (qL, qc), b in psi.items():
+                acc = rho.get(qL)
+                rho[qL] = b @ b.conj().T if acc is None \
+                    else acc + b @ b.conj().T
+            if noise > 0:
+                rho_n: Dict[QN, np.ndarray] = {}
+                for m, lw in eff.LW.items():
+                    for (qLb, qLk), blk in lw.items():
+                        pk = (qLk, g.sub(target, qLk))
+                        if pk not in psi:
+                            continue
+                        x = blk @ psi[pk]
+                        acc = rho_n.get(qLb)
+                        rho_n[qLb] = x @ x.conj().T if acc is None \
+                            else acc + x @ x.conj().T
+                tr = sum(np.trace(vv).real for vv in rho_n.values())
+                if tr > 1e-30:
+                    for q, vv in rho_n.items():
+                        acc = rho.get(q)
+                        add = (noise / tr) * vv
+                        rho[q] = add if acc is None else acc + add
+            rot, dw = _decimate(rho, bond_dim)
+            a_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
+            for qL, vmat in rot.items():
+                for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
+                    a_blocks[(ql, qp, qL)] = vmat[off:off + dl * dp, :] \
+                        .reshape(dl, dp, -1)
+            self.mps.tensors[t] = MPSTensor(g, a_blocks)
+            # absorb the residual into site t+1
+            t_old = self.mps.tensors[t + 1]
+            nb = {}
+            for qL, vmat in rot.items():
+                pk = (qL, g.sub(target, qL))
+                if pk not in psi:
+                    continue
+                mmat = vmat.conj().T @ psi[pk]   # (k, d_old)
+                for (ql2, qp2, qr2), b in t_old.blocks.items():
+                    if ql2 != qL:
+                        continue
+                    nb[(ql2, qp2, qr2)] = np.einsum(
+                        "kd,dpr->kpr", mmat, b, optimize=True)
+            self.mps.tensors[t + 1] = MPSTensor(g, nb)
+            self._center_tensors = [self.mps.tensors[t + 1]]
+            self._center_pos = t + 1
+            self.me.update_left(t)
+            self.me.invalidate_right(t + 1)
+        else:
+            rho = {}
+            for (qb, qRf), b in psi.items():
+                acc = rho.get(qRf)
+                rho[qRf] = b.T @ b.conj() if acc is None \
+                    else acc + b.T @ b.conj()
+            if noise > 0:
+                rho_n = {}
+                for m, rw in eff.RW.items():
+                    for (qRb, qRk), blk in rw.items():
+                        pk = (g.sub(target, qRk), qRk)
+                        if pk not in psi:
+                            continue
+                        x = psi[pk] @ blk.T
+                        acc = rho_n.get(qRb)
+                        rho_n[qRb] = x.T @ x.conj() if acc is None \
+                            else acc + x.T @ x.conj()
+                tr = sum(np.trace(vv).real for vv in rho_n.values())
+                if tr > 1e-30:
+                    for q, vv in rho_n.items():
+                        acc = rho.get(q)
+                        add = (noise / tr) * vv
+                        rho[q] = add if acc is None else acc + add
+            rot, dw = _decimate(rho, bond_dim)
+            b_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
+            for qRf, vmat in rot.items():
+                ql_new = g.sub(target, qRf)
+                for (qp, qc2, off, dp, db) in eff.fr.maps[qRf]:
+                    qr2 = g.sub(target, qc2)
+                    b_blocks[(ql_new, qp, qr2)] = \
+                        vmat[off:off + dp * db, :].T.reshape(-1, dp, db)
+            self.mps.tensors[t] = MPSTensor(g, b_blocks)
+            t_old = self.mps.tensors[t - 1]
+            nb = {}
+            for qRf, vmat in rot.items():
+                qb = g.sub(target, qRf)
+                pk = (qb, qRf)
+                if pk not in psi:
+                    continue
+                mmat = psi[pk] @ vmat.conj()   # (d_old, k)
+                for (ql2, qp2, qr2), b in t_old.blocks.items():
+                    if qr2 != qb:
+                        continue
+                    nb[(ql2, qp2, qr2)] = np.einsum(
+                        "lpd,dk->lpk", b, mmat, optimize=True)
+            self.mps.tensors[t - 1] = MPSTensor(g, nb)
+            self._center_tensors = [self.mps.tensors[t - 1]]
+            self._center_pos = t - 1
+            self.me.update_right(t)
+            self.me.invalidate_left(t - 1)
+        return energy, dw, nmv
+
     # ------------------------------------------------------------------
     def sweep(self, forward: bool, bond_dim: int, noise: float,
-              dav_thrd: float) -> SweepResults:
+              dav_thrd: float, dot: int = 2) -> SweepResults:
         L = self.mpo.n_sites
         res = SweepResults()
-        rng = range(L - 1) if forward else range(L - 2, -1, -1)
+        if dot == 1:
+            rng = range(L) if forward else range(L - 1, -1, -1)
+        else:
+            rng = range(L - 1) if forward else range(L - 2, -1, -1)
         for t in rng:
-            e, dw, nmv = self.update_two_dot(t, forward, bond_dim, noise,
-                                             dav_thrd)
+            if dot == 1:
+                e, dw, nmv = self.update_one_dot(t, forward, bond_dim, noise,
+                                                 dav_thrd)
+            else:
+                e, dw, nmv = self.update_two_dot(t, forward, bond_dim, noise,
+                                                 dav_thrd)
             res.energies.append(e)
             res.discarded.append(dw)
             res.n_matvec += nmv
@@ -312,7 +458,8 @@ class DMRG:
 
     def solve(self, bond_dims: List[int], noises: List[float],
               dav_thrds: List[float], n_sweeps: int = 20,
-              tol: float = 1e-8) -> float:
+              tol: float = 1e-8,
+              twodot_to_onedot: Optional[int] = None) -> float:
         def sched(lst, i):
             return lst[min(i, len(lst) - 1)]
 
@@ -322,7 +469,9 @@ class DMRG:
             bd = sched(bond_dims, isw)
             ns = sched(noises, isw)
             dt = sched(dav_thrds, isw)
-            res = self.sweep(forward, bd, ns, dt)
+            dot = 2 if (twodot_to_onedot is None
+                        or isw < twodot_to_onedot) else 1
+            res = self.sweep(forward, bd, ns, dt, dot=dot)
             earr = np.stack(res.energies)
             e = earr.min(axis=0)
             dw = max(res.discarded) if res.discarded else 0.0

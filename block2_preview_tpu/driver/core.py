@@ -13,9 +13,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..core.expr import TermTable, build_term_table, qc_raw_terms, qc_term_table
+from ..core.expr import (TermTable, build_term_table, qc_raw_terms,
+                         qc_raw_terms_sgf, qc_term_table)
 from ..core.fcidump import FCIDUMP
-from ..core.symmetry import SZ_GROUP, SymmetryGroup
+from ..core.symmetry import SGF_GROUP, SZ_GROUP, SymmetryGroup
+from ..ops.local_ops import SGF_SITE, SZ_SITE
 from ..dmrg.mpo import MPO
 from ..dmrg.mpo_builder import build_mpo
 from ..dmrg.mps import MPS, MPSInfo
@@ -24,8 +26,9 @@ from ..ops.local_ops import CRE_A, CRE_B, DES_A, DES_B
 
 
 class SymmetryTypes(enum.Enum):
-    """Mirrors reference pyblock2/driver/core.py:25 (subset; SU2/SGF later)."""
+    """Mirrors reference pyblock2/driver/core.py:25 (subset; SU2 later)."""
     SZ = "sz"
+    SGF = "sgf"
 
 
 # SZ-mode operator letters, matching pyblock2's ExprBuilder vocabulary
@@ -71,7 +74,12 @@ class DMRGDriver:
                  n_threads: Optional[int] = None,
                  scratch: str = "./tmp"):
         self.symm_type = symm_type
-        self.group: SymmetryGroup = SZ_GROUP
+        if symm_type == SymmetryTypes.SGF:
+            self.group: SymmetryGroup = SGF_GROUP
+            self.spec = SGF_SITE
+        else:
+            self.group = SZ_GROUP
+            self.spec = SZ_SITE
         self.scratch = scratch
         self.n_sites = 0
         self.n_elec = 0
@@ -93,6 +101,8 @@ class DMRGDriver:
 
     @property
     def target(self):
+        if self.symm_type == SymmetryTypes.SGF:
+            return (self.n_elec, self.pg_irrep)
         return (self.n_elec, self.spin, self.pg_irrep)
 
     # ------------------------------------------------------------------
@@ -113,9 +123,14 @@ class DMRGDriver:
                               twos=self.spin, ipg=self.pg_irrep,
                               orb_sym=self.orb_sym, const_e=ecore,
                               h1e=np.asarray(h1e), g2e=np.asarray(g2e))
-        tt = qc_term_table(fcidump, group=self.group, cutoff=cutoff)
+        if self.symm_type == SymmetryTypes.SGF:
+            raw = qc_raw_terms_sgf(fcidump, cutoff)
+            tt = build_term_table(fcidump.n_sites, raw, group=self.group,
+                                  spec=self.spec)
+        else:
+            tt = qc_term_table(fcidump, group=self.group, cutoff=cutoff)
         return build_mpo(tt, site_pgs=fcidump.orb_sym,
-                         const_e=fcidump.const_e)
+                         const_e=fcidump.const_e, spec=self.spec)
 
     def get_spin_square_mpo(self) -> MPO:
         """S^2 MPO (reference pyblock2/driver/core.py:4073)."""
@@ -161,8 +176,7 @@ class DMRGDriver:
     def get_random_mps(self, bond_dim: int = 250, target=None,
                        seed: int = 1234) -> MPS:
         """reference pyblock2/driver/core.py:7494"""
-        from ..ops.local_ops import sz_site_basis_quanta
-        site_quanta = [sz_site_basis_quanta(int(p)) for p in self.orb_sym]
+        site_quanta = [self.spec.quanta(int(p)) for p in self.orb_sym]
         info = MPSInfo(self.group, site_quanta, target or self.target,
                        bond_dim)
         return MPS.random(info, seed=seed)

@@ -68,11 +68,11 @@ class OpRegistry:
     ID_I = 0
     ID_Z = 1
 
-    def __init__(self):
+    def __init__(self, ident: np.ndarray = None, parity: np.ndarray = None):
         self.mats: List[np.ndarray] = []
         self._index = {}
-        assert self.register(IDENT) == self.ID_I
-        assert self.register(PARITY) == self.ID_Z
+        assert self.register(IDENT if ident is None else ident) == self.ID_I
+        assert self.register(PARITY if parity is None else parity) == self.ID_Z
 
     def register(self, mat: np.ndarray) -> int:
         key = np.round(mat, 14).tobytes()
@@ -88,3 +88,48 @@ class OpRegistry:
 
     def __len__(self) -> int:
         return len(self.mats)
+
+
+# ----------------------------------------------------------------------
+# Site-basis specifications: each symmetry mode defines its local Hilbert
+# space, elementary operators, and JW parity operator (the analog of the
+# per-symmetry site bases in reference src/dmrg/general_hamiltonian.hpp).
+# ----------------------------------------------------------------------
+
+from dataclasses import dataclass
+from typing import Callable, Dict
+
+
+@dataclass(frozen=True)
+class SiteBasisSpec:
+    name: str
+    dim: int
+    elem_mats: Dict[int, np.ndarray]
+    ident: np.ndarray
+    parity: np.ndarray
+    quanta: Callable[[int], List[QN]]    # pg label -> basis quanta
+
+    def registry(self) -> OpRegistry:
+        return OpRegistry(self.ident, self.parity)
+
+
+SZ_SITE = SiteBasisSpec("sz", 4, ELEM_MATS, IDENT, PARITY,
+                        sz_site_basis_quanta)
+
+# SGF: one spin orbital per site, dim 2 (reference symmetry.hpp:591 SGLong;
+# used for general-spin / relativistic DHF runs)
+_SGF_C = np.zeros((2, 2)); _SGF_C[1, 0] = 1.0
+SGF_SITE = SiteBasisSpec(
+    "sgf", 2, {CRE_A: _SGF_C, DES_A: _SGF_C.T.copy()},
+    np.eye(2), np.diag([1.0, -1.0]),
+    lambda pg=0: [(0, 0), (1, pg)])
+
+# SGB: spin-1/2 site (no fermion signs) for Heisenberg-type models
+# (reference src/core/heisenberg.hpp:31); ops: S+ = code CRE_A, S- = DES_A,
+# 2*Sz = CRE_B code slot
+_SP = np.zeros((2, 2)); _SP[0, 1] = 1.0     # S+ |down> = |up>; basis up,down
+SGB_SPIN_HALF_SITE = SiteBasisSpec(
+    "sgb", 2, {CRE_A: _SP, DES_A: _SP.T.copy(),
+               CRE_B: np.diag([1.0, -1.0])},
+    np.eye(2), np.eye(2),
+    lambda pg=0: [(1,), (-1,)])

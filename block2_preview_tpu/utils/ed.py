@@ -23,9 +23,10 @@ from ..ops.local_ops import sz_site_basis_quanta
 
 
 def term_table_to_sparse(tt: TermTable) -> sp.csr_matrix:
-    """Full 4^L x 4^L many-body matrix. Only for small L (<= 8)."""
+    """Full d^L x d^L many-body matrix. Only for small systems."""
     L = tt.n_sites
-    dim = 4 ** L
+    d = tt.registry[0].shape[0]
+    dim = d ** L
     h = sp.csr_matrix((dim, dim))
     for coeff, row in zip(tt.coeffs, tt.opids):
         mats = [sp.csr_matrix(tt.registry[int(op)]) for op in row]
@@ -34,18 +35,23 @@ def term_table_to_sparse(tt: TermTable) -> sp.csr_matrix:
     return h
 
 
-def sector_indices(L: int, n_elec: int, twos: int) -> np.ndarray:
-    """Indices of product-basis states with given particle number and 2Sz.
-    Site-major basis ordering matches the kron order in term_table_to_sparse."""
-    quanta = sz_site_basis_quanta()
+def sector_indices(L: int, n_elec: int, twos: Optional[int] = None,
+                   quanta=None) -> np.ndarray:
+    """Indices of product-basis states with given particle number (and 2Sz
+    when tracked).  Site-major ordering matches term_table_to_sparse."""
+    quanta = quanta if quanta is not None else sz_site_basis_quanta()
     n_site = np.array([q[0] for q in quanta])
-    sz_site = np.array([q[1] for q in quanta])
     n_tot = np.zeros(1, dtype=np.int64)
-    sz_tot = np.zeros(1, dtype=np.int64)
+    if twos is not None and len(quanta[0]) > 2:
+        sz_site = np.array([q[1] for q in quanta])
+        sz_tot = np.zeros(1, dtype=np.int64)
+        for _ in range(L):
+            n_tot = (n_tot[:, None] + n_site[None, :]).ravel()
+            sz_tot = (sz_tot[:, None] + sz_site[None, :]).ravel()
+        return np.nonzero((n_tot == n_elec) & (sz_tot == twos))[0]
     for _ in range(L):
         n_tot = (n_tot[:, None] + n_site[None, :]).ravel()
-        sz_tot = (sz_tot[:, None] + sz_site[None, :]).ravel()
-    return np.nonzero((n_tot == n_elec) & (sz_tot == twos))[0]
+    return np.nonzero(n_tot == n_elec)[0]
 
 
 def ground_state_energy(tt: TermTable, n_elec: int, twos: int,
