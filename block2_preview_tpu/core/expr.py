@@ -155,10 +155,15 @@ def qc_raw_terms(fd: FCIDUMP, cutoff: float = 1e-13) -> List[RawTerm]:
         vba = vab.transpose(2, 3, 0, 1)
         v_sections = [(0, 0, 0.5, vaa), (1, 1, 0.5, vbb),
                       (0, 1, 0.5, vab), (1, 0, 0.5, vba)]
+    pg = None
+    if fd.orb_sym is not None and np.any(fd.orb_sym):
+        pg = np.asarray(fd.orb_sym, dtype=np.int64)
     for s in (0, 1):
         cre, des = spins[s]
         hh = h1[s]
         for i, j in zip(*np.nonzero(np.abs(hh) > cutoff)):
+            if pg is not None and (pg[i] ^ pg[j]) != 0:
+                continue
             terms.append((float(hh[i, j]), [(int(i), cre), (int(j), des)]))
     for s, t, w, v in v_sections:
         cre_s, des_s = spins[s]
@@ -166,6 +171,8 @@ def qc_raw_terms(fd: FCIDUMP, cutoff: float = 1e-13) -> List[RawTerm]:
         idx = np.nonzero(np.abs(v) > cutoff)
         vals = v[idx]
         for (i, j, k, l), val in zip(zip(*idx), vals):
+            if pg is not None and (pg[i] ^ pg[j] ^ pg[k] ^ pg[l]) != 0:
+                continue
             terms.append((w * float(val),
                           [(int(i), cre_s), (int(k), cre_t),
                            (int(l), des_t), (int(j), des_s)]))

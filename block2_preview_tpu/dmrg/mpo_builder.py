@@ -89,6 +89,11 @@ def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
     dq_table = [[op_delta_quantum(g, tt.registry[i], site_quanta[t])
                  for i in range(nreg)] for t in range(L)]
 
+    # 128-bit rolling suffix hashes: O(1) suffix-identity keys per bond,
+    # replacing lexicographic row sorts (required at Cr2 scale, ~12M terms)
+    from ..core.qc_terms_fast import row_hashes
+    sh1, sh2 = row_hashes(tt.opids)
+
     act_rows = np.arange(len(tt), dtype=np.int64)
     act_sym = np.zeros(len(tt), dtype=np.int64)
     act_coeff = tt.coeffs.copy()
@@ -108,11 +113,12 @@ def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
         lk_op = lk_vals % nreg
         nl = len(lk_vals)
 
-        # right keys: distinct suffixes
+        # right keys: distinct suffixes (by 128-bit hash)
         if t + 1 < L:
-            suffixes = np.ascontiguousarray(tt.opids[act_rows, t + 1:])
-            _, rk_first, rk_idx = np.unique(suffixes, axis=0,
-                                            return_index=True,
+            skey = np.ascontiguousarray(
+                np.stack([sh1[act_rows, t + 1], sh2[act_rows, t + 1]],
+                         axis=1)).view("V16").ravel()
+            _, rk_first, rk_idx = np.unique(skey, return_index=True,
                                             return_inverse=True)
             rk_idx = rk_idx.ravel()
             nr = len(rk_first)
