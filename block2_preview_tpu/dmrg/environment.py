@@ -58,12 +58,20 @@ class MovingEnvironment:
         for t in range(L - 1, 1, -1):
             self.right_envs[t] = self._right_contract(t)
 
+    fast = True   # vectorized join-based blocking (ops/blocking.py)
+
     # ------------------------------------------------------------------
     def _left_contract(self, t: int) -> EnvMap:
         """E_L[t+1][o] = sum_i A_t^dag (E_L[t][i] (x) W_t[(i,o)]) A_t."""
         g = self.g
         env = self.left_envs[t]
         assert env is not None
+        if self.fast:
+            from ..ops.blocking import contract_env_site
+            return contract_env_site(
+                env, self.mpo.tensors[t], self.mpo.site_quanta[t],
+                self.bra.tensors[t], self.ket.tensors[t],
+                self.mpo.bond_dqs[t + 1], g, "left")
         Ab = self.bra.tensors[t]
         Ak = self.ket.tensors[t]
         quanta = self.mpo.site_quanta[t]
@@ -104,6 +112,14 @@ class MovingEnvironment:
         g = self.g
         env = self.right_envs[t + 1]
         assert env is not None
+        if self.fast:
+            from ..ops.blocking import contract_env_site
+            dq_out = [g.sub(self.mpo.bond_dqs[-1][0], dq)
+                      for dq in self.mpo.bond_dqs[t]]
+            return contract_env_site(
+                env, self.mpo.tensors[t], self.mpo.site_quanta[t],
+                self.bra.tensors[t], self.ket.tensors[t],
+                dq_out, g, "right")
         Bb = self.bra.tensors[t]
         Bk = self.ket.tensors[t]
         quanta = self.mpo.site_quanta[t]

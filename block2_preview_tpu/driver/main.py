@@ -1,0 +1,123 @@
+"""block2main-compatible CLI workflow driver.
+
+TPU-native counterpart of pyblock2/driver/block2main (reference
+pyblock2/driver/block2main: keyword dispatch, DMRG / PDM / reordering
+workflows, "DMRG Energy = ..." output consumed by the reference's
+main_test/NNN-check.py scripts).
+
+Usage:  python -m block2_preview_tpu.driver.main dmrg.conf
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List
+
+import numpy as np
+
+from ..core.fcidump import FCIDUMP
+from ..dmrg.orbital_ordering import (evaluate, fiedler, ga_opt,
+                                     kmat_from_fcidump)
+from ..dmrg.sweep import DMRG
+from .core import DMRGDriver, SymmetryTypes
+from .parser import expand_schedule, parse
+
+
+def reorder_fcidump(fd: FCIDUMP, order: np.ndarray) -> FCIDUMP:
+    """Permute orbitals (reference FCIDUMP::reorder, integral.hpp)."""
+    import copy
+    fd2 = copy.copy(fd)
+    o = np.asarray(order)
+    if fd.uhf:
+        ha, hb = fd.h1e
+        fd2.h1e = (ha[np.ix_(o, o)], hb[np.ix_(o, o)])
+        fd2.g2e = tuple(v[np.ix_(o, o, o, o)] for v in fd.g2e)
+    else:
+        fd2.h1e = fd.h1e[np.ix_(o, o)]
+        fd2.g2e = fd.g2e[np.ix_(o, o, o, o)]
+    fd2.orb_sym = fd.orb_sym[o]
+    return fd2
+
+
+def run(config_path: str) -> float:
+    dic = parse(config_path)
+    base = os.path.dirname(os.path.abspath(config_path))
+    iprint = int(str(dic.get("outputlevel", 1)))
+
+    fd_path = str(dic["orbitals"])
+    if not os.path.isabs(fd_path):
+        for cand in (os.path.join(os.getcwd(), fd_path),
+                     os.path.join(base, fd_path)):
+            if os.path.exists(cand):
+                fd_path = cand
+                break
+    drv = DMRGDriver(SymmetryTypes.SZ)
+    fd = drv.read_fcidump(fd_path)
+    if "nelec" in dic:
+        fd.n_elec = drv.n_elec = int(str(dic["nelec"]))
+    if "spin" in dic:
+        fd.twos = drv.spin = int(str(dic["spin"]))
+    if "irrep" in dic:
+        drv.pg_irrep = int(str(dic["irrep"])) - 1
+
+    # orbital reordering
+    if "noreorder" not in dic:
+        kmat = kmat_from_fcidump(fd)
+        if "gaopt" in dic:
+            order = ga_opt(kmat, n_generations=2000)
+        else:
+            order = fiedler(kmat)
+        if iprint:
+            print("ORDER =", " ".join(str(x) for x in order))
+            print("MINIMUM / f = %15.12f" % evaluate(kmat, order))
+        fd = reorder_fcidump(fd, order)
+        drv.orb_sym = fd.orb_sym
+
+    n_sweeps = int(str(dic.get("maxiter", 20)))
+    bond_dims, noises, dav_thrds = expand_schedule(dic, n_sweeps)
+    sweep_tol = float(str(dic.get("sweep_tol", 1e-8)))
+    t2o = dic.get("twodot_to_onedot")
+    t2o = int(str(t2o)) if t2o not in (None, "") else None
+    n_roots = int(str(dic.get("nroots", 1)))
+
+    penalty = dic.get("spin_penalty")
+    if penalty not in (None, ""):
+        mpo = drv.get_qc_mpo_spin_penalty(fd, float(str(penalty)))
+    else:
+        mpo = drv.get_qc_mpo(fcidump=fd)
+    target = (drv.n_elec, drv.spin, drv.pg_irrep)
+    mps = drv.get_random_mps(bond_dims[0], target=target)
+    solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0,
+                  n_roots=n_roots)
+    e = solver.solve(bond_dims, noises, dav_thrds, n_sweeps=n_sweeps,
+                     tol=sweep_tol, twodot_to_onedot=t2o)
+    energies = np.atleast_1d(e)
+    for i, ei in enumerate(energies):
+        print("DMRG Energy = %20.15f" % ei)
+
+    if "onepdm" in dic or "restart_onepdm" in dic:
+        from ..dmrg.expect import pdm1
+        dm = pdm1(mps, orb_sym=fd.orb_sym)
+        np.save(os.path.join(str(dic.get("prefix", ".")), "1pdm.npy")
+                if os.path.isdir(str(dic.get("prefix", "."))) else "1pdm.npy",
+                dm)
+        if iprint:
+            print("1PDM trace = %15.10f" % np.trace(dm[0] + dm[1]))
+    if "twopdm" in dic or "restart_twopdm" in dic:
+        from ..dmrg.expect import pdm2_spatial
+        dm2 = pdm2_spatial(mps, orb_sym=fd.orb_sym,
+                           assume_singlet=drv.spin == 0)
+        np.save("2pdm.npy", dm2)
+    return float(energies[0])
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        print("usage: block2main_tpu <dmrg.conf>")
+        sys.exit(1)
+    run(sys.argv[1])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""CLI tests against the reference main_test targets (reference
+pyblock2/main_test/000-check.py asserts -107.654122447525 at 1e-6)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _run_conf(tmp_path, text):
+    conf = tmp_path / "dmrg.conf"
+    conf.write_text(text)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "block2_preview_tpu.driver.main", str(conf)],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    energies = [float(l.split()[-1]) for l in out.stdout.splitlines()
+                if l.startswith("DMRG Energy =")]
+    assert energies, out.stdout[-2000:]
+    return energies, out.stdout
+
+
+def test_cli_n2_ground_state(tmp_path):
+    energies, _ = _run_conf(tmp_path, """
+sym d2h
+orbitals /root/reference/data/N2.STO3G.FCIDUMP
+nelec 14
+spin 0
+irrep 1
+schedule
+0 250 1e-8 1e-4
+2 500 1e-9 1e-5
+4 500 1e-9 0.0
+end
+maxiter 8
+sweep_tol 1E-9
+noreorder
+outputlevel 0
+""")
+    assert abs(energies[0] - (-107.654122447525)) < 1e-6
+
+
+def test_cli_reorder_fiedler(tmp_path):
+    energies, out = _run_conf(tmp_path, """
+orbitals /root/reference/data/HUBBARD-L8.FCIDUMP
+nelec 8
+spin 0
+schedule
+0 120 1e-8 1e-4
+2 120 1e-9 0.0
+end
+maxiter 6
+sweep_tol 1E-9
+outputlevel 1
+""")
+    assert "ORDER =" in out
+    # energy invariant under reordering
+    from block2_preview_tpu.core.fcidump import FCIDUMP
+    from block2_preview_tpu.core.expr import qc_term_table
+    from block2_preview_tpu.utils.ed import ground_state_energy
+    fd = FCIDUMP.parse("/root/reference/data/HUBBARD-L8.FCIDUMP")
+    e_ed = ground_state_energy(qc_term_table(fd), fd.n_elec, fd.twos,
+                               fd.const_e)[0]
+    assert abs(energies[0] - e_ed) < 1e-7
