@@ -233,39 +233,61 @@ def contract_env_site(env: Dict[int, BlockMatrix], entries, quanta,
     bounds = np.nonzero(np.diff(bkey[order]))[0] + 1
     starts = np.concatenate([[0], bounds, [len(order)]])
 
+    # ---- pooled flat storage for gather-based stacking -------------------
+    def _pool(mats):
+        if not mats:
+            return (np.zeros(1, dtype=dtype), np.zeros(1, dtype=np.int64),
+                    np.zeros((0, 2), dtype=np.int64))
+        sizes = np.asarray([m.size for m in mats], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        data = np.empty(int(offs[-1]) + 1, dtype=dtype)
+        data[-1] = 0.0   # sentinel slot for padded gathers
+        for m, o in zip(mats, offs[:-1]):
+            data[o:o + m.size] = m.ravel()
+        return data, offs, None
+
+    bpool, boffs, _ = _pool(bra_mats)
+    epool, eoffs, _ = _pool(emats)
+    kpool, koffs, _ = _pool(ket_mats)
+    sent_b = len(bpool) - 1
+    sent_e = len(epool) - 1
+    sent_k = len(kpool) - 1
+
+    def _gather(pool, offs, idx_blocks, rows_true, cols_true, R, Cdim, sent):
+        """[C, R, Cdim] padded stack from a flat pool."""
+        n = len(idx_blocks)
+        r = np.arange(R)[None, :, None]
+        c = np.arange(Cdim)[None, None, :]
+        rt = rows_true[:, None, None]
+        ct = cols_true[:, None, None]
+        gidx = offs[idx_blocks][:, None, None] + r * ct + c
+        gidx = np.where((r < rt) & (c < ct), gidx, sent)
+        return pool[gidx]
+
     for si in range(len(starts) - 1):
         sel_all = order[starts[si]:starts[si + 1]]
         for lo in range(0, len(sel_all), chunk):
             sel = sel_all[lo:lo + chunk]
-            C = len(sel)
             L_p = int(_rv(d_l[sel[0]]))
             X_p = int(_rv(d_x[sel[0]]))
             K_p = int(_rv(d_k[sel[0]]))
             Y_p = int(_rv(d_y[sel[0]]))
             if direction == "left":
-                MB = np.zeros((C, L_p, X_p), dtype=dtype)
-                E = np.zeros((C, L_p, K_p), dtype=dtype)
-                MK = np.zeros((C, K_p, Y_p), dtype=dtype)
-                for c, s in enumerate(sel):
-                    mb = bra_mats[bb[s]]
-                    e = emats[ie[s]]
-                    mk = ket_mats[kk[s]]
-                    MB[c, :mb.shape[0], :mb.shape[1]] = mb
-                    E[c, :e.shape[0], :e.shape[1]] = e
-                    MK[c, :mk.shape[0], :mk.shape[1]] = mk
+                MB = _gather(bpool, boffs, bb[sel], d_l[sel], d_x[sel],
+                             L_p, X_p, sent_b)
+                E = _gather(epool, eoffs, ie[sel], d_l[sel], d_k[sel],
+                            L_p, K_p, sent_e)
+                MK = _gather(kpool, koffs, kk[sel], d_k[sel], d_y[sel],
+                             K_p, Y_p, sent_k)
                 res = np.einsum("clx,clk,cky->cxy", MB, E, MK,
                                 optimize=True)
             else:
-                MB = np.zeros((C, X_p, L_p), dtype=dtype)
-                E = np.zeros((C, L_p, K_p), dtype=dtype)
-                MK = np.zeros((C, Y_p, K_p), dtype=dtype)
-                for c, s in enumerate(sel):
-                    mb = bra_mats[bb[s]]
-                    e = emats[ie[s]]
-                    mk = ket_mats[kk[s]]
-                    MB[c, :mb.shape[0], :mb.shape[1]] = mb
-                    E[c, :e.shape[0], :e.shape[1]] = e
-                    MK[c, :mk.shape[0], :mk.shape[1]] = mk
+                MB = _gather(bpool, boffs, bb[sel], d_x[sel], d_l[sel],
+                             X_p, L_p, sent_b)
+                E = _gather(epool, eoffs, ie[sel], d_l[sel], d_k[sel],
+                            L_p, K_p, sent_e)
+                MK = _gather(kpool, koffs, kk[sel], d_y[sel], d_k[sel],
+                             Y_p, K_p, sent_k)
                 res = np.einsum("cxl,clk,cyk->cxy", MB, E, MK,
                                 optimize=True)
             res *= coefs[sel][:, None, None]
