@@ -82,7 +82,7 @@ def term_row(n_sites: int, coeff: float, ops: Sequence[Tuple[int, int]],
     Returns (signed coefficient, opid row) or None if the term vanishes.
     """
     sites = [s for s, _ in ops]
-    sign = -1.0 if _inversion_parity(sites) else 1.0
+    sign = -1.0 if (spec.fermionic and _inversion_parity(sites)) else 1.0
     order = sorted(range(len(ops)), key=lambda i: sites[i])
     per_site: dict = {}
     for i in order:

@@ -71,8 +71,13 @@ class OpRegistry:
     def __init__(self, ident: np.ndarray = None, parity: np.ndarray = None):
         self.mats: List[np.ndarray] = []
         self._index = {}
-        assert self.register(IDENT if ident is None else ident) == self.ID_I
-        assert self.register(PARITY if parity is None else parity) == self.ID_Z
+        ident = IDENT if ident is None else ident
+        parity = PARITY if parity is None else parity
+        # reserved slots (parity may equal identity for bosonic sites)
+        self.mats.append(np.asarray(ident, dtype=np.float64))
+        self.mats.append(np.asarray(parity, dtype=np.float64))
+        self._index[np.round(parity, 14).tobytes()] = self.ID_Z
+        self._index[np.round(ident, 14).tobytes()] = self.ID_I
 
     def register(self, mat: np.ndarray) -> int:
         key = np.round(mat, 14).tobytes()
@@ -108,6 +113,7 @@ class SiteBasisSpec:
     ident: np.ndarray
     parity: np.ndarray
     quanta: Callable[[int], List[QN]]    # pg label -> basis quanta
+    fermionic: bool = True               # reorder signs + JW strings
 
     def registry(self) -> OpRegistry:
         return OpRegistry(self.ident, self.parity)
@@ -132,4 +138,4 @@ SGB_SPIN_HALF_SITE = SiteBasisSpec(
     "sgb", 2, {CRE_A: _SP, DES_A: _SP.T.copy(),
                CRE_B: np.diag([1.0, -1.0])},
     np.eye(2), np.eye(2),
-    lambda pg=0: [(1,), (-1,)])
+    lambda pg=0: [(1,), (-1,)], fermionic=False)
