@@ -61,6 +61,72 @@ class MPSInfo:
             self.bonds.append(
                 StateInfo(group, caps).truncate_total(bond_dim))
 
+    def set_bond_dimension_using_occ(self, occs, bias: float = 1.0) -> None:
+        """Occupancy-biased bond allocation (reference src/dmrg/mps.hpp:356
+        set_bond_dimension_using_occ): per-bond sector weights from a
+        mean-field product distribution over site states, biased by
+        occ^bias, then proportional allocation of the requested bond
+        dimension within the FCI caps."""
+        g = self.group
+        L = self.n_sites
+        occs = np.asarray(occs, dtype=np.float64)
+        if len(occs) == 2 * L:      # spin-orbital occupancies
+            na, nb = occs[0::2], occs[1::2]
+        else:                        # spatial occ in [0, 2]
+            na = nb = np.clip(occs / 2.0, 1e-3, 1 - 1e-3)
+        na = np.clip(na, 1e-3, 1 - 1e-3) ** bias
+        nb = np.clip(nb, 1e-3, 1 - 1e-3) ** bias
+        # state probabilities per site in basis order |0>,|a>,|b>,|2>
+        wl = [{g.zero: 1.0}]
+        for t in range(L):
+            pa, pb = float(na[t]), float(nb[t])
+            probs = [(1 - pa) * (1 - pb), pa * (1 - pb), (1 - pa) * pb,
+                     pa * pb]
+            nw = {}
+            for q, w in wl[t].items():
+                for p, qp in enumerate(self.site_quanta[t]):
+                    if p < len(probs):
+                        q2 = g.add(q, qp)
+                        nw[q2] = nw.get(q2, 0.0) + w * probs[p]
+            # prune negligible
+            mx = max(nw.values())
+            wl.append({q: w for q, w in nw.items() if w > mx * 1e-12})
+        wr = [None] * (L + 1)
+        wr[L] = {self.target: 1.0}
+        for t in range(L - 1, -1, -1):
+            pa, pb = float(na[t]), float(nb[t])
+            probs = [(1 - pa) * (1 - pb), pa * (1 - pb), (1 - pa) * pb,
+                     pa * pb]
+            nw = {}
+            for q2, w in wr[t + 1].items():
+                for p, qp in enumerate(self.site_quanta[t]):
+                    if p < len(probs):
+                        q = g.sub(q2, qp)
+                        nw[q] = nw.get(q, 0.0) + w * probs[p]
+            mx = max(nw.values())
+            wr[t] = {q: w for q, w in nw.items() if w > mx * 1e-12}
+        for t in range(L + 1):
+            caps = self.bonds[t] if self.bonds else None
+            fci = {}
+            for q, nl in self.left_fci[t].items():
+                nr = self.right_fci[t].get(q, 0)
+                if nr > 0:
+                    fci[q] = min(nl, nr)
+            weights = {q: wl[t].get(q, 0.0) * wr[t].get(q, 0.0)
+                       for q in fci}
+            tot = sum(weights.values())
+            if tot <= 0:
+                continue
+            dims = {}
+            for q, cap in fci.items():
+                w = weights[q] / tot
+                d = min(cap, max(1 if w > 1e-10 else 0,
+                                 int(round(w * self.bond_dim))))
+                if d > 0:
+                    dims[q] = d
+            if dims:
+                self.bonds[t] = StateInfo(self.group, dims)
+
 
 class MPS:
     """Two-site-centered MPS: tensors[0..center-1] left-canonical,

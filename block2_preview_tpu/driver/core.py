@@ -239,6 +239,33 @@ class DMRGDriver:
         from ..dmrg.expect import mpo_expectation
         return mpo_expectation(mpo, ket, bra=bra)
 
+    def td_dmrg(self, mpo: MPO, ket: MPS, delta_t: float, n_steps: int,
+                bond_dim: int, imaginary: bool = False, normalize=None,
+                iprint: int = 0):
+        """Time evolution (reference pyblock2/driver/core.py:4785)."""
+        from ..dmrg.tdvp import TimeEvolution
+        te = TimeEvolution(mpo, ket, imaginary=imaginary,
+                           normalize=normalize, iprint=iprint)
+        e = te.solve(n_steps, delta_t, bond_dim)
+        return e, te
+
+    def greens_function(self, h_mpo: MPO, gs: MPS, e0: float, op: str,
+                        site: int, omega: float, eta: float, bond_dim: int,
+                        n_sweeps: int = 6, iprint: int = 0) -> complex:
+        """G(omega) = <gs|op^dag (omega + E0 + i eta - H)^-1 op|gs>
+        (reference pyblock2/driver/core.py:6923; gfdmrg.py:490)."""
+        from ..dmrg.greens import GreensFunction
+        from ..dmrg.linear import Linear
+        from ..ops.local_ops import op_delta_quantum
+        smpo = self.get_site_mpo(op, site)
+        dq = smpo.bond_dqs[-1][0]
+        tb = self.group.add(gs.info.target, dq)
+        b = self.get_random_mps(bond_dim, target=tb, seed=11)
+        Linear(b, [(smpo, gs)]).solve(bond_dim, n_sweeps=n_sweeps)
+        x = self.get_random_mps(bond_dim, target=tb, seed=13)
+        gf = GreensFunction(h_mpo, b, x, iprint=iprint)
+        return gf.solve(omega + e0, eta, bond_dim, n_sweeps=n_sweeps)
+
     def get_npdm(self, ket: MPS, pdm_type: int = 1):
         """1PDM / 2PDM (reference pyblock2/driver/core.py:5504)."""
         from ..dmrg.expect import pdm1, pdm2_spatial
