@@ -329,3 +329,185 @@ def _round_vec(d: np.ndarray) -> np.ndarray:
 
 def _rv(d):
     return _round_dim(int(d))
+
+
+def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
+                       join_on_input: bool, comp_target=None, group=None,
+                       active=None, dtype=np.float64, fused_ket=None,
+                       comp_target_ket=None, active_ket=None):
+    """Vectorized assembly of fused-basis effective operators LW[m]/RW[m]
+    (the DelayedOperatorTensor contraction of block2, reference
+    src/core/operator_tensor.hpp:209), replacing per-block Python loops in
+    EffectiveHamiltonian2._assemble.
+
+    env:     {symbol -> BlockMatrix} on a bond basis
+    entries: MPO site tensor {(i, o) -> (d, d) matrix}
+    fused:   FusedBasis of (bond x site) if bond_is_first else
+             (site x comp-bond)
+    join_on_input: True -> join env symbol with entry's *input* symbol and
+             key outputs by the entry's output symbol (LW);
+             False -> join on the entry's *output* symbol, key by input (RW).
+    comp_target: if set, bond sectors are complemented (q -> target - q)
+             before fusing (the right-half convention).
+    Returns {m -> {(q_bra_fused, q_ket_fused) -> ndarray}}.
+    """
+    g = group
+    nphys = len(quanta)
+    # bond sector codes
+    code_of: Dict[QN, int] = {}
+    code_list: List[QN] = []
+
+    def code(q):
+        c = code_of.get(q)
+        if c is None:
+            c = len(code_list)
+            code_of[q] = c
+            code_list.append(q)
+        return c
+
+    esym, eqb, eqk, emats = [], [], [], []
+    for sym, bm in env.items():
+        for (qb, qk), mat in bm.blocks.items():
+            esym.append(sym)
+            eqb.append(code(qb))
+            eqk.append(code(qk))
+            emats.append(mat)
+    if not emats:
+        return {}
+    esym = np.asarray(esym, dtype=np.int64)
+    eqb = np.asarray(eqb, dtype=np.int64)
+    eqk = np.asarray(eqk, dtype=np.int64)
+    ncodes0 = len(code_list)
+
+    wi, wo, wpb, wpk, wc = [], [], [], [], []
+    for (i, o), w in entries.items():
+        for pb, pk in zip(*np.nonzero(w)):
+            wi.append(i)
+            wo.append(o)
+            wpb.append(int(pb))
+            wpk.append(int(pk))
+            wc.append(w[pb, pk])
+    if not wi:
+        return {}
+    wi = np.asarray(wi, dtype=np.int64)
+    wo = np.asarray(wo, dtype=np.int64)
+    wpb = np.asarray(wpb, dtype=np.int64)
+    wpk = np.asarray(wpk, dtype=np.int64)
+    wc = np.asarray(wc)
+
+    # lookup: (bond code, phys idx) -> fused sector id, sub-offset, run dim
+    fused_k = fused if fused_ket is None else fused_ket
+    ct_k = comp_target if comp_target_ket is None else comp_target_ket
+    act_k = active if active_ket is None else active_ket
+    fsec_of: Dict[Tuple[int, QN], int] = {}
+    fsec_list: List[Tuple[int, QN]] = []
+
+    def _build_tab(fb, ct, act, side):
+        tab_sec = np.full((ncodes0, nphys), -1, dtype=np.int64)
+        tab_off = np.zeros((ncodes0, nphys), dtype=np.int64)
+        for fq, runs in fb.maps.items():
+            if act is not None and fq not in act:
+                continue
+            key = (side, fq)
+            if key not in fsec_of:
+                fsec_of[key] = len(fsec_list)
+                fsec_list.append(key)
+            fid = fsec_of[key]
+            for (qa, qb2, off, da, db) in runs:
+                if bond_is_first:
+                    qbond, p_qn = qa, qb2
+                else:
+                    p_qn, qbond = qa, qb2
+                for p, q in enumerate(quanta):
+                    if q == p_qn:
+                        qb_real = qbond if ct is None else g.sub(ct, qbond)
+                        cc = code_of.get(qb_real)
+                        if cc is not None:
+                            tab_sec[cc, p] = fid
+                            tab_off[cc, p] = off
+        return tab_sec, tab_off
+
+    tab_sec_b, tab_off_b = _build_tab(fused, comp_target, active, 0)
+    tab_sec_k, tab_off_k = _build_tab(fused_k, ct_k, act_k, 1)
+    fdims = np.asarray([(fused.info[q] if side == 0 else fused_k.info[q])
+                        for side, q in fsec_list], dtype=np.int64)
+
+    join_key = wi if join_on_input else wo
+    out_key = wo if join_on_input else wi
+    ie, iw = pair_join(esym, join_key)
+    if len(ie) == 0:
+        return {}
+    sb = tab_sec_b[eqb[ie], wpb[iw]]
+    sk = tab_sec_k[eqk[ie], wpk[iw]]
+    valid = (sb >= 0) & (sk >= 0)
+    ie, iw, sb, sk = ie[valid], iw[valid], sb[valid], sk[valid]
+    if len(ie) == 0:
+        return {}
+    ob = tab_off_b[eqb[ie], wpb[iw]]
+    ok = tab_off_k[eqk[ie], wpk[iw]]
+    msym = out_key[iw]
+    coefs = wc[iw]
+    eshape = np.asarray([m.shape for m in emats], dtype=np.int64)
+    d1 = eshape[ie, 0]
+    d2 = eshape[ie, 1]
+    dtype = np.result_type(dtype, emats[0].dtype, wc.dtype)
+
+    # output buffers: unique (msym, sb, sk)
+    nf = len(fsec_list)
+    okey = (msym * nf + sb) * nf + sk
+    uniq, first, inv = np.unique(okey, return_index=True, return_inverse=True)
+    inv = inv.ravel()
+    u_sb = sb[first]
+    u_sk = sk[first]
+    out_rows = fdims[u_sb]
+    out_cols = fdims[u_sk]
+    sizes = out_rows * out_cols
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    flat = np.zeros(int(offs[-1]), dtype=dtype)
+
+    # pooled env data
+    epool = np.empty(int(np.sum(d1 * 0) + sum(m.size for m in emats)) + 1,
+                     dtype=dtype)
+    eoffs = np.zeros(len(emats) + 1, dtype=np.int64)
+    for ii, m in enumerate(emats):
+        eoffs[ii + 1] = eoffs[ii] + m.size
+        epool[eoffs[ii]:eoffs[ii + 1]] = m.ravel()
+    epool[-1] = 0.0
+
+    # chunk by padded env-block shape
+    r1, r2 = _round_vec(d1), _round_vec(d2)
+    bkey = (r1 << 20) | r2
+    order = np.argsort(bkey, kind="stable")
+    bounds = np.nonzero(np.diff(bkey[order]))[0] + 1
+    starts = np.concatenate([[0], bounds, [len(order)]])
+    for si in range(len(starts) - 1):
+        sel_all = order[starts[si]:starts[si + 1]]
+        for lo in range(0, len(sel_all), 8192):
+            sel = sel_all[lo:lo + 8192]
+            R = int(r1[sel[0]])
+            Cc = int(r2[sel[0]])
+            rr = np.arange(R)[None, :, None]
+            cc2 = np.arange(Cc)[None, None, :]
+            rt = d1[sel][:, None, None]
+            ct = d2[sel][:, None, None]
+            mask = (rr < rt) & (cc2 < ct)
+            gidx = eoffs[ie[sel]][:, None, None] + rr * ct + cc2
+            vals = epool[np.where(mask, gidx, len(epool) - 1)]
+            vals = vals * coefs[sel][:, None, None]
+            # target flat index: out block offset + (ob + r) * cols + ok + c
+            oid = inv[sel]
+            cols = out_cols[oid][:, None, None]
+            tidx = (offs[oid][:, None, None]
+                    + (ob[sel][:, None, None] + rr) * cols
+                    + ok[sel][:, None, None] + cc2)
+            np.add.at(flat, tidx[mask], vals[mask])
+
+    out: Dict[int, Dict] = {}
+    for u in range(len(uniq)):
+        m = int((uniq[u] // nf) // nf)
+        qb_f = fsec_list[int(u_sb[u])][1]
+        qk_f = fsec_list[int(u_sk[u])][1]
+        out.setdefault(m, {})[(qb_f, qk_f)] = \
+            flat[offs[u]:offs[u + 1]].reshape(int(out_rows[u]),
+                                              int(out_cols[u]))
+    return out
