@@ -459,7 +459,8 @@ class DMRG:
     def solve(self, bond_dims: List[int], noises: List[float],
               dav_thrds: List[float], n_sweeps: int = 20,
               tol: float = 1e-8,
-              twodot_to_onedot: Optional[int] = None) -> float:
+              twodot_to_onedot: Optional[int] = None,
+              restart_dir: Optional[str] = None) -> float:
         def sched(lst, i):
             return lst[min(i, len(lst) - 1)]
 
@@ -483,6 +484,12 @@ class DMRG:
                       f"noise={ns:.1e}  E = {estr}  "
                       f"dE = {np.max(np.abs(e - last_e)):+.3e} "
                       f" dw = {dw:.2e}  nmv = {res.n_matvec}")
+            if restart_dir is not None:
+                # per-sweep checkpoint (reference allocator.hpp:342
+                # restart_dir semantics)
+                import os
+                from ..utils.io import save_mps
+                save_mps(self.mps, os.path.join(restart_dir, "mps.KET.npz"))
             if np.max(np.abs(e - last_e)) < tol and ns == 0:
                 break
             last_e = e

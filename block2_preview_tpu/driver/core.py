@@ -266,6 +266,21 @@ class DMRGDriver:
         gf = GreensFunction(h_mpo, b, x, iprint=iprint)
         return gf.solve(omega + e0, eta, bond_dim, n_sweeps=n_sweeps)
 
+    def save_mps(self, mps: MPS, tag: str) -> str:
+        """Persist an MPS under the scratch directory by tag
+        (reference pyblock2/tools.py:93 saveMPStoDir)."""
+        from ..utils.io import save_mps
+        import os
+        path = os.path.join(self.scratch, f"mps.{tag}.npz")
+        save_mps(mps, path)
+        return path
+
+    def load_mps(self, tag: str) -> MPS:
+        """reference pyblock2/driver/core.py:7186"""
+        from ..utils.io import load_mps
+        import os
+        return load_mps(os.path.join(self.scratch, f"mps.{tag}.npz"))
+
     def get_npdm(self, ket: MPS, pdm_type: int = 1):
         """1PDM / 2PDM (reference pyblock2/driver/core.py:5504)."""
         from ..dmrg.expect import pdm1, pdm2_spatial

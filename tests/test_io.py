@@ -1,0 +1,37 @@
+"""MPS checkpoint / restart tests (reference restart_dir + load_mps tier)."""
+
+import numpy as np
+
+from block2_preview_tpu.dmrg.expect import mpo_expectation, mps_overlap
+from block2_preview_tpu.dmrg.sweep import DMRG
+from block2_preview_tpu.driver.core import DMRGDriver
+from block2_preview_tpu.utils.io import load_mps, save_mps
+
+
+def test_save_load_roundtrip(tmp_path):
+    drv = DMRGDriver()
+    fd = drv.read_fcidump("/root/reference/tests/driver/FCIDUMP")
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    mps = drv.get_random_mps(100, seed=2)
+    e = DMRG(mpo, mps, iprint=0).solve([100], [1e-4, 0], [1e-10],
+                                       n_sweeps=5, tol=1e-11)
+    p = str(tmp_path / "ket.npz")
+    save_mps(mps, p)
+    mps2 = load_mps(p)
+    assert abs(mps_overlap(mps2, mps) - mps_overlap(mps, mps)) < 1e-12
+    e2 = mpo_expectation(mpo, mps2) / mps_overlap(mps2, mps2)
+    assert abs(e2 - e) < 1e-8
+
+
+def test_restart_continues(tmp_path):
+    drv = DMRGDriver()
+    fd = drv.read_fcidump("/root/reference/tests/driver/FCIDUMP")
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    mps = drv.get_random_mps(100, seed=2)
+    d = DMRG(mpo, mps, iprint=0)
+    d.solve([100], [1e-4], [1e-8], n_sweeps=2, tol=0,
+            restart_dir=str(tmp_path))
+    mps2 = load_mps(str(tmp_path / "mps.KET.npz"))
+    d2 = DMRG(mpo, mps2, iprint=0)
+    e = d2.solve([100], [1e-5, 0], [1e-10], n_sweeps=5, tol=1e-11)
+    assert abs(e - (-2.121631829534)) < 1e-8
