@@ -280,3 +280,52 @@ def pdm2_spatial(mps: MPS, orb_sym: Optional[np.ndarray] = None,
         for (i, j, k, l), v in zip(idx, vals):
             dm2[i, j, k, l] += weight * v
     return dm2
+
+
+# ----------------------------------------------------------------------
+def npc1(mps: MPS, kind: str = "charge",
+         orb_sym: Optional[np.ndarray] = None) -> np.ndarray:
+    """One-particle correlation matrices <N_i N_j> (charge) or <Sz_i Sz_j>
+    (spin) — the NPC1MPOQC analog (reference src/dmrg/qc_ncorr.hpp:43)."""
+    L = mps.n_sites
+    eng = StringExpectation(mps)
+    terms, idx = [], []
+    for i in range(L):
+        for j in range(L):
+            for (ei, si) in ((CRE_A, 1.0), (CRE_B, 1.0 if kind == "charge"
+                             else -1.0)):
+                di = DES_A if ei == CRE_A else DES_B
+                for (ej, sj) in ((CRE_A, 1.0), (CRE_B,
+                                 1.0 if kind == "charge" else -1.0)):
+                    dj = DES_A if ej == CRE_A else DES_B
+                    w = si * sj * (1.0 if kind == "charge" else 0.25)
+                    terms.append((w, [(i, ei), (i, di), (j, ej), (j, dj)]))
+                    idx.append((i, j))
+    vals = eng.evaluate(terms)
+    out = np.zeros((L, L))
+    for (i, j), v in zip(idx, vals):
+        out[i, j] += v
+    return out
+
+
+def orbital_entropy_1site(mps: MPS) -> np.ndarray:
+    """One-orbital von Neumann entropies (reference
+    pyblock2/driver/core.py:9262 OrbitalEntropy / get_orbital_entropies)."""
+    L = mps.n_sites
+    eng = StringExpectation(mps)
+    terms, idx = [], []
+    for i in range(L):
+        # <n_a>, <n_b>, <n_a n_b>
+        terms.append((1.0, [(i, CRE_A), (i, DES_A)]))
+        terms.append((1.0, [(i, CRE_B), (i, DES_B)]))
+        terms.append((1.0, [(i, CRE_A), (i, DES_A), (i, CRE_B),
+                            (i, DES_B)]))
+        idx.append(i)
+    vals = eng.evaluate(terms).reshape(L, 3)
+    ent = np.zeros(L)
+    for i in range(L):
+        na, nb, nab = vals[i]
+        probs = np.array([1 - na - nb + nab, na - nab, nb - nab, nab])
+        probs = np.clip(probs, 1e-300, 1.0)
+        ent[i] = float(-(probs * np.log(probs)).sum())
+    return ent
