@@ -202,13 +202,15 @@ class DMRG:
 
     def __init__(self, mpo: MPO, mps: MPS, backend: str = "numpy",
                  iprint: int = 1, dtype=np.float64, n_roots: int = 1,
-                 weights: Optional[Sequence[float]] = None):
+                 weights: Optional[Sequence[float]] = None,
+                 dav_max_iter: int = 200):
         self.mpo = mpo
         self.mps = mps
         self.backend = backend
         self.dtype = dtype
         self.iprint = iprint
         self.n_roots = n_roots
+        self.dav_max_iter = dav_max_iter
         self.weights = list(weights) if weights is not None \
             else [1.0 / n_roots] * n_roots
         self.me = MovingEnvironment(mpo, mps)
@@ -259,9 +261,9 @@ class DMRG:
             from ..ops.exec_jax import FusedPlanExecutor
             ex = FusedPlanExecutor(eff, dtype=self.dtype)
             return davidson(ex.matvec, diag, x0, n_roots=self.n_roots,
-                            conv_thrd=dav_thrd)
+                            conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
         return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,
-                        conv_thrd=dav_thrd)
+                        conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
 
     def update_two_dot(self, t: int, forward: bool, bond_dim: int,
                        noise: float, dav_thrd: float
