@@ -494,6 +494,19 @@ class DMRG:
                 save_mps(self.mps, os.path.join(restart_dir, "mps.KET.npz"))
             if np.max(np.abs(e - last_e)) < tol and ns == 0:
                 break
+            # graceful stop: a file BLOCK_STOP_CALCULATION containing STOP
+            # ends the run after the current sweep (reference
+            # docs/source/developer/dmrg.rst:62-66)
+            import os
+            if os.path.exists("BLOCK_STOP_CALCULATION"):
+                try:
+                    with open("BLOCK_STOP_CALCULATION") as f:
+                        if "STOP" in f.read():
+                            if self.iprint:
+                                print("STOP file detected; ending sweeps")
+                            break
+                except OSError:
+                    pass
             last_e = e
             forward = not forward
         final = self.energies[-1] if self.energies else np.array([np.nan])

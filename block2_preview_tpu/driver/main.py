@@ -81,6 +81,24 @@ def run(config_path: str) -> float:
     t2o = int(str(t2o)) if t2o not in (None, "") else None
     n_roots = int(str(dic.get("nroots", 1)))
 
+    # time evolution workflow (delta_t / target_t keywords)
+    if "delta_t" in dic:
+        from ..dmrg.tdvp import TimeEvolution
+        mpo = drv.get_qc_mpo(fcidump=fd)
+        target = (drv.n_elec, drv.spin, drv.pg_irrep)
+        mps = drv.get_random_mps(bond_dims[0], target=target)
+        solver = DMRG(mpo, mps, iprint=0)
+        solver.solve(bond_dims[:2], [1e-4, 0], [1e-8], n_sweeps=4, tol=1e-9)
+        dt = float(str(dic["delta_t"]))
+        tt_tot = float(str(dic.get("target_t", abs(dt) * 10)))
+        nst = max(1, int(round(tt_tot / abs(dt))))
+        te = TimeEvolution(mpo, mps, imaginary=dt > 0,
+                           iprint=min(iprint, 1))
+        e = te.solve(nst, abs(dt), bond_dims[-1])
+        print("Final TE Energy = %20.15f" % e)
+        print("DMRG Energy = %20.15f" % e)
+        return float(e)
+
     penalty = dic.get("spin_penalty")
     if penalty not in (None, ""):
         mpo = drv.get_qc_mpo_spin_penalty(fd, float(str(penalty)))
