@@ -74,3 +74,30 @@ def test_9j_reduces_to_6j():
            / np.sqrt((c + 1.0) * (b + 1.0))
            * wigner_6j(a, b, c, e, c, b))
     assert abs(v - ref) < 1e-12
+
+
+def test_su2_fusion_bookkeeping():
+    from math import comb
+
+    from block2_preview_tpu.core.state_info import StateInfo
+    from block2_preview_tpu.core.su2 import (SU2_GROUP, count_spin_multiplets,
+                                             su2_site_info,
+                                             su2_tensor_product)
+
+    # Catalan-triangle multiplet counts for 6 spin-1/2s
+    counts = count_spin_multiplets(6)
+    assert counts[0] == 5 and counts[2] == 9 and counts[6] == 1
+
+    # SU2 FCI bond space of a 4-orbital chain: dimension check
+    si = su2_site_info(0)
+    acc = StateInfo.vacuum(SU2_GROUP)
+    for _ in range(4):
+        acc = su2_tensor_product(acc, si)
+    # total SU2 multiplet count vs known: sum over sectors of multiplicities
+    # equals dim of the fully-coupled basis: 4 sites of dim 3 with spin
+    # coupling -> total states sum_q mult*(2S+1) must equal 4^4 = 256
+    tot = sum(m * (q[1] + 1) for q, m in acc.items())
+    assert tot == 256
+    # N=4, S=0 sector: number of singlet states of 4 electrons in 4 orbitals
+    # = 20 (CAS(4,4) singlet count)
+    assert acc[(4, 0, 0)] == 20
