@@ -165,6 +165,43 @@ class FCIDUMP:
         return fd
 
     # ------------------------------------------------------------------
+    def write(self, path: str, tol: float = 1e-13) -> None:
+        """Write RHF-style FCIDUMP (reference integral.hpp FCIDUMP::write)."""
+        assert not self.uhf, "writer: RHF/general integrals"
+        n = self.n_sites
+        with open(path, "w") as f:
+            f.write(" &FCI NORB=%4d,NELEC=%3d,MS2=%2d,\n"
+                    % (n, self.n_elec, self.twos))
+            f.write("  ORBSYM=" + ",".join(
+                str(int(x) + 1) for x in self.orb_sym) + ",\n")
+            f.write("  ISYM=%d,\n" % (self.ipg + 1))
+            if self.general:
+                f.write("  IGENERAL=1,\n")
+            f.write(" &END\n")
+
+            def w(val, i, j, k, l):
+                f.write(" %23.16E %3d %3d %3d %3d\n" % (val, i, j, k, l))
+
+            g2e, h1e = self.g2e, self.h1e
+            if self.general:
+                for idx in zip(*np.nonzero(np.abs(g2e) > tol)):
+                    w(float(g2e[idx].real), *(int(x) + 1 for x in idx))
+            else:
+                for i in range(n):
+                    for j in range(i + 1):
+                        for k in range(i + 1):
+                            lmax = (j if k == i else k) + 1
+                            for l in range(lmax):
+                                if abs(g2e[i, j, k, l]) > tol:
+                                    w(float(g2e[i, j, k, l]),
+                                      i + 1, j + 1, k + 1, l + 1)
+            for i in range(n):
+                for j in range(i + 1):
+                    if abs(h1e[i, j]) > tol:
+                        w(float(h1e[i, j]), i + 1, j + 1, 0, 0)
+            w(float(self.const_e), 0, 0, 0, 0)
+
+    # ------------------------------------------------------------------
     @staticmethod
     def hubbard(n_sites: int, u: float = 2.0, t: float = 1.0,
                 n_elec: Optional[int] = None, twos: int = 0) -> "FCIDUMP":
