@@ -124,11 +124,6 @@ class PlanExecutor:
         return np.asarray(sigma, dtype=np.float64)[:self.size]
 
 
-def compile_matvec(eff, cache: dict):
-    ex = PlanExecutor(eff)
-    return ex.matvec
-
-
 # ----------------------------------------------------------------------
 # Fused executor: per-bucket batched einsums feed ONE sorted segment-sum
 # (no arbitrary scatters — XLA TPU handles sorted segment reductions far
