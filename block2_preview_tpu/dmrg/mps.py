@@ -61,6 +61,20 @@ class MPSInfo:
             self.bonds.append(
                 StateInfo(group, caps).truncate_total(bond_dim))
 
+    def restrict_particle_range(self, n_min: List[int],
+                                n_max: List[int]) -> None:
+        """Restrict the cumulative particle number at every bond — the
+        CASCI/MRCI bond-structure device (reference src/dmrg/mps.hpp:1293
+        CASCIMPSInfo, :1400 MRCIMPSInfo: e.g. at most 2 holes in core /
+        2 electrons in external orbitals).  n_min[t] <= N(bond t) <= n_max[t].
+        """
+        from ..core.state_info import StateInfo
+        for t in range(self.n_sites + 1):
+            dims = {q: d for q, d in self.bonds[t].items()
+                    if n_min[t] <= q[0] <= n_max[t]}
+            assert dims, f"empty bond {t} after particle restriction"
+            self.bonds[t] = StateInfo(self.group, dims)
+
     def set_bond_dimension_using_occ(self, occs, bias: float = 1.0) -> None:
         """Occupancy-biased bond allocation (reference src/dmrg/mps.hpp:356
         set_bond_dimension_using_occ): per-bond sector weights from a

@@ -266,6 +266,32 @@ class DMRGDriver:
         gf = GreensFunction(h_mpo, b, x, iprint=iprint)
         return gf.solve(omega + e0, eta, bond_dim, n_sweeps=n_sweeps)
 
+    def get_csf_coefficients(self, ket: MPS, cutoff: float = 0.05,
+                             max_dets: int = 200):
+        """Dominant configurations and coefficients
+        (reference pyblock2/driver/core.py:6083)."""
+        from ..dmrg.determinant import dominant_determinants
+        return dominant_determinants(ket, cutoff=cutoff, max_dets=max_dets)
+
+    def sample_csf(self, ket: MPS, n_samples: int, seed: int = 1234):
+        """Stochastic configuration sampling
+        (reference pyblock2/driver/core.py:6164)."""
+        from ..dmrg.determinant import sample_determinants
+        return sample_determinants(ket, n_samples, seed=seed)
+
+    def get_orbital_entropies(self, ket: MPS):
+        """reference pyblock2/driver/core.py:5091"""
+        from ..dmrg.expect import orbital_entropy_1site
+        return orbital_entropy_1site(ket)
+
+    def orbital_reordering(self, h1e, g2e, method: str = "fiedler"):
+        """reference pyblock2/driver/core.py:4291"""
+        from ..dmrg.orbital_ordering import fiedler, ga_opt, interaction_kmat
+        kmat = interaction_kmat(np.asarray(h1e), np.asarray(g2e))
+        if method == "gaopt":
+            return ga_opt(kmat)
+        return fiedler(kmat)
+
     def save_mps(self, mps: MPS, tag: str) -> str:
         """Persist an MPS under the scratch directory by tag
         (reference pyblock2/tools.py:93 saveMPStoDir)."""
