@@ -71,3 +71,47 @@ def load_mps(path: str) -> MPS:
         key = (tuple(blk["ql"]), tuple(blk["qp"]), tuple(blk["qr"]))
         tensors[blk["site"]].blocks[key] = data[blk["name"]]
     return MPS(info, tensors, center=meta["center"])
+
+
+def save_mpo(mpo, path: str) -> None:
+    """Persist an MPO (reference mpo_dir disk storage, mpo.hpp:330-420)."""
+    arrays: Dict[str, np.ndarray] = {}
+    meta = {
+        "n_sites": mpo.n_sites,
+        "const_e": mpo.const_e,
+        "group_kinds": list(mpo.group.kinds),
+        "group_names": list(mpo.group.names),
+        "fermion_index": mpo.group.fermion_index,
+        "site_quanta": [[list(q) for q in qs] for qs in mpo.site_quanta],
+        "bond_dqs": [[list(q) for q in bs] for bs in mpo.bond_dqs],
+        "entries": [],
+    }
+    for t, w in enumerate(mpo.tensors):
+        for ei, ((i, o), mat) in enumerate(sorted(w.items())):
+            name = f"w{t}_{ei}"
+            arrays[name] = mat
+            meta["entries"].append({"site": t, "i": int(i), "o": int(o),
+                                    "name": name})
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def load_mpo(path: str):
+    from ..dmrg.mpo import MPO
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    meta = json.loads(bytes(data["__meta__"]).decode())
+    group = SymmetryGroup(tuple(meta["group_kinds"]),
+                          tuple(meta["group_names"]),
+                          meta["fermion_index"])
+    tensors = [dict() for _ in range(meta["n_sites"])]
+    for e in meta["entries"]:
+        tensors[e["site"]][(e["i"], e["o"])] = data[e["name"]]
+    return MPO(group=group, n_sites=meta["n_sites"],
+               site_quanta=[[tuple(q) for q in qs]
+                            for qs in meta["site_quanta"]],
+               bond_dqs=[[tuple(q) for q in bs] for bs in meta["bond_dqs"]],
+               tensors=tensors, const_e=meta["const_e"])
