@@ -58,7 +58,47 @@ class MovingEnvironment:
         for t in range(L - 1, 1, -1):
             self.right_envs[t] = self._right_contract(t)
 
-    fast = True   # vectorized join-based blocking (ops/blocking.py)
+    fast = True   # vectorized join-based blocking (ops/blocking_plan.py)
+
+    def _dtype_of(self, env, t):
+        dt = np.float64
+        for bm in env.values():
+            for b in bm.blocks.values():
+                dt = np.result_type(dt, b.dtype)
+                break
+            break
+        for w in self.mpo.tensors[t].values():
+            dt = np.result_type(dt, w.dtype)
+            break
+        for T in (self.bra.tensors[t], self.ket.tensors[t]):
+            for b in T.blocks.values():
+                dt = np.result_type(dt, b.dtype)
+                break
+        return dt
+
+    def _contract_planned(self, env, t: int, direction: str,
+                          dq_out) -> EnvMap:
+        """Plan-cached blocking (ConnectionInfo-style reuse across sweeps)."""
+        from ..ops.blocking_plan import (build_plan, execute_plan_numpy,
+                                         structure_signature)
+        if not hasattr(self, "_plan_cache"):
+            self._plan_cache = {}
+        bra_T = self.bra.tensors[t]
+        ket_T = self.ket.tensors[t]
+        sig = structure_signature(env, (t, direction), bra_T, ket_T)
+        key = (t, direction)
+        cached = self._plan_cache.get(key)
+        if cached is None or cached[0] != sig:
+            plan = build_plan(env, self.mpo.tensors[t],
+                              self.mpo.site_quanta[t], bra_T, ket_T,
+                              dq_out, self.g, direction)
+            self._plan_cache[key] = (sig, plan)
+        else:
+            plan = cached[1]
+        if plan is None:
+            return {}
+        return execute_plan_numpy(plan, env, bra_T, ket_T, self.g,
+                                  dtype=self._dtype_of(env, t))
 
     # ------------------------------------------------------------------
     def _left_contract(self, t: int) -> EnvMap:
@@ -67,11 +107,8 @@ class MovingEnvironment:
         env = self.left_envs[t]
         assert env is not None
         if self.fast:
-            from ..ops.blocking import contract_env_site
-            return contract_env_site(
-                env, self.mpo.tensors[t], self.mpo.site_quanta[t],
-                self.bra.tensors[t], self.ket.tensors[t],
-                self.mpo.bond_dqs[t + 1], g, "left")
+            return self._contract_planned(env, t, "left",
+                                          self.mpo.bond_dqs[t + 1])
         Ab = self.bra.tensors[t]
         Ak = self.ket.tensors[t]
         quanta = self.mpo.site_quanta[t]
@@ -113,13 +150,9 @@ class MovingEnvironment:
         env = self.right_envs[t + 1]
         assert env is not None
         if self.fast:
-            from ..ops.blocking import contract_env_site
             dq_out = [g.sub(self.mpo.bond_dqs[-1][0], dq)
                       for dq in self.mpo.bond_dqs[t]]
-            return contract_env_site(
-                env, self.mpo.tensors[t], self.mpo.site_quanta[t],
-                self.bra.tensors[t], self.ket.tensors[t],
-                dq_out, g, "right")
+            return self._contract_planned(env, t, "right", dq_out)
         Bb = self.bra.tensors[t]
         Bk = self.ket.tensors[t]
         quanta = self.mpo.site_quanta[t]

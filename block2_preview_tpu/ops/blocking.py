@@ -319,8 +319,13 @@ def contract_env_site(env: Dict[int, BlockMatrix], entries, quanta,
     return out
 
 
+_ROUND_LUT = np.array([_round_dim(i) for i in range(65536)], dtype=np.int64)
+
+
 def _round_vec(d: np.ndarray) -> np.ndarray:
     d = np.asarray(d, dtype=np.int64)
+    if d.size and int(d.max(initial=0)) < len(_ROUND_LUT):
+        return _ROUND_LUT[d]
     safe = np.maximum(d, 1)
     p2 = np.int64(1) << np.ceil(np.log2(safe)).astype(np.int64)
     m16 = ((d + 15) // 16) * 16
