@@ -1,0 +1,63 @@
+"""Moller-Plesset perturbation theory on FCIDUMP integrals.
+
+TPU-native counterpart of the uncontracted dynamic-correlation drivers
+(reference pyblock2/uc/mp.py, built on the Wick layer).  Spin-orbital MP2
+with the standard closed form, the n=2 anchor of the Wick-generated
+perturbation series.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..core.fcidump import FCIDUMP
+
+
+def spin_orbital_integrals(fd: FCIDUMP) -> Tuple[np.ndarray, np.ndarray]:
+    """Expand spatial RHF integrals to spin orbitals (site-major ordering):
+    h_pq and antisymmetrized <pq||rs> (physicist notation)."""
+    assert not fd.uhf
+    k = fd.n_sites
+    n = 2 * k
+    h = np.zeros((n, n))
+    h[0::2, 0::2] = fd.h1e
+    h[1::2, 1::2] = fd.h1e
+    # chemist (ij|kl) -> physicist <ik|jl>; spin delta on (p,r) and (q,s)
+    g = np.zeros((n, n, n, n))
+    chem = fd.g2e
+    for sp in (0, 1):
+        for sq in (0, 1):
+            g[sp::2, sq::2, sp::2, sq::2] = chem.transpose(0, 2, 1, 3)
+    v = g - g.transpose(0, 1, 3, 2)     # <pq||rs>
+    return h, v
+
+
+def hf_energy_and_fock(fd: FCIDUMP) -> Tuple[float, np.ndarray, np.ndarray]:
+    """HF energy and Fock matrix for the aufbau determinant."""
+    h, v = spin_orbital_integrals(fd)
+    n = h.shape[0]
+    occ = np.arange(fd.n_elec)
+    f = h + np.einsum("piqi->pq", v[np.ix_(np.arange(n), occ,
+                                           np.arange(n), occ)],
+                      optimize=True)
+    e_hf = (np.sum(np.diag(h)[occ])
+            + 0.5 * np.einsum("ijij->", v[np.ix_(occ, occ, occ, occ)])
+            + fd.const_e)
+    return float(e_hf), f, v
+
+
+def mp2_energy(fd: FCIDUMP) -> Tuple[float, float]:
+    """(E_HF, E_MP2 correction) in the FCIDUMP MO basis (assumed canonical;
+    orbital energies from the Fock diagonal)."""
+    e_hf, f, v = hf_energy_and_fock(fd)
+    n = f.shape[0]
+    occ = np.arange(fd.n_elec)
+    vir = np.arange(fd.n_elec, n)
+    eps = np.diag(f)
+    denom = (eps[occ][:, None, None, None] + eps[occ][None, :, None, None]
+             - eps[vir][None, None, :, None] - eps[vir][None, None, None, :])
+    viajb = v[np.ix_(occ, occ, vir, vir)]
+    e2 = 0.25 * np.sum(viajb ** 2 / denom)
+    return e_hf, float(e2)
