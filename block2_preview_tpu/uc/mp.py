@@ -61,3 +61,41 @@ def mp2_energy(fd: FCIDUMP) -> Tuple[float, float]:
     viajb = v[np.ix_(occ, occ, vir, vir)]
     e2 = 0.25 * np.sum(viajb ** 2 / denom)
     return e_hf, float(e2)
+
+
+def rhf(fd: FCIDUMP, max_iter: int = 100, tol: float = 1e-12,
+        damp: float = 0.3) -> Tuple[float, np.ndarray]:
+    """Closed-shell RHF in the given MO basis; returns (E_HF, C) with C the
+    canonical orbital coefficients (the minimal SCF the reference defers to
+    pyscf for; used to canonicalize FCIDUMP integrals for MP2/CC)."""
+    assert not fd.uhf and fd.n_elec % 2 == 0
+    k = fd.n_sites
+    nocc = fd.n_elec // 2
+    h, g = fd.h1e, fd.g2e
+    c = np.eye(k)
+    e_last = np.inf
+    dm = 2.0 * c[:, :nocc] @ c[:, :nocc].T
+    for it in range(max_iter):
+        j = np.einsum("pqrs,rs->pq", g, dm, optimize=True)
+        kx = np.einsum("prqs,rs->pq", g, dm, optimize=True)
+        fmat = h + j - 0.5 * kx
+        e = 0.5 * np.sum((h + fmat) * dm) + fd.const_e
+        w, c = np.linalg.eigh(fmat)
+        dm_new = 2.0 * c[:, :nocc] @ c[:, :nocc].T
+        dm = (1 - damp) * dm_new + damp * dm
+        if abs(e - e_last) < tol:
+            e_last = e
+            break
+        e_last = e
+    return float(e_last), c
+
+
+def canonicalize_fcidump(fd: FCIDUMP) -> FCIDUMP:
+    """Rotate integrals into the canonical RHF basis."""
+    e_hf, c = rhf(fd)
+    return FCIDUMP(
+        n_sites=fd.n_sites, n_elec=fd.n_elec, twos=fd.twos,
+        orb_sym=np.zeros(fd.n_sites, dtype=np.int64), const_e=fd.const_e,
+        h1e=c.T @ fd.h1e @ c,
+        g2e=np.einsum("pi,qj,rk,sl,pqrs->ijkl", c, c, c, c, fd.g2e,
+                      optimize=True))
