@@ -31,8 +31,8 @@ def ccsd_energy(f, v, t1, t2, occ, vir) -> float:
 
 
 def gccsd(fd: FCIDUMP, max_iter: int = 200, tol: float = 1e-10,
-          diis: bool = True) -> Tuple[float, float]:
-    """Returns (E_HF, E_CCSD_correlation)."""
+          diis: bool = True, return_amplitudes: bool = False):
+    """Returns (E_HF, E_CCSD_correlation) [, t1, t2]."""
     e_hf, f, v = hf_energy_and_fock(fd)
     n = f.shape[0]
     no = fd.n_elec
@@ -174,4 +174,49 @@ def gccsd(fd: FCIDUMP, max_iter: int = 200, tol: float = 1e-10,
             e_last = e
             break
         e_last = e
+    if return_amplitudes:
+        return e_hf, float(e_last), t1, t2
     return e_hf, float(e_last)
+
+
+def ccsd_t(fd: FCIDUMP, t1: np.ndarray = None, t2: np.ndarray = None
+           ) -> Tuple[float, float, float]:
+    """CCSD(T): perturbative triples on top of converged CCSD amplitudes
+    (reference pyblock2/cc gccsd(T) tier).  Returns (E_HF, E_CCSD, E_(T))."""
+    e_hf, f, v = hf_energy_and_fock(fd)
+    n = f.shape[0]
+    no = fd.n_elec
+    occ = np.arange(no)
+    vir = np.arange(no, n)
+    if t1 is None or t2 is None:
+        e_hf, e_cc, t1, t2 = gccsd(fd, return_amplitudes=True)
+    else:
+        e_cc = ccsd_energy(f, v, t1, t2, occ, vir)
+    eps = np.diag(f)
+    eo, ev = eps[occ], eps[vir]
+    d3 = (eo[:, None, None, None, None, None]
+          + eo[None, :, None, None, None, None]
+          + eo[None, None, :, None, None, None]
+          - ev[None, None, None, :, None, None]
+          - ev[None, None, None, None, :, None]
+          - ev[None, None, None, None, None, :])
+    d3 = np.where(np.abs(d3) < 1e-10, -1.0, d3)
+    vvvoo = v[np.ix_(vir, occ, vir, vir)]     # <ei||bc> -> index (e,i,b,c)
+    ovoo = v[np.ix_(occ, vir, occ, occ)]      # <ma||jk>
+    oovv = v[np.ix_(occ, occ, vir, vir)]
+
+    base = (np.einsum("jkae,eibc->ijkabc", t2, vvvoo, optimize=True)
+            - np.einsum("imbc,majk->ijkabc", t2, ovoo, optimize=True))
+
+    def p_ijk_abc(x):
+        # P(i/jk) P(a/bc)
+        y = x - x.transpose(1, 0, 2, 3, 4, 5) - x.transpose(2, 1, 0, 3, 4, 5)
+        return (y - y.transpose(0, 1, 2, 4, 3, 5)
+                - y.transpose(0, 1, 2, 5, 4, 3))
+
+    t3c = p_ijk_abc(base) / d3
+    disc = np.einsum("ia,jkbc->ijkabc", t1, oovv, optimize=True)
+    t3d = p_ijk_abc(disc) / d3
+    e_t = np.einsum("ijkabc,ijkabc->", t3c * d3, t3c + t3d,
+                    optimize=True) / 36.0
+    return e_hf, float(e_cc), float(e_t)

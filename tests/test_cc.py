@@ -38,3 +38,14 @@ def test_rhf_idempotent_on_canonical():
     # already canonical: energy stable, orbitals ~identity up to phase
     e2, c2 = rhf(fd)
     assert abs(e1 - e2) < 1e-10
+
+
+def test_ccsd_t_vanishes_for_two_electrons():
+    from block2_preview_tpu.cc.gccsd import ccsd_t
+    fd2 = canonicalize_fcidump(FCIDUMP.hubbard(4, u=2.0, t=1.0, n_elec=2))
+    e_hf, e_cc, e_t = ccsd_t(fd2)
+    assert abs(e_t) < 1e-12        # no triples with 2 electrons
+    fd = FCIDUMP.hubbard(4, u=1.0, t=1.0, n_elec=4)
+    fd2 = canonicalize_fcidump(fd)
+    e_hf, e_cc, e_t = ccsd_t(fd2)
+    assert abs(e_t) < 0.1 * abs(e_cc)   # small perturbative correction
