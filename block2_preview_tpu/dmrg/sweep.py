@@ -259,7 +259,11 @@ class DMRG:
             return np.array([th]), xv[:, None], nmv
         if self.backend in ("jax", "jax_device"):
             from ..ops.exec_jax import FusedPlanExecutor
-            ex = FusedPlanExecutor(eff, dtype=self.dtype)
+            if not hasattr(self, "_exec_cache"):
+                self._exec_cache = {}
+            ex = FusedPlanExecutor(eff, dtype=self.dtype,
+                                   cache=self._exec_cache,
+                                   cache_key=eff.t)
             return davidson(ex.matvec, diag, x0, n_roots=self.n_roots,
                             conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
         return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,

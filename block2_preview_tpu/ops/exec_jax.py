@@ -140,7 +140,7 @@ def _fused_sigma_impl(xp, buckets, perm, seg_ids, mask, num_segments):
     vals = jnp.concatenate(pieces)[perm]
     sig = jax.ops.segment_sum(vals, seg_ids, num_segments=num_segments,
                               indices_are_sorted=True)
-    return sig * mask
+    return sig * mask.astype(sig.dtype)
 
 
 _fused_sigma = jax.jit(_fused_sigma_impl,
@@ -148,59 +148,166 @@ _fused_sigma = jax.jit(_fused_sigma_impl,
 
 
 class FusedPlanExecutor:
-    """Single-kernel sigma-vector plan with sorted segment-sum accumulation."""
+    """Single-kernel sigma-vector plan with sorted segment-sum accumulation.
+
+    The packing structure (bucket index maps, gather layouts, scatter
+    permutation) depends only on the triple/shape structure of the effective
+    Hamiltonian and is cached across center steps/sweeps when a `cache`
+    dict is provided (ConnectionInfo-style reuse); only the LW/RW numeric
+    pools are rebuilt per step, via vectorized pooled gathers."""
 
     VEC_PAD = 2048
 
-    def __init__(self, eff, dtype=np.float64):
+    def __init__(self, eff, dtype=np.float64, cache: dict = None,
+                 cache_key=None):
         self.size = eff.size
         self.size_p = ((eff.size + self.VEC_PAD) // self.VEC_PAD) \
             * self.VEC_PAD
         self.dtype = dtype
+
+        # numeric pools of LW/RW blocks (rebuilt every step)
+        lw_ids: Dict[Tuple, int] = {}
+        rw_ids: Dict[Tuple, int] = {}
+        lw_mats: List[np.ndarray] = []
+        rw_mats: List[np.ndarray] = []
+        for m, d in sorted(eff.LW.items()):
+            for k2, mat in sorted(d.items()):
+                lw_ids[(m, k2)] = len(lw_mats)
+                lw_mats.append(mat)
+        for m, d in sorted(eff.RW.items()):
+            for k2, mat in sorted(d.items()):
+                rw_ids[(m, k2)] = len(rw_mats)
+                rw_mats.append(mat)
+
+        struct = None
+        if cache is not None and cache_key is not None:
+            sig = hash((self.size,
+                        tuple(sorted(eff.shapes.items())),
+                        tuple(eff.triples),
+                        tuple(m.shape for m in lw_mats),
+                        tuple(m.shape for m in rw_mats)))
+            ent = cache.get(cache_key)
+            if ent is not None and ent[0] == sig:
+                struct = ent[1]
+        if struct is None:
+            struct = self._build_struct(eff, lw_ids, rw_ids,
+                                        [m.shape for m in lw_mats],
+                                        [m.shape for m in rw_mats])
+            if cache is not None and cache_key is not None:
+                cache[cache_key] = (sig, struct)
+
+        # pools -> padded stacks via precomputed gathers
+        lsz = np.asarray([m.size for m in lw_mats] or [0], dtype=np.int64)
+        loffs = np.concatenate([[0], np.cumsum(lsz)])
+        lpool = np.zeros(int(loffs[-1]) + 1, dtype=dtype)
+        for mat, o in zip(lw_mats, loffs[:-1]):
+            lpool[o:o + mat.size] = mat.ravel()
+        rsz = np.asarray([m.size for m in rw_mats] or [0], dtype=np.int64)
+        roffs = np.concatenate([[0], np.cumsum(rsz)])
+        rpool = np.zeros(int(roffs[-1]) + 1, dtype=dtype)
+        for mat, o in zip(rw_mats, roffs[:-1]):
+            rpool[o:o + mat.size] = mat.ravel()
+
+        dev_buckets = []
+        for bk in struct["buckets"]:
+            A = lpool[bk["ga"]]
+            R = rpool[bk["gr"]]
+            dev_buckets.append((jnp.asarray(A), jnp.asarray(R), bk["pidx"]))
+        self.device_buckets = tuple(dev_buckets)
+        self.perm = struct["perm"]
+        self.seg_ids = struct["seg_ids"]
+        self.num_segments = self.size_p + 1
+        self.mask = struct["mask"]
+
+    def _build_struct(self, eff, lw_ids, rw_ids, lw_shapes, rw_shapes):
         invalid = self.size_p
         buckets: Dict[Tuple[int, int, int, int], List] = {}
         for (m, lk, pk, rk, ok) in eff.triples:
-            lb = eff.LW[m][lk]
-            rb = eff.RW[m][rk]
-            a0, k0 = lb.shape
-            p0, n0 = rb.shape
+            a0, k0 = lw_shapes[lw_ids[(m, lk)]]
+            p0, n0 = rw_shapes[rw_ids[(m, rk)]]
             key = (_round_dim(a0), _round_dim(k0),
                    _round_dim(n0), _round_dim(p0))
             buckets.setdefault(key, []).append(
-                (lb, rb, eff.offsets[pk], eff.shapes[pk],
+                (lw_ids[(m, lk)], rw_ids[(m, rk)],
+                 eff.offsets[pk], eff.shapes[pk],
                  eff.offsets[ok], eff.shapes[ok]))
-        dev_buckets = []
-        out_targets = []    # flat target index per output element, in order
+        lsz = np.asarray([s[0] * s[1] for s in lw_shapes] or [0],
+                         dtype=np.int64)
+        loffs = np.concatenate([[0], np.cumsum(lsz)])
+        rsz = np.asarray([s[0] * s[1] for s in rw_shapes] or [0],
+                         dtype=np.int64)
+        roffs = np.concatenate([[0], np.cumsum(rsz)])
+        lshape = np.asarray(lw_shapes or [(0, 0)], dtype=np.int64)
+        rshape = np.asarray(rw_shapes or [(0, 0)], dtype=np.int64)
+        sent_l = int(loffs[-1])
+        sent_r = int(roffs[-1])
+
+        def gather_idx(offs, ids, rows, cols, R, Cc, sent):
+            r = np.arange(R)[None, :, None]
+            c = np.arange(Cc)[None, None, :]
+            rt = rows[:, None, None]
+            ct = cols[:, None, None]
+            g = offs[ids][:, None, None] + r * ct + c
+            return np.where((r < rt) & (c < ct), g, sent).astype(np.int64)
+
+        out_buckets = []
+        out_targets = []
         for (a, k, n, p), items in sorted(buckets.items()):
             B = _round_batch(len(items))
-            A = np.zeros((B, a, k), dtype=dtype)
-            R = np.zeros((B, p, n), dtype=dtype)
-            pidx = np.full((B, k, n), invalid, dtype=np.int32)
-            tidx = np.full((B, a, p), invalid, dtype=np.int32)
-            for b, (lb, rb, poff, pshape, ooff, oshape) in enumerate(items):
-                a0, k0 = lb.shape
-                p0, n0 = rb.shape
-                A[b, :a0, :k0] = lb
-                R[b, :p0, :n0] = rb
-                kk, nn = pshape
-                pidx[b, :kk, :nn] = (poff + np.arange(kk * nn)
-                                     ).reshape(kk, nn)
-                aa, pp = oshape
-                tidx[b, :aa, :pp] = (ooff + np.arange(aa * pp)
-                                     ).reshape(aa, pp)
-            dev_buckets.append((jnp.asarray(A), jnp.asarray(R),
-                                jnp.asarray(pidx)))
+            la = np.asarray([it[0] for it in items], dtype=np.int64)
+            ra = np.asarray([it[1] for it in items], dtype=np.int64)
+            poff = np.asarray([it[2] for it in items], dtype=np.int64)
+            pk_r = np.asarray([it[3][0] for it in items], dtype=np.int64)
+            pk_c = np.asarray([it[3][1] for it in items], dtype=np.int64)
+            ooff = np.asarray([it[4] for it in items], dtype=np.int64)
+            ok_r = np.asarray([it[5][0] for it in items], dtype=np.int64)
+            ok_c = np.asarray([it[5][1] for it in items], dtype=np.int64)
+            nb = len(items)
+            pad = B - nb
+            if pad:
+                la = np.concatenate([la, np.zeros(pad, dtype=np.int64)])
+                ra = np.concatenate([ra, np.zeros(pad, dtype=np.int64)])
+                poff = np.concatenate([poff,
+                                       np.zeros(pad, dtype=np.int64)])
+                pk_r = np.concatenate([pk_r, np.zeros(pad, dtype=np.int64)])
+                pk_c = np.concatenate([pk_c, np.zeros(pad, dtype=np.int64)])
+                ooff = np.concatenate([ooff,
+                                       np.zeros(pad, dtype=np.int64)])
+                ok_r = np.concatenate([ok_r, np.zeros(pad, dtype=np.int64)])
+                ok_c = np.concatenate([ok_c, np.zeros(pad, dtype=np.int64)])
+            real = np.arange(B) < nb
+            ga = gather_idx(loffs, la, np.where(real, lshape[la, 0], 0),
+                            np.where(real, lshape[la, 1], 0), a, k, sent_l)
+            gr = gather_idx(roffs, ra, np.where(real, rshape[ra, 0], 0),
+                            np.where(real, rshape[ra, 1], 0), p, n, sent_r)
+            # psi gather: padded (k, n) from flat offsets
+            r = np.arange(k)[None, :, None]
+            c = np.arange(n)[None, None, :]
+            rt = np.where(real, pk_r, 0)[:, None, None]
+            ct = np.where(real, pk_c, 0)[:, None, None]
+            pidx = np.where((r < rt) & (c < ct),
+                            poff[:, None, None] + r * ct + c,
+                            invalid).astype(np.int32)
+            # out targets
+            r = np.arange(a)[None, :, None]
+            c = np.arange(p)[None, None, :]
+            rt = np.where(real, ok_r, 0)[:, None, None]
+            ct = np.where(real, ok_c, 0)[:, None, None]
+            tidx = np.where((r < rt) & (c < ct),
+                            ooff[:, None, None] + r * ct + c,
+                            invalid).astype(np.int32)
+            out_buckets.append({"ga": ga, "gr": gr,
+                                "pidx": jnp.asarray(pidx)})
             out_targets.append(tidx.reshape(-1))
-        self.device_buckets = tuple(dev_buckets)
         targets = np.concatenate(out_targets) if out_targets else \
             np.zeros(0, dtype=np.int32)
         perm = np.argsort(targets, kind="stable").astype(np.int32)
-        self.perm = jnp.asarray(perm)
-        self.seg_ids = jnp.asarray(targets[perm])
-        self.num_segments = self.size_p + 1
-        msk = np.zeros(self.size_p + 1, dtype=dtype)
+        msk = np.zeros(self.size_p + 1, dtype=np.float64)
         msk[:self.size] = 1.0
-        self.mask = jnp.asarray(msk)
+        return {"buckets": out_buckets,
+                "perm": jnp.asarray(perm),
+                "seg_ids": jnp.asarray(targets[perm]),
+                "mask": jnp.asarray(msk)}
 
     # device-level matvec on padded vectors [size_p + 1]
     def matvec_device(self, xp):
