@@ -135,7 +135,8 @@ def build_term_table(n_sites: int, raw_terms: Iterable[RawTerm],
 # Quantum-chemistry Hamiltonian -> raw terms (spin-orbital expansion)
 # ----------------------------------------------------------------------
 
-def qc_raw_terms(fd: FCIDUMP, cutoff: float = 1e-13) -> List[RawTerm]:
+def qc_raw_terms(fd: FCIDUMP, cutoff: float = 1e-13,
+                 pg_mode: object = "xor") -> List[RawTerm]:
     """Expand H = sum_{s,ij} h_ij c+_is c_js
                + 1/2 sum_{st,ijkl} (ij|kl) c+_is c+_kt c_lt c_js
     into elementary operator strings (chemist-notation integrals, matching
@@ -155,14 +156,32 @@ def qc_raw_terms(fd: FCIDUMP, cutoff: float = 1e-13) -> List[RawTerm]:
         vba = vab.transpose(2, 3, 0, 1)
         v_sections = [(0, 0, 0.5, vaa), (1, 1, 0.5, vbb),
                       (0, 1, 0.5, vab), (1, 0, 0.5, vba)]
+    # symmetry filter on orbital labels: "xor" (D2h point groups), an int L
+    # (mod-L momentum conservation with +k for creation, -k annihilation),
+    # or "none"
     pg = None
-    if fd.orb_sym is not None and np.any(fd.orb_sym):
+    if pg_mode != "none" and fd.orb_sym is not None and np.any(fd.orb_sym):
         pg = np.asarray(fd.orb_sym, dtype=np.int64)
+
+    def keep1(i, j):
+        if pg is None:
+            return True
+        if pg_mode == "xor":
+            return (pg[i] ^ pg[j]) == 0
+        return (pg[i] - pg[j]) % int(pg_mode) == 0
+
+    def keep2(i, j, k, l):
+        if pg is None:
+            return True
+        if pg_mode == "xor":
+            return (pg[i] ^ pg[j] ^ pg[k] ^ pg[l]) == 0
+        return (pg[i] - pg[j] + pg[k] - pg[l]) % int(pg_mode) == 0
+
     for s in (0, 1):
         cre, des = spins[s]
         hh = h1[s]
         for i, j in zip(*np.nonzero(np.abs(hh) > cutoff)):
-            if pg is not None and (pg[i] ^ pg[j]) != 0:
+            if not keep1(i, j):
                 continue
             terms.append((float(hh[i, j]), [(int(i), cre), (int(j), des)]))
     for s, t, w, v in v_sections:
@@ -171,7 +190,7 @@ def qc_raw_terms(fd: FCIDUMP, cutoff: float = 1e-13) -> List[RawTerm]:
         idx = np.nonzero(np.abs(v) > cutoff)
         vals = v[idx]
         for (i, j, k, l), val in zip(zip(*idx), vals):
-            if pg is not None and (pg[i] ^ pg[j] ^ pg[k] ^ pg[l]) != 0:
+            if not keep2(i, j, k, l):
                 continue
             terms.append((w * float(val),
                           [(int(i), cre_s), (int(k), cre_t),

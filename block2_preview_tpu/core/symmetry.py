@@ -26,31 +26,47 @@ QN = Tuple[int, ...]
 @dataclass(frozen=True)
 class SymmetryGroup:
     """A product of abelian factors. Mirrors block2's SAny in spirit
-    (reference src/core/symmetry.hpp:58) but host-side only."""
+    (reference src/core/symmetry.hpp:58) but host-side only.
 
-    kinds: Tuple[str, ...]          # each 'u1' or 'xor'
+    Factor kinds: 'u1' (integer addition), 'xor' (Z2^k point groups), or
+    'modN' for an N-element cyclic factor (K-point momentum, the SZK/LZ
+    family of the reference, symmetry.hpp:738 SZKLong)."""
+
+    kinds: Tuple[str, ...]          # each 'u1', 'xor', or 'modN'
     names: Tuple[str, ...]
     fermion_index: int = 0          # which factor is particle number (parity)
 
     def __post_init__(self):
         assert len(self.kinds) == len(self.names)
         for k in self.kinds:
-            assert k in ("u1", "xor"), k
+            assert k in ("u1", "xor") or \
+                (k.startswith("mod") and int(k[3:]) > 0), k
 
     @property
     def zero(self) -> QN:
         return (0,) * len(self.kinds)
 
     def add(self, a: QN, b: QN) -> QN:
-        return tuple(
-            (x + y) if k == "u1" else (x ^ y)
-            for x, y, k in zip(a, b, self.kinds)
-        )
+        out = []
+        for x, y, k in zip(a, b, self.kinds):
+            if k == "u1":
+                out.append(x + y)
+            elif k == "xor":
+                out.append(x ^ y)
+            else:
+                out.append((x + y) % int(k[3:]))
+        return tuple(out)
 
     def neg(self, a: QN) -> QN:
-        return tuple(
-            (-x) if k == "u1" else x for x, k in zip(a, self.kinds)
-        )
+        out = []
+        for x, k in zip(a, self.kinds):
+            if k == "u1":
+                out.append(-x)
+            elif k == "xor":
+                out.append(x)
+            else:
+                out.append((-x) % int(k[3:]))
+        return tuple(out)
 
     def sub(self, a: QN, b: QN) -> QN:
         return self.add(a, self.neg(b))

@@ -76,13 +76,17 @@ def _min_vertex_cover(nl: int, nr: int, el: np.ndarray, er: np.ndarray
 
 def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
               const_e: float = 0.0, cutoff: float = 1e-14,
-              spec: SiteBasisSpec = SZ_SITE) -> MPO:
-    """Compile a TermTable into a bipartite-compressed numeric MPO."""
+              spec: SiteBasisSpec = SZ_SITE,
+              site_quanta=None) -> MPO:
+    """Compile a TermTable into a bipartite-compressed numeric MPO.
+    site_quanta overrides the per-site basis quanta (K-point/LZ modes where
+    labels are not XOR point-group irreps)."""
     g = tt.group
     L = tt.n_sites
-    if site_pgs is None:
-        site_pgs = [0] * L
-    site_quanta = [spec.quanta(int(p)) for p in site_pgs]
+    if site_quanta is None:
+        if site_pgs is None:
+            site_pgs = [0] * L
+        site_quanta = [spec.quanta(int(p)) for p in site_pgs]
 
     # delta quantum per (registry id, site)
     nreg = len(tt.registry)
