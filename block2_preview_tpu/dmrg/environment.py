@@ -97,8 +97,14 @@ class MovingEnvironment:
             plan = cached[1]
         if plan is None:
             return {}
+        dt = self._dtype_of(env, t)
+        if dt == np.float64:
+            from ..ops.blocking_plan import execute_plan_native
+            out = execute_plan_native(plan, env, bra_T, ket_T, self.g)
+            if out is not None:
+                return out
         return execute_plan_numpy(plan, env, bra_T, ket_T, self.g,
-                                  dtype=self._dtype_of(env, t))
+                                  dtype=dt)
 
     # ------------------------------------------------------------------
     def _left_contract(self, t: int) -> EnvMap:

@@ -32,7 +32,7 @@ class BlockingPlan:
     __slots__ = ("buckets", "out_meta", "out_offs", "total_out",
                  "env_order", "bra_order", "ket_order",
                  "env_sizes", "bra_sizes", "ket_sizes", "direction",
-                 "dq_out")
+                 "dq_out", "native")
 
 
 def structure_signature(env, entries_id, bra_T, ket_T) -> int:
@@ -206,6 +206,26 @@ def build_plan(env: Dict[int, BlockMatrix], entries, quanta, bra_T, ket_T,
     boundsb = np.nonzero(np.diff(bkey[order]))[0] + 1
     starts = np.concatenate([[0], boundsb, [len(order)]])
 
+    # native (C++/OpenMP) execution arrays: contributions grouped by output
+    # block (conflict-free parallel partitioning)
+    order2 = np.argsort(inv, kind="stable")
+    inv_s = inv[order2]
+    gb = np.nonzero(np.diff(inv_s))[0] + 1
+    native = {
+        "eoff": np.ascontiguousarray(eoffs[ie[order2]]),
+        "boff": np.ascontiguousarray(boffs[bb[order2]]),
+        "koff": np.ascontiguousarray(koffs[kk[order2]]),
+        "dl": np.ascontiguousarray(d_l[order2].astype(np.int32)),
+        "dx": np.ascontiguousarray(d_x[order2].astype(np.int32)),
+        "dk": np.ascontiguousarray(d_k[order2].astype(np.int32)),
+        "dy": np.ascontiguousarray(d_y[order2].astype(np.int32)),
+        "coef_order": order2,
+        "out_off": np.ascontiguousarray(out_offs[inv_s]),
+        "grp_starts": np.ascontiguousarray(
+            np.concatenate([[0], gb, [len(order2)]]).astype(np.int64)),
+    }
+    native["coefs"] = np.ascontiguousarray(coefs[order2])
+
     # compact per-bucket structure only (O(C) memory); gather index matrices
     # are rebuilt at execution time (free relative to the einsum volume)
     buckets = []
@@ -244,6 +264,7 @@ def build_plan(env: Dict[int, BlockMatrix], entries, quanta, bra_T, ket_T,
     plan.bra_sizes = (boffs, sent_b)
     plan.ket_sizes = (koffs, sent_k)
     plan.dq_out = bond_dqs_out
+    plan.native = native
     return plan
 
 
@@ -313,6 +334,51 @@ def execute_plan_numpy(plan: BlockingPlan, env, bra_T, ket_T, group,
         vmask = (r < rt) & (c < ct)
         tgt = plan.out_offs[bk["oid"]][:, None, None] + r * ct + c
         np.add.at(flat, tgt[vmask], res[vmask])
+    out: Dict[int, BlockMatrix] = {}
+    for u, (sym, qb, qk, d1, d2) in enumerate(plan.out_meta):
+        bm = out.get(sym)
+        if bm is None:
+            bm = BlockMatrix(group, plan.dq_out[sym])
+            out[sym] = bm
+        bm.blocks[(qb, qk)] = flat[plan.out_offs[u]:
+                                   plan.out_offs[u + 1]].reshape(d1, d2)
+    return out
+
+
+def execute_plan_native(plan: BlockingPlan, env, bra_T, ket_T, group
+                        ) -> Optional[Dict[int, BlockMatrix]]:
+    """C++/OpenMP execution of a blocking plan (f64 only); returns None when
+    the native library is unavailable (caller falls back to numpy)."""
+    import ctypes
+
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None or plan.native is None:
+        return None
+    epool, bpool, kpool = _pools(plan, env, bra_T, ket_T, np.float64)
+    if any(np.iscomplexobj(p) for p in (epool, bpool, kpool)) or \
+            np.iscomplexobj(plan.native["coefs"]):
+        return None
+    nat = plan.native
+    n = len(nat["eoff"])
+    flat = np.zeros(plan.total_out + 1, dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    coefs = np.ascontiguousarray(nat["coefs"], dtype=np.float64)
+    lib.sandwich_exec(
+        0 if plan.direction == "left" else 1, n,
+        epool.ctypes.data_as(dp), bpool.ctypes.data_as(dp),
+        kpool.ctypes.data_as(dp),
+        nat["eoff"].ctypes.data_as(i64), nat["boff"].ctypes.data_as(i64),
+        nat["koff"].ctypes.data_as(i64),
+        nat["dl"].ctypes.data_as(i32), nat["dx"].ctypes.data_as(i32),
+        nat["dk"].ctypes.data_as(i32), nat["dy"].ctypes.data_as(i32),
+        coefs.ctypes.data_as(dp),
+        nat["out_off"].ctypes.data_as(i64),
+        nat["grp_starts"].ctypes.data_as(i64),
+        len(nat["grp_starts"]) - 1,
+        flat.ctypes.data_as(dp))
     out: Dict[int, BlockMatrix] = {}
     for u, (sym, qb, qk, d1, d2) in enumerate(plan.out_meta):
         bm = out.get(sym)
