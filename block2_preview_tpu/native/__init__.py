@@ -33,6 +33,16 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(so)
     except OSError:
         return None
+    lib.assemble_exec.restype = None
+    lib.assemble_exec.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+    ]
     lib.sandwich_exec.restype = None
     lib.sandwich_exec.argtypes = [
         ctypes.c_int, ctypes.c_int64,

@@ -479,6 +479,46 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
         epool[eoffs[ii]:eoffs[ii + 1]] = m.ravel()
     epool[-1] = 0.0
 
+    # native (C++/OpenMP) scatter-assembly fast path for real data
+    if dtype == np.float64 and not np.iscomplexobj(coefs):
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+            order2 = np.argsort(inv, kind="stable")
+            inv_s = inv[order2]
+            gbnd = np.nonzero(np.diff(inv_s))[0] + 1
+            grp = np.ascontiguousarray(
+                np.concatenate([[0], gbnd, [len(order2)]]).astype(np.int64))
+            eoff_c = np.ascontiguousarray(eoffs[ie[order2]])
+            d1_c = np.ascontiguousarray(d1[order2].astype(np.int32))
+            d2_c = np.ascontiguousarray(d2[order2].astype(np.int32))
+            coef_c = np.ascontiguousarray(coefs[order2].astype(np.float64))
+            cols_c = out_cols[inv_s]
+            ooff_c = np.ascontiguousarray(
+                offs[inv_s] + ob[order2] * cols_c + ok[order2])
+            cols32 = np.ascontiguousarray(cols_c.astype(np.int32))
+            dp = ctypes.POINTER(ctypes.c_double)
+            i64 = ctypes.POINTER(ctypes.c_int64)
+            i32 = ctypes.POINTER(ctypes.c_int32)
+            lib.assemble_exec(
+                len(order2), epool.ctypes.data_as(dp),
+                eoff_c.ctypes.data_as(i64),
+                d1_c.ctypes.data_as(i32), d2_c.ctypes.data_as(i32),
+                coef_c.ctypes.data_as(dp),
+                ooff_c.ctypes.data_as(i64), cols32.ctypes.data_as(i32),
+                grp.ctypes.data_as(i64), len(grp) - 1,
+                flat.ctypes.data_as(dp))
+            out_n: Dict[int, Dict] = {}
+            for u in range(len(uniq)):
+                m = int((uniq[u] // nf) // nf)
+                qb_f = fsec_list[int(u_sb[u])][1]
+                qk_f = fsec_list[int(u_sk[u])][1]
+                out_n.setdefault(m, {})[(qb_f, qk_f)] = \
+                    flat[offs[u]:offs[u + 1]].reshape(int(out_rows[u]),
+                                                      int(out_cols[u]))
+            return out_n
+
     # chunk by padded env-block shape
     r1, r2 = _round_vec(d1), _round_vec(d2)
     bkey = (r1 << 20) | r2
