@@ -164,15 +164,19 @@ class EffectiveHamiltonian2:
 
         if getattr(self, "fast_assemble", True):
             from ..ops.blocking import assemble_fused_ops
+            if not hasattr(me, "_asm_cache"):
+                me._asm_cache = {}
             self.LW = assemble_fused_ops(
                 env_l, mpo.tensors[t], quanta_l, flb, bond_is_first=True,
                 join_on_input=True, group=g, active=active_lb,
-                fused_ket=flk, active_ket=active_lk, dtype=self.dtype)
+                fused_ket=flk, active_ket=active_lk, dtype=self.dtype,
+                plan_cache=me._asm_cache, plan_key=(t, "lw"))
             self.RW = assemble_fused_ops(
                 env_r, mpo.tensors[t + 1], quanta_r, frb,
                 bond_is_first=False, join_on_input=False, comp_target=tb,
                 group=g, active=active_rb, fused_ket=frk,
-                comp_target_ket=tk, active_ket=active_rk, dtype=self.dtype)
+                comp_target_ket=tk, active_ket=active_rk, dtype=self.dtype,
+                plan_cache=me._asm_cache, plan_key=(t, "rw"))
             return
 
         # LW[m][(qLb, qLk)] built from E_L[i] and W_t[(i, m)]

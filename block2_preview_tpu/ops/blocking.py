@@ -336,10 +336,55 @@ def _rv(d):
     return _round_dim(int(d))
 
 
+def _exec_assembly_cached(struct, env, group):
+    """Execute a cached assembly plan: refill the env pool and run the
+    native scatter kernel."""
+    import ctypes
+
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    eoffs = struct["eoffs"]
+    epool = np.zeros(int(eoffs[-1]) + 1, dtype=np.float64)
+    for ii, (sym, k) in enumerate(struct["env_order"]):
+        blk = env[sym].blocks[k]
+        if np.iscomplexobj(blk):
+            return None
+        epool[eoffs[ii]:eoffs[ii + 1]] = blk.ravel()
+    flat = np.zeros(struct["total"], dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.assemble_exec(
+        len(struct["eoff_c"]), epool.ctypes.data_as(dp),
+        struct["eoff_c"].ctypes.data_as(i64),
+        struct["d1_c"].ctypes.data_as(i32),
+        struct["d2_c"].ctypes.data_as(i32),
+        struct["coef_c"].ctypes.data_as(dp),
+        struct["ooff_c"].ctypes.data_as(i64),
+        struct["cols32"].ctypes.data_as(i32),
+        struct["grp"].ctypes.data_as(i64), len(struct["grp"]) - 1,
+        flat.ctypes.data_as(dp))
+    out: Dict[int, Dict] = {}
+    for (m, qb_f, qk_f, o0, o1, r, c) in struct["out_meta"]:
+        out.setdefault(m, {})[(qb_f, qk_f)] = flat[o0:o1].reshape(r, c)
+    return out
+
+
+def _assembly_sig(env, n_entries):
+    h = hash(n_entries)
+    for sym, bm in env.items():
+        for k, blk in bm.blocks.items():
+            h = hash((h, sym, k, blk.shape))
+    return h
+
+
 def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
                        join_on_input: bool, comp_target=None, group=None,
                        active=None, dtype=np.float64, fused_ket=None,
-                       comp_target_ket=None, active_ket=None):
+                       comp_target_ket=None, active_ket=None,
+                       plan_cache=None, plan_key=None):
     """Vectorized assembly of fused-basis effective operators LW[m]/RW[m]
     (the DelayedOperatorTensor contraction of block2, reference
     src/core/operator_tensor.hpp:209), replacing per-block Python loops in
@@ -358,6 +403,15 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
     """
     g = group
     nphys = len(quanta)
+    use_cache = (plan_cache is not None and plan_key is not None
+                 and dtype == np.float64)
+    if use_cache:
+        sig = _assembly_sig(env, len(entries))
+        ent = plan_cache.get(plan_key)
+        if ent is not None and ent[0] == sig:
+            out = _exec_assembly_cached(ent[1], env, group)
+            if out is not None:
+                return out
     # bond sector codes
     code_of: Dict[QN, int] = {}
     code_list: List[QN] = []
@@ -371,8 +425,10 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
         return c
 
     esym, eqb, eqk, emats = [], [], [], []
+    env_order = []
     for sym, bm in env.items():
         for (qb, qk), mat in bm.blocks.items():
+            env_order.append((sym, (qb, qk)))
             esym.append(sym)
             eqb.append(code(qb))
             eqk.append(code(qk))
@@ -510,6 +566,7 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
                 grp.ctypes.data_as(i64), len(grp) - 1,
                 flat.ctypes.data_as(dp))
             out_n: Dict[int, Dict] = {}
+            out_meta = []
             for u in range(len(uniq)):
                 m = int((uniq[u] // nf) // nf)
                 qb_f = fsec_list[int(u_sb[u])][1]
@@ -517,6 +574,16 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
                 out_n.setdefault(m, {})[(qb_f, qk_f)] = \
                     flat[offs[u]:offs[u + 1]].reshape(int(out_rows[u]),
                                                       int(out_cols[u]))
+                out_meta.append((m, qb_f, qk_f, int(offs[u]),
+                                 int(offs[u + 1]), int(out_rows[u]),
+                                 int(out_cols[u])))
+            if use_cache:
+                plan_cache[plan_key] = (sig, {
+                    "env_order": env_order, "eoffs": eoffs.copy(),
+                    "eoff_c": eoff_c, "d1_c": d1_c, "d2_c": d2_c,
+                    "coef_c": coef_c, "ooff_c": ooff_c, "cols32": cols32,
+                    "grp": grp, "total": int(offs[-1]),
+                    "out_meta": out_meta})
             return out_n
 
     # chunk by padded env-block shape
