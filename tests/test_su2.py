@@ -131,3 +131,40 @@ def test_su2_heisenberg_l16():
     d = SU2HeisenbergDMRG(16, bond_dim=64)
     e = d.solve(n_sweeps=6)
     assert abs(e - (-6.911737145574907)) < 1e-7, e
+
+
+def _heisenberg_ed_spin(L, tj, tsz=0):
+    """Lowest eigenvalue of the open chain in the total-Sz = tsz/2 sector."""
+    sz1, sp1, sm1 = _spin_mats(tj)
+    d = tj + 1
+    def site(op, i):
+        out = np.eye(1)
+        for t in range(L):
+            out = np.kron(out, op if t == i else np.eye(d))
+        return out
+    H = np.zeros((d ** L, d ** L))
+    for i in range(L - 1):
+        H += site(sz1, i) @ site(sz1, i + 1)
+        H += 0.5 * (site(sp1, i) @ site(sm1, i + 1)
+                    + site(sm1, i) @ site(sp1, i + 1))
+    SZ = sum(site(sz1, i) for i in range(L))
+    mask = np.abs(np.diag(SZ) - tsz / 2.0) < 1e-9
+    Hs = H[np.ix_(mask, mask)]
+    return float(np.linalg.eigvalsh(Hs)[0])
+
+
+def test_su2_spin1_haldane():
+    """Spin-1 Heisenberg chain (Haldane phase), L=6 vs ED."""
+    e_ed = _heisenberg_ed_spin(6, 2)
+    d = SU2HeisenbergDMRG(6, bond_dim=40, tj_site=2)
+    e = d.solve(n_sweeps=5)
+    assert abs(e - e_ed) < 1e-8, (e, e_ed)
+
+
+def test_su2_triplet_target():
+    """Lowest S=1 state of the L=6 spin-1/2 chain: target_tj=2 vs the
+    lowest eigenvalue of the Sz=1 sector (GS there is the triplet)."""
+    e_ed = _heisenberg_ed_spin(6, 1, tsz=2)
+    d = SU2HeisenbergDMRG(6, bond_dim=32, target_tj=2)
+    e = d.solve(n_sweeps=5)
+    assert abs(e - e_ed) < 1e-8, (e, e_ed)
