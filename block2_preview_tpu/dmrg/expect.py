@@ -79,39 +79,55 @@ def _transfer_identity(e: EnvBlocks, Tb, Tk) -> EnvBlocks:
 
 
 class StringExpectation:
-    """Prefix-cached evaluation of <psi| operator-string |psi> for many
-    strings sharing prefixes (the conventional-NPDM evaluation engine)."""
+    """Prefix-cached evaluation of <bra| operator-string |ket> for many
+    strings sharing prefixes (the conventional-NPDM evaluation engine).
 
-    def __init__(self, mps: MPS):
+    With bra=None this is <psi|...|psi>; passing a different bra gives
+    transition matrix elements (reference Expect::get_1pdm with bra != ket,
+    pyblock2 get_trans_1pdm)."""
+
+    def __init__(self, mps: MPS, bra: Optional[MPS] = None):
         self.g = mps.group
         self.L = mps.n_sites
-        # work on a left-canonical copy so identity left-environments are
-        # exact identities
-        import copy
-        m = MPS(mps.info, [t for t in mps.tensors], mps.center)
-        m.tensors = [type(t)(t.group, dict(t.blocks)) for t in mps.tensors]
-        for t in range(self.L - 1):
-            m.left_canonicalize_site(t)
-        self.mps = m
+        self.same = bra is None
+
+        def _lcanon(src: MPS) -> MPS:
+            # left-canonical copy: gauge change only, state preserved
+            m = MPS(src.info, [t for t in src.tensors], src.center)
+            m.tensors = [type(t)(t.group, dict(t.blocks))
+                         for t in src.tensors]
+            for t in range(self.L - 1):
+                m.left_canonicalize_site(t)
+            return m
+
+        self.mps = _lcanon(mps)
+        self.bra = self.mps if self.same else _lcanon(bra)
         self.registry = OpRegistry()
         self.site_quanta = mps.info.site_quanta
         self.target = mps.info.target
+        self.bra_target = self.bra.info.target
         # right identity environments R[t] at every bond
         self.renvs: List[EnvBlocks] = [None] * (self.L + 1)
-        self.renvs[self.L] = {(self.target, self.target): np.ones((1, 1))}
+        self.renvs[self.L] = {(self.bra_target, self.target):
+                              np.ones((1, 1))}
         for t in range(self.L - 1, -1, -1):
             self.renvs[t] = self._transfer_right_identity(
-                self.renvs[t + 1], m.tensors[t])
+                self.renvs[t + 1], self.bra.tensors[t], self.mps.tensors[t])
+        if self.same:
+            self._ovlp = 1.0
+        else:
+            r0 = self.renvs[0].get((self.g.zero, self.g.zero))
+            self._ovlp = float(r0[0, 0]) if r0 is not None else 0.0
 
-    def _transfer_right_identity(self, e: EnvBlocks, T) -> EnvBlocks:
+    def _transfer_right_identity(self, e: EnvBlocks, Tb, Tk) -> EnvBlocks:
         out: EnvBlocks = {}
-        blocks = list(T.blocks.items())
+        kblocks = list(Tk.blocks.items())
         for (qb2, qk2), eb in e.items():
-            for (qlb, qpb, qrb), bb in blocks:
+            for (qlb, qpb, qrb), bb in Tb.blocks.items():
                 if qrb != qb2:
                     continue
                 mb = bb.reshape(bb.shape[0], bb.shape[2]).conj()
-                for (qlk, qpk, qrk), bk in blocks:
+                for (qlk, qpk, qrk), bk in kblocks:
                     if qrk != qk2 or qpk != qpb:
                         continue
                     mk = bk.reshape(bk.shape[0], bk.shape[2])
@@ -128,9 +144,12 @@ class StringExpectation:
         """One site left-to-right transfer with a 4x4 site operator.
         e=None means 'exact identity environment' (left-canonical prefix)."""
         T = self.mps.tensors[t]
+        Tb = self.bra.tensors[t]
         quanta = self.site_quanta[t]
         if e is None:
-            # materialize identity on the bond-t basis
+            # materialize identity on the bond-t basis; valid for t > 0
+            # only when bra == ket (left-canonical prefix = identity env)
+            assert self.same or t == 0
             dims: Dict[QN, int] = {}
             if t == 0:
                 dims[self.g.zero] = 1
@@ -144,10 +163,19 @@ class StringExpectation:
             for p, q in enumerate(quanta):
                 if q == qp:
                     bidx[(ql, p)] = (qr, b.reshape(b.shape[0], b.shape[2]))
+        if self.same:
+            bidx_b = bidx
+        else:
+            bidx_b = {}
+            for (ql, qp, qr), b in Tb.blocks.items():
+                for p, q in enumerate(quanta):
+                    if q == qp:
+                        bidx_b[(ql, p)] = (qr,
+                                           b.reshape(b.shape[0], b.shape[2]))
         for pb, pk in zip(*np.nonzero(opmat)):
             w = opmat[pb, pk]
             for (qb, qk), eb in e.items():
-                xb = bidx.get((qb, int(pb)))
+                xb = bidx_b.get((qb, int(pb)))
                 xk = bidx.get((qk, int(pk)))
                 if xb is None or xk is None:
                     continue
@@ -164,8 +192,8 @@ class StringExpectation:
     def _close(self, e: Optional[EnvBlocks], t: int) -> float:
         """Contract an environment at bond t with the right identity env."""
         if e is None:
-            # identity operator: <psi|psi>
-            return 1.0
+            # identity operator: <bra|ket>
+            return self._ovlp
         r = self.renvs[t]
         val = 0.0
         for key, eb in e.items():
@@ -198,7 +226,7 @@ class StringExpectation:
         for i in order:
             c, key, last = rows[i]
             if last < 0:
-                vals[i] = c
+                vals[i] = c * self._ovlp
                 continue
             # common prefix with previous processed row
             cp = 0
@@ -210,7 +238,7 @@ class StringExpectation:
             e = stack[cp] if cp > 0 else None
             for t in range(cp, last + 1):
                 opid = key[t]
-                if e is None and opid == OpRegistry.ID_I:
+                if e is None and opid == OpRegistry.ID_I and self.same:
                     stack[t + 1] = None
                     continue
                 e = self._transfer_op(e, t, self.registry[opid])
@@ -222,18 +250,22 @@ class StringExpectation:
 
 
 # ----------------------------------------------------------------------
-def pdm1(mps: MPS, orb_sym: Optional[np.ndarray] = None) -> np.ndarray:
-    """Spin-resolved 1PDM dm[s, i, j] = <c+_{i,s} c_{j,s}>
-    (reference Expect::get_1pdm, sweep_algorithm.hpp)."""
+def pdm1(mps: MPS, orb_sym: Optional[np.ndarray] = None,
+         bra: Optional[MPS] = None) -> np.ndarray:
+    """Spin-resolved 1PDM dm[s, i, j] = <bra| c+_{i,s} c_{j,s} |ket>
+    (reference Expect::get_1pdm, sweep_algorithm.hpp).  With bra given this
+    is the transition 1PDM (reference pyblock2 get_trans_1pdm); note the
+    matrix is then NOT symmetric, so both orderings are evaluated."""
     L = mps.n_sites
-    eng = StringExpectation(mps)
+    eng = StringExpectation(mps, bra=bra)
     spins = ((CRE_A, DES_A), (CRE_B, DES_B))
     terms = []
     idx = []
+    same = bra is None
     for s in (0, 1):
         cre, des = spins[s]
         for i in range(L):
-            for j in range(i, L):
+            for j in range(i if same else 0, L):
                 if orb_sym is not None and \
                         (int(orb_sym[i]) ^ int(orb_sym[j])) != 0:
                     continue
@@ -243,17 +275,20 @@ def pdm1(mps: MPS, orb_sym: Optional[np.ndarray] = None) -> np.ndarray:
     dm = np.zeros((2, L, L))
     for (s, i, j), v in zip(idx, vals):
         dm[s, i, j] = v
-        dm[s, j, i] = v
+        if same:
+            dm[s, j, i] = v
     return dm
 
 
 def pdm2_spatial(mps: MPS, orb_sym: Optional[np.ndarray] = None,
-                 assume_singlet: bool = True) -> np.ndarray:
+                 assume_singlet: bool = True,
+                 bra: Optional[MPS] = None) -> np.ndarray:
     """Spatial 2PDM dm2[i,j,k,l] = sum_{s,t} <c+_{i,s} c+_{j,t} c_{k,t} c_{l,s}>
     (reference Expect::get_2pdm_spatial convention, checked against
-    data/N2.STO3G.2PDM in unit_test/test_npdm_n2_sto3g.cpp:760)."""
+    data/N2.STO3G.2PDM in unit_test/test_npdm_n2_sto3g.cpp:760).  With bra
+    given this is the transition 2PDM."""
     L = mps.n_sites
-    eng = StringExpectation(mps)
+    eng = StringExpectation(mps, bra=bra)
     dm2 = np.zeros((L, L, L, L))
     # spin sectors: (s,t) in {aa, ab, ba, bb}; for singlet Sz=0 states
     # aa == bb and ab == ba under spin flip
@@ -280,6 +315,41 @@ def pdm2_spatial(mps: MPS, orb_sym: Optional[np.ndarray] = None,
         for (i, j, k, l), v in zip(idx, vals):
             dm2[i, j, k, l] += weight * v
     return dm2
+
+
+def pdm3_spatial(mps: MPS, bra: Optional[MPS] = None) -> np.ndarray:
+    """Spatial 3PDM
+    dm3[i,j,k,l,m,n] = sum_{s,t,u} <c+_{i,s} c+_{j,t} c+_{k,u}
+                                    c_{l,u} c_{m,t} c_{n,s}>
+    (reference get_3pdm_spatial convention, pyblock2/driver/core.py npdm
+    with pdm_type=3).  Conventional-NPDM evaluation; O(L^6 * 8) strings,
+    intended for small active spaces — the reference's fast NPDM scheme
+    (src/dmrg/npdm.hpp) is future work."""
+    L = mps.n_sites
+    eng = StringExpectation(mps, bra=bra)
+    dm3 = np.zeros((L,) * 6)
+    ops = ((CRE_A, DES_A), (CRE_B, DES_B))
+    for s in (0, 1):
+        for t in (0, 1):
+            for u in (0, 1):
+                terms, idx = [], []
+                for i in range(L):
+                    for j in range(L):
+                        for k in range(L):
+                            for l in range(L):
+                                for m in range(L):
+                                    for n in range(L):
+                                        terms.append(
+                                            (1.0,
+                                             [(i, ops[s][0]), (j, ops[t][0]),
+                                              (k, ops[u][0]), (l, ops[u][1]),
+                                              (m, ops[t][1]),
+                                              (n, ops[s][1])]))
+                                        idx.append((i, j, k, l, m, n))
+                vals = eng.evaluate(terms)
+                for ix, v in zip(idx, vals):
+                    dm3[ix] += v
+    return dm3
 
 
 # ----------------------------------------------------------------------

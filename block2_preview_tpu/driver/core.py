@@ -307,12 +307,22 @@ class DMRGDriver:
         import os
         return load_mps(os.path.join(self.scratch, f"mps.{tag}.npz"))
 
-    def get_npdm(self, ket: MPS, pdm_type: int = 1):
-        """1PDM / 2PDM (reference pyblock2/driver/core.py:5504)."""
-        from ..dmrg.expect import pdm1, pdm2_spatial
+    def get_npdm(self, ket: MPS, pdm_type: int = 1, bra: MPS = None):
+        """1PDM / 2PDM; pass bra for transition densities
+        (reference pyblock2/driver/core.py:5504 get_npdm / get_trans_1pdm)."""
+        from ..dmrg.expect import pdm1, pdm2_spatial, pdm3_spatial
+        sym = self.orb_sym if bra is None else None
         if pdm_type == 1:
-            return pdm1(ket, orb_sym=self.orb_sym)
+            return pdm1(ket, orb_sym=sym, bra=bra)
         elif pdm_type == 2:
-            return pdm2_spatial(ket, orb_sym=self.orb_sym,
-                                assume_singlet=self.spin == 0)
+            return pdm2_spatial(ket, orb_sym=sym,
+                                assume_singlet=self.spin == 0 and bra is None,
+                                bra=bra)
+        elif pdm_type == 3:
+            return pdm3_spatial(ket, bra=bra)
         raise NotImplementedError(f"pdm order {pdm_type}")
+
+    def get_trans_1pdm(self, bra: MPS, ket: MPS):
+        """Transition 1PDM <bra|c+ c|ket>
+        (reference pyblock2/driver/core.py get_trans_1pdm)."""
+        return self.get_npdm(ket, pdm_type=1, bra=bra)
