@@ -378,6 +378,108 @@ def npc1(mps: MPS, kind: str = "charge",
     return out
 
 
+def _matrix_unit_decomposition(spec=None):
+    """Express each single-site matrix unit E_{pr} = |p><r| as an exact
+    polynomial in the elementary fermion operators: E_{pr} = sum_k c_k P_k
+    with P_k a product of elementary ops (by id).  Derived numerically: a
+    greedy independent set of short products spans the full local operator
+    algebra, then a 16x16 solve.  Returns {(p, r): [(coeff, (ids...)), ...]}.
+    """
+    from itertools import product as iproduct
+    from ..ops.local_ops import SZ_SITE
+    spec = spec or SZ_SITE
+    d = spec.dim
+    n_elem = len(spec.elem_mats)
+    combos: List[Tuple[Tuple[int, ...], np.ndarray]] = [((), np.eye(d))]
+    for ln in range(1, 5):
+        for ids in iproduct(range(n_elem), repeat=ln):
+            m = spec.elem_mats[ids[0]]
+            for e in ids[1:]:
+                m = m @ spec.elem_mats[e]
+            if np.any(m):
+                combos.append((ids, m))
+    # greedy linearly-independent subset, shortest products first
+    basis: List[Tuple[Tuple[int, ...], np.ndarray]] = []
+    gs: List[np.ndarray] = []
+    for ids, m in combos:
+        v = m.ravel().astype(float)
+        r = v.copy()
+        for b in gs:
+            r = r - (b @ v) * b
+        if np.linalg.norm(r) > 1e-9:
+            basis.append((ids, m))
+            gs.append(r / np.linalg.norm(r))
+        if len(basis) == d * d:
+            break
+    A = np.stack([m.ravel() for _, m in basis], axis=1)
+    out = {}
+    for p in range(d):
+        for r in range(d):
+            unit = np.zeros((d, d))
+            unit[p, r] = 1.0
+            c = np.linalg.solve(A, unit.ravel())
+            out[(p, r)] = [(float(ck), basis[k][0])
+                           for k, ck in enumerate(c) if abs(ck) > 1e-12]
+    return out
+
+
+def orbital_entropy_2site(mps: MPS) -> Tuple[np.ndarray, np.ndarray]:
+    """Two-orbital von Neumann entropies S2[i, j] and mutual information
+    I[i, j] = (S1[i] + S1[j] - S2[i, j]) / 2 (reference
+    pyblock2/driver/core.py get_orbital_entropies ij_symm=2 /
+    get_orbital_interaction_matrix; Rissler-Legeza convention with
+    Jordan-Wigner-dressed operator expectations).
+
+    The two-orbital RDM rho[(p,q),(r,s)] = <E^i_{pr} E^j_{qs}> is evaluated
+    by expanding matrix units in elementary fermion operators, so the JW
+    phase between the two orbitals is included exactly."""
+    L = mps.n_sites
+    g = mps.group
+    eng = StringExpectation(mps)
+    quanta = mps.info.site_quanta[0]
+    d = len(quanta)
+    decomp = _matrix_unit_decomposition()
+    s1 = orbital_entropy_1site(mps)
+    s2 = np.zeros((L, L))
+    for i in range(L):
+        for j in range(i + 1, L):
+            terms, meta = [], []
+            for p in range(d):
+                for r in range(d):
+                    dq_i = g.sub(quanta[p], quanta[r])
+                    for q in range(d):
+                        for s in range(d):
+                            # conservation: q_p + q_q == q_r + q_s
+                            if g.add(dq_i, g.sub(quanta[q],
+                                                 quanta[s])) != g.zero:
+                                continue
+                            for (ci, opsi) in decomp[(p, r)]:
+                                for (cj, opsj) in decomp[(q, s)]:
+                                    ops = [(i, e) for e in opsi] + \
+                                          [(j, e) for e in opsj]
+                                    if not ops:
+                                        terms.append(None)
+                                    else:
+                                        terms.append((ci * cj, ops))
+                                    meta.append((p, q, r, s, ci * cj))
+            flat = [t for t in terms if t is not None]
+            vals = iter(eng.evaluate(flat))
+            rho = np.zeros((d * d, d * d))
+            for t, (p, q, r, s, c) in zip(terms, meta):
+                v = c if t is None else next(vals)
+                rho[p * d + q, r * d + s] += v
+            rho = (rho + rho.T) / 2.0
+            tr = np.trace(rho)
+            if tr > 0:
+                rho = rho / tr
+            w = np.clip(np.linalg.eigvalsh(rho), 1e-300, 1.0)
+            s2[i, j] = s2[j, i] = float(-(w * np.log(w)).sum())
+    minfo = 0.5 * (s1[:, None] + s1[None, :] - s2)
+    np.fill_diagonal(minfo, 0.0)
+    np.fill_diagonal(s2, s1)
+    return s2, minfo
+
+
 def orbital_entropy_1site(mps: MPS) -> np.ndarray:
     """One-orbital von Neumann entropies (reference
     pyblock2/driver/core.py:9262 OrbitalEntropy / get_orbital_entropies)."""

@@ -279,10 +279,21 @@ class DMRGDriver:
         from ..dmrg.determinant import sample_determinants
         return sample_determinants(ket, n_samples, seed=seed)
 
-    def get_orbital_entropies(self, ket: MPS):
-        """reference pyblock2/driver/core.py:5091"""
-        from ..dmrg.expect import orbital_entropy_1site
-        return orbital_entropy_1site(ket)
+    def get_orbital_entropies(self, ket: MPS, ij_symm: int = 1):
+        """One- or two-orbital von Neumann entropies
+        (reference pyblock2/driver/core.py:5091, ij_symm as in get_npdm)."""
+        from ..dmrg.expect import orbital_entropy_1site, orbital_entropy_2site
+        if ij_symm == 1:
+            return orbital_entropy_1site(ket)
+        s2, _ = orbital_entropy_2site(ket)
+        return s2
+
+    def get_orbital_interaction_matrix(self, ket: MPS):
+        """Mutual information I[i,j] = (S1[i] + S1[j] - S2[i,j]) / 2
+        (reference pyblock2/driver/core.py get_orbital_interaction_matrix)."""
+        from ..dmrg.expect import orbital_entropy_2site
+        _, minfo = orbital_entropy_2site(ket)
+        return minfo
 
     def orbital_reordering(self, h1e, g2e, method: str = "fiedler"):
         """reference pyblock2/driver/core.py:4291"""
