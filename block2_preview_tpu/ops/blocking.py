@@ -372,8 +372,27 @@ def _exec_assembly_cached(struct, env, group):
     return out
 
 
-def _assembly_sig(env, n_entries):
-    h = hash(n_entries)
+def _fused_sig(fused):
+    if fused is None:
+        return 0
+    h = 0
+    for q, runs in fused.maps.items():
+        h = hash((h, q, tuple(runs)))
+    return h
+
+
+def _assembly_sig(env, n_entries, fused, fused_ket, active, active_ket,
+                  comp_target, comp_target_ket):
+    """Structure signature covering EVERYTHING the scatter plan depends on:
+    env block layout, the fused bra/ket bases (these are filtered against
+    the *other* bond, which can change while the env side stays put —
+    caching on env alone executes a stale plan), the active symbol sets,
+    and the complement targets."""
+    h = hash((n_entries, comp_target, comp_target_ket,
+              _fused_sig(fused),
+              _fused_sig(fused_ket) if fused_ket is not fused else 1,
+              tuple(sorted(active)) if active is not None else None,
+              tuple(sorted(active_ket)) if active_ket is not None else None))
     for sym, bm in env.items():
         for k, blk in bm.blocks.items():
             h = hash((h, sym, k, blk.shape))
@@ -406,7 +425,9 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
     use_cache = (plan_cache is not None and plan_key is not None
                  and dtype == np.float64)
     if use_cache:
-        sig = _assembly_sig(env, len(entries))
+        sig = _assembly_sig(env, len(entries), fused, fused_ket,
+                            active, active_ket, comp_target,
+                            comp_target_ket)
         ent = plan_cache.get(plan_key)
         if ent is not None and ent[0] == sig:
             out = _exec_assembly_cached(ent[1], env, group)
