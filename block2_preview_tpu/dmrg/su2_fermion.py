@@ -1,0 +1,542 @@
+"""Spin-adapted (SU(2)) DMRG for fermions: the Hubbard chain.
+
+Extends the spin-chain engine (su2_spin.py) to fermionic sites: sectors are
+(N, 2S) pairs, sites carry several multiplets (|0>, |singly-occ>, |2>), the
+elementary operators are spin-1/2 tensor operators (creation/annihilation
+spinors), and the coupled-product recoupling acquires a graded (fermionic)
+phase.  This is the full non-abelian machinery of block2's SU2 universe
+(reference src/core/cg.hpp SU2CG, src/dmrg/qc_hamiltonian.hpp SU2 site ops,
+src/core/sparse_matrix.hpp 9j recoupling) minus the long-range
+complementary-operator QC MPO (round 2).
+
+Derived numerically and validated m-resolved (tests/test_su2_hubbard.py):
+  * creation spinor C+ = (c_up^+, c_dn^+) is a rank-1/2 tensor; annihilation
+    spinor C~ = (c_dn, -c_up); with |2> = c_up^+ c_dn^+ |0>, the nonzero
+    reduced elements are
+      <P||C+||V> = 1,  <D||C+||P> = -sqrt(2),
+      <V||C~||P> = -sqrt(2),  <P||C~||D> = -1
+    (V = vacuum (0,0), P = singly-occupied (1,1/2), D = doubly-occ (2,0))
+  * graded coupled-product rule:
+      <(a' b') j' || [A^{k1} (x) B^{k2}]^k || (a b) j>
+        = (-1)^{p_B * N_a(ket)} * sqrt((2j+1)(2k+1)(2ja'+1)(2jb'+1))
+          * 9j{ja jb j; k1 k2 k; ja' jb' j'} * <A> <B>
+    where p_B is the fermion parity of operator B (the one that crosses
+    subsystem a) and N_a the particle number of the ket state of a
+  * hopping: sum_sigma c+_{1 sigma} c_{2 sigma} = -sqrt(2) [C+ (x) C~]^0
+    and sum_sigma c+_{2 sigma} c_{1 sigma} = -sqrt(2) [C~ (x) C+]^0, so
+    H_hop = sqrt(2) t ([C+ (x) C~]^0 + [C~ (x) C+]^0) for -t(c+c + h.c.)
+
+Sectors q = (N, tj); all spins DOUBLED.  Right-block labels use the
+complement convention (label = what remains for the left), so the
+wavefunction sectors at a center are qL == qR, as in the abelian engine.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.davidson import davidson
+from .su2_spin import coupled_factor
+
+SQ2 = np.sqrt(2.0)
+
+# site multiplets: (N, 2S); reduced matrices are 3x3 over multiplet index
+MULTS = [(0, 0), (1, 1), (2, 0)]
+
+
+def _red(entries):
+    m = np.zeros((3, 3))
+    for (a, b), v in entries.items():
+        m[a, b] = v
+    return m
+
+
+# (reduced matrix, rank k doubled, dN)
+SITE_OPS = {
+    "I": (_red({(0, 0): 1, (1, 1): 1, (2, 2): 1}), 0, 0),
+    "C": (_red({(1, 0): 1.0, (2, 1): -SQ2}), 1, +1),
+    "D": (_red({(0, 1): -SQ2, (1, 2): -1.0}), 1, -1),
+    "N": (_red({(1, 1): 1.0, (2, 2): 2.0}), 0, 0),
+    "NN": (_red({(2, 2): 1.0}), 0, 0),
+}
+
+
+def hubbard_su2_entries(t_hop: float, u: float):
+    """4-symbol MPO for H = -t sum (c+ c + h.c.) + U sum n_up n_dn.
+    Symbols: 0=I, 1=C+-pending, 2=C~-pending, 3=H."""
+    return [(0, 0, "I", 1.0),
+            (0, 1, "C", 1.0),
+            (0, 2, "D", 1.0),
+            (0, 3, "NN", u),
+            (1, 3, "D", SQ2 * t_hop),
+            (2, 3, "C", SQ2 * t_hop),
+            (3, 3, "I", 1.0)], 4, {0: 0, 1: 1, 2: -1, 3: 0}
+
+
+class SU2FermionDMRG:
+    """Two-site spin-adapted DMRG over fermionic SU(2) sites.
+
+    entries: (i, o, opname, coeff); sym_dn: {symbol: dN of the pending
+    operator}; target = (n_elec, 2S)."""
+
+    def __init__(self, L: int, entries, n_symbols: int, sym_dn,
+                 target: Tuple[int, int] = None, bond_dim: int = 100,
+                 seed: int = 7, iprint: int = 0):
+        self.L = L
+        self.entries = list(entries)
+        self.n_sym = n_symbols
+        self.dn = dict(sym_dn)
+        self.T = target if target is not None else (L, 0)
+        self.D = bond_dim
+        self.iprint = iprint
+        # symbol spin ranks by propagation (as in su2_spin)
+        self.rank: Dict[int, int] = {0: 0, n_symbols - 1: 0}
+        changed = True
+        while changed:
+            changed = False
+            for (i, o, w, _c) in self.entries:
+                k = SITE_OPS[w][1]
+                if i in self.rank and o not in self.rank:
+                    ki = self.rank[i]
+                    self.rank[o] = k if ki == 0 else (ki if k == 0 else None)
+                    if self.rank[o] is None:
+                        raise ValueError("ambiguous symbol rank")
+                    changed = True
+        self.bonds = self._fci_bonds(L, bond_dim)
+        rng = np.random.RandomState(seed)
+        # tensor blocks keyed (ql, mult, qr)
+        self.tensors: List[Dict[Tuple, np.ndarray]] = []
+        for t in range(L):
+            blk: Dict[Tuple, np.ndarray] = {}
+            for ql, dl in self.bonds[t].items():
+                for m, qr in self._fuse_l(ql):
+                    dr = self.bonds[t + 1].get(qr, 0)
+                    if dr:
+                        blk[(ql, m, qr)] = rng.standard_normal((dl, dr))
+            self.tensors.append(blk)
+        self._canonicalize_right()
+        self.lenvs: List[Optional[Dict]] = [None] * (L + 1)
+        self.renvs: List[Optional[Dict]] = [None] * (L + 1)
+        z = (0, 0)
+        self.lenvs[0] = {0: {(z, z): np.ones((1, 1))}}
+        self.renvs[L] = {n_symbols - 1: {(self.T, self.T): np.ones((1, 1))}}
+        for t in range(L - 1, 1, -1):
+            self.renvs[t] = self._right_contract(t)
+        self.energies: List[float] = []
+
+    # -- sector fusion -------------------------------------------------
+    @staticmethod
+    def _fuse_l(q):
+        """(bond q (x) site mult m) -> [(m, q')] left fusion."""
+        n, tj = q
+        out = []
+        for m, (nm, tjm) in enumerate(MULTS):
+            for tj2 in range(abs(tj - tjm), tj + tjm + 1, 2):
+                out.append((m, (n + nm, tj2)))
+        return out
+
+    @staticmethod
+    def _fuse_r(q):
+        """(site m (x) right label q) -> [(m, q')]; labels are complements
+        (remaining-for-left), so the site SUBTRACTS its N."""
+        n, tj = q
+        out = []
+        for m, (nm, tjm) in enumerate(MULTS):
+            for tj2 in range(abs(tj - tjm), tj + tjm + 1, 2):
+                out.append((m, (n - nm, tj2)))
+        return out
+
+    def _fci_bonds(self, L, maxd):
+        left = [{(0, 0): 1}]
+        for t in range(L):
+            nxt: Dict[Tuple[int, int], int] = {}
+            for q, c in left[t].items():
+                for m, q2 in self._fuse_l(q):
+                    nxt[q2] = nxt.get(q2, 0) + c
+            left.append(nxt)
+        # right labels are complements: label(t) = target - N(sites >= t),
+        # i.e. what remains for the left, so the match at a bond is
+        # left == right; absorbing site t into the right block SUBTRACTS it
+        right: List[Optional[Dict]] = [None] * (L + 1)
+        right[L] = {self.T: 1}
+        for t in range(L - 1, -1, -1):
+            nxt = {}
+            for q, c in right[t + 1].items():
+                for m, q2 in self._fuse_r(q):
+                    if q2[0] >= 0:
+                        nxt[q2] = nxt.get(q2, 0) + c
+            right[t] = nxt
+        bonds = []
+        for t in range(L + 1):
+            caps = {q: min(left[t][q], right[t][q])
+                    for q in left[t] if q in right[t]}
+            tot = sum(caps.values())
+            if tot > maxd:
+                caps = {q: max(1, int(round(c * maxd / tot)))
+                        for q, c in caps.items()}
+            assert caps, f"empty bond {t}: target unreachable"
+            bonds.append(caps)
+        return bonds
+
+    def _canonicalize_right(self):
+        for t in range(self.L - 1, 0, -1):
+            blk = self.tensors[t]
+            by_ql: Dict[Tuple, List] = {}
+            for (ql, m, qr), b in blk.items():
+                by_ql.setdefault(ql, []).append((m, qr, b))
+            lmats = {}
+            for ql, items in by_ql.items():
+                items.sort(key=lambda x: (x[0], x[1]))
+                mcat = np.concatenate([b for _, _, b in items], axis=1)
+                q, r = np.linalg.qr(mcat.T)
+                qt = q.T
+                off = 0
+                for (m, qr, b) in items:
+                    blk[(ql, m, qr)] = qt[:, off:off + b.shape[1]]
+                    off += b.shape[1]
+                lmats[ql] = r.T
+            prev = self.tensors[t - 1]
+            for (ql, m, qr), b in list(prev.items()):
+                if qr in lmats:
+                    prev[(ql, m, qr)] = b @ lmats[qr]
+                else:
+                    del prev[(ql, m, qr)]
+
+    # -- env recursions ------------------------------------------------
+    def _left_contract(self, t: int) -> Dict:
+        """E'[o] on bond t+1 from [E[i] (x) w] rotated through A[t];
+        graded phase (-1)^{p_w * N(ket bond)}"""
+        env = self.lenvs[t]
+        A = self.tensors[t]
+        by_ql: Dict[Tuple, List] = {}
+        for (ql, m, qr), b in A.items():
+            by_ql.setdefault(ql, []).append((m, qr, b))
+        out: Dict[int, Dict] = {}
+        for (i, o, w, cf) in self.entries:
+            e = env.get(i)
+            if e is None:
+                continue
+            wred, k_w, dn_w = SITE_OPS[w]
+            p_w = abs(dn_w) % 2
+            k_i, k_o = self.rank[i], self.rank[o]
+            for (qlb, qlk), eb in e.items():
+                phase = -1.0 if (p_w and (qlk[0] & 1)) else 1.0
+                for (mb, qrb, ab) in by_ql.get(qlb, ()):
+                    for (mk, qrk, ak) in by_ql.get(qlk, ()):
+                        r = wred[mb, mk]
+                        if r == 0.0:
+                            continue
+                        fac = coupled_factor(
+                            qlk[1], MULTS[mk][1], qrk[1], k_i, k_w, k_o,
+                            qlb[1], MULTS[mb][1], qrb[1])
+                        if abs(fac) < 1e-14:
+                            continue
+                        d = out.setdefault(o, {})
+                        key = (qrb, qrk)
+                        contrib = (phase * fac * r * cf) * (ab.T @ eb @ ak)
+                        d[key] = d.get(key, 0) + contrib
+        return out
+
+    def _right_contract(self, t: int) -> Dict:
+        """E'[i] on bond t from [w (x) E[o]] rotated through B[t];
+        graded phase (-1)^{p_o * N(ket site multiplet)}"""
+        env = self.renvs[t + 1]
+        B = self.tensors[t]
+        by_qr: Dict[Tuple, List] = {}
+        for (ql, m, qr), b in B.items():
+            by_qr.setdefault(qr, []).append((m, ql, b))
+        out: Dict[int, Dict] = {}
+        for (i, o, w, cf) in self.entries:
+            e = env.get(o)
+            if e is None:
+                continue
+            wred, k_w, dn_w = SITE_OPS[w]
+            p_o = abs(self.dn[o]) % 2
+            k_i, k_o = self.rank[i], self.rank[o]
+            for (qrb2, qrk2), eb in e.items():
+                for (mb, qlb, bb) in by_qr.get(qrb2, ()):
+                    for (mk, qlk, bk) in by_qr.get(qrk2, ()):
+                        r = wred[mb, mk]
+                        if r == 0.0:
+                            continue
+                        phase = -1.0 if (p_o and (MULTS[mk][0] & 1)) else 1.0
+                        fac = coupled_factor(
+                            MULTS[mk][1], qrk2[1], qlk[1], k_w, k_o, k_i,
+                            MULTS[mb][1], qrb2[1], qlb[1])
+                        if abs(fac) < 1e-14:
+                            continue
+                        d = out.setdefault(i, {})
+                        key = (qlb, qlk)
+                        contrib = (phase * fac * r * cf) * (bb @ eb @ bk.T)
+                        d[key] = d.get(key, 0) + contrib
+        return out
+
+    # -- effective Hamiltonian ------------------------------------------
+    def bonds_actual(self, t: int, side: str = "left") -> Dict:
+        if t == 0:
+            return {(0, 0): 1}
+        if t == self.L:
+            return {self.T: 1}
+        dims: Dict[Tuple, int] = {}
+        if side == "left":
+            for (ql, m, qr), b in self.tensors[t - 1].items():
+                dims[qr] = b.shape[1]
+        else:
+            for (ql, m, qr), b in self.tensors[t].items():
+                dims[ql] = b.shape[0]
+        return dims
+
+    def _effective(self, t: int):
+        env_l = self.lenvs[t]
+        env_r = self.renvs[t + 2]
+        bond_l = self.bonds_actual(t, "left")
+        bond_r = self.bonds_actual(t + 2, "right")
+        fl: Dict[Tuple, List[Tuple]] = {}   # Q -> [(ql, m, off, d)]
+        for ql, d in sorted(bond_l.items()):
+            for m, Q in self._fuse_l(ql):
+                runs = fl.setdefault(Q, [])
+                off = sum(r[3] for r in runs)
+                runs.append((ql, m, off, d))
+        fr: Dict[Tuple, List[Tuple]] = {}   # Q -> [(m, qr2, off, d)]
+        for qr2, d in sorted(bond_r.items()):
+            for m, Q in self._fuse_r(qr2):
+                runs = fr.setdefault(Q, [])
+                off = sum(r[3] for r in runs)
+                runs.append((m, qr2, off, d))
+        keys = [Q for Q in sorted(fl) if Q in fr]
+        dims = {Q: (sum(r[3] for r in fl[Q]), sum(r[3] for r in fr[Q]))
+                for Q in keys}
+        offsets = {}
+        off = 0
+        for Q in keys:
+            offsets[Q] = off
+            off += dims[Q][0] * dims[Q][1]
+        size = off
+
+        # LW[m][(Qb, Qk)] from [E_l[i] (x) w_t]
+        LW: Dict[int, Dict] = {}
+        for (i, o, w, cf) in self.entries:
+            e = env_l.get(i)
+            if e is None:
+                continue
+            wred, k_w, dn_w = SITE_OPS[w]
+            p_w = abs(dn_w) % 2
+            k_i, k_m = self.rank[i], self.rank[o]
+            for (qlb, qlk), eb in e.items():
+                phase = -1.0 if (p_w and (qlk[0] & 1)) else 1.0
+                for mb, Qb in self._fuse_l(qlb):
+                    if Qb not in fl:
+                        continue
+                    ob = {(r[0], r[1]): (r[2], r[3]) for r in fl[Qb]}
+                    if (qlb, mb) not in ob:
+                        continue
+                    for mk, Qk in self._fuse_l(qlk):
+                        if Qk not in fl:
+                            continue
+                        ok = {(r[0], r[1]): (r[2], r[3]) for r in fl[Qk]}
+                        if (qlk, mk) not in ok:
+                            continue
+                        r = wred[mb, mk]
+                        if r == 0.0:
+                            continue
+                        fac = coupled_factor(
+                            qlk[1], MULTS[mk][1], Qk[1], k_i, k_w, k_m,
+                            qlb[1], MULTS[mb][1], Qb[1])
+                        if abs(fac) < 1e-14:
+                            continue
+                        o1, d1 = ob[(qlb, mb)]
+                        o2, d2 = ok[(qlk, mk)]
+                        dm = LW.setdefault(o, {})
+                        blk = dm.get((Qb, Qk))
+                        if blk is None:
+                            blk = np.zeros((sum(x[3] for x in fl[Qb]),
+                                            sum(x[3] for x in fl[Qk])))
+                            dm[(Qb, Qk)] = blk
+                        blk[o1:o1 + d1, o2:o2 + d2] += \
+                            (phase * fac * r * cf) * eb
+        # RW[m][(Qb, Qk)] from [w_{t+1} (x) E_r[o]]
+        RW: Dict[int, Dict] = {}
+        for (i, o, w, cf) in self.entries:
+            e = env_r.get(o)
+            if e is None:
+                continue
+            wred, k_w, dn_w = SITE_OPS[w]
+            p_o = abs(self.dn[o]) % 2
+            k_m, k_o = self.rank[i], self.rank[o]
+            for (qr2b, qr2k), eb in e.items():
+                for mb, Qb in self._fuse_r(qr2b):
+                    if Qb not in fr:
+                        continue
+                    ob = {(r[0], r[1]): (r[2], r[3]) for r in fr[Qb]}
+                    if (mb, qr2b) not in ob:
+                        continue
+                    for mk, Qk in self._fuse_r(qr2k):
+                        if Qk not in fr:
+                            continue
+                        ok = {(r[0], r[1]): (r[2], r[3]) for r in fr[Qk]}
+                        if (mk, qr2k) not in ok:
+                            continue
+                        r = wred[mb, mk]
+                        if r == 0.0:
+                            continue
+                        phase = -1.0 if (p_o and (MULTS[mk][0] & 1)) else 1.0
+                        fac = coupled_factor(
+                            MULTS[mk][1], qr2k[1], Qk[1], k_w, k_o, k_m,
+                            MULTS[mb][1], qr2b[1], Qb[1])
+                        if abs(fac) < 1e-14:
+                            continue
+                        o1, d1 = ob[(mb, qr2b)]
+                        o2, d2 = ok[(mk, qr2k)]
+                        dm = RW.setdefault(i, {})
+                        blk = dm.get((Qb, Qk))
+                        if blk is None:
+                            blk = np.zeros((sum(x[3] for x in fr[Qb]),
+                                            sum(x[3] for x in fr[Qk])))
+                            dm[(Qb, Qk)] = blk
+                        blk[o1:o1 + d1, o2:o2 + d2] += \
+                            (phase * fac * r * cf) * eb
+
+        ranks = {m: self.rank[m] for m in set(LW) | set(RW)}
+
+        def matvec(x):
+            psi = {Q: x[offsets[Q]:offsets[Q] + dims[Q][0] * dims[Q][1]]
+                   .reshape(dims[Q]) for Q in keys}
+            sig = {Q: np.zeros(dims[Q]) for Q in keys}
+            for m, lw in LW.items():
+                rw = RW.get(m)
+                if rw is None:
+                    continue
+                km = ranks[m]
+                p_m = abs(self.dn[m]) % 2
+                for (Qb, Qk), lb in lw.items():
+                    if Qk not in psi or Qb not in sig:
+                        continue
+                    rb = rw.get((Qb, Qk))
+                    if rb is None:
+                        continue
+                    cross = coupled_factor(Qk[1], Qk[1], 0, km, km, 0,
+                                           Qb[1], Qb[1], 0)
+                    if abs(cross) < 1e-14:
+                        continue
+                    phase = -1.0 if (p_m and (Qk[0] & 1)) else 1.0
+                    sig[Qb] += (phase * cross) * (lb @ psi[Qk] @ rb.T)
+            out = np.zeros(size)
+            for Q in keys:
+                out[offsets[Q]:offsets[Q] + sig[Q].size] = sig[Q].ravel()
+            return out
+
+        diag = np.zeros(size)
+        for m, lw in LW.items():
+            rw = RW.get(m)
+            if rw is None:
+                continue
+            km = ranks[m]
+            p_m = abs(self.dn[m]) % 2
+            for Q in keys:
+                lb = lw.get((Q, Q))
+                rb = rw.get((Q, Q))
+                if lb is None or rb is None:
+                    continue
+                cross = coupled_factor(Q[1], Q[1], 0, km, km, 0,
+                                       Q[1], Q[1], 0)
+                phase = -1.0 if (p_m and (Q[0] & 1)) else 1.0
+                o = offsets[Q]
+                diag[o:o + dims[Q][0] * dims[Q][1]] += \
+                    (phase * cross * np.diag(lb)[:, None]
+                     * np.diag(rb)[None, :]).ravel()
+        return keys, dims, offsets, size, fl, fr, matvec, diag
+
+    # -- sweeps ----------------------------------------------------------
+    def sweep(self, forward: bool, dav_thrd: float = 1e-9) -> float:
+        L = self.L
+        emin = np.inf
+        rng = range(L - 1) if forward else range(L - 2, -1, -1)
+        for t in rng:
+            keys, dims, offsets, size, fl, fr, matvec, diag = \
+                self._effective(t)
+            x0 = np.random.RandomState(11 + t).standard_normal(size)
+            x0 /= np.linalg.norm(x0)
+            w, v, nmv = davidson(matvec, diag, x0, conv_thrd=dav_thrd,
+                                 max_iter=200, max_subspace=30)
+            emin = min(emin, float(w[0]))
+            psi = {Q: v[offsets[Q]:offsets[Q] + dims[Q][0] * dims[Q][1],
+                        0].reshape(dims[Q]) for Q in keys}
+            if forward:
+                rhos: Dict[Tuple, np.ndarray] = {}
+                for Q, p in psi.items():
+                    rhos[Q] = p @ p.T / (Q[1] + 1.0)
+                self._decimate(t, rhos, fl, True)
+            else:
+                rhos = {}
+                for Q, p in psi.items():
+                    rhos[Q] = p.T @ p / (Q[1] + 1.0)
+                self._decimate(t, rhos, fr, False)
+            if self.iprint >= 2:
+                print(f"  su2f {'-->' if forward else '<--'} site {t:3d} "
+                      f"E = {w[0]:.10f} nmv={nmv}")
+        self.energies.append(emin)
+        return emin
+
+    def _decimate(self, t, rhos, fused, forward):
+        eigs, vecs = [], {}
+        for Q, r in rhos.items():
+            ww, vv = np.linalg.eigh(r)
+            vecs[Q] = vv
+            eigs += [(float(x), Q, i) for i, x in enumerate(ww)]
+        eigs.sort(key=lambda z: -z[0])
+        kept: Dict[Tuple, List[int]] = {}
+        budget = self.D
+        for (x, Q, i) in eigs:
+            if budget <= 0 or x <= 1e-14:
+                break
+            kept.setdefault(Q, []).append(i)
+            budget -= 1
+        new_tensor: Dict[Tuple, np.ndarray] = {}
+        for Q, idxs in kept.items():
+            vmat = vecs[Q][:, idxs]
+            if forward:
+                for (ql, m, off, d) in fused[Q]:
+                    new_tensor[(ql, m, Q)] = vmat[off:off + d, :]
+            else:
+                for (m, qr2, off, d) in fused[Q]:
+                    new_tensor[(Q, m, qr2)] = vmat[off:off + d, :].T
+        if forward:
+            self.tensors[t] = new_tensor
+            self.lenvs[t + 1] = self._left_contract(t)
+            for u in range(t + 2, self.L + 1):
+                self.lenvs[u] = None
+            for u in range(t + 1, -1, -1):
+                self.renvs[u] = None
+        else:
+            self.tensors[t + 1] = new_tensor
+            self.renvs[t + 1] = self._right_contract(t + 1)
+            for u in range(t, -1, -1):
+                self.renvs[u] = None
+            for u in range(t + 1, self.L + 1):
+                self.lenvs[u] = None
+            self.lenvs[0] = {0: {((0, 0), (0, 0)): np.ones((1, 1))}}
+
+    def solve(self, n_sweeps: int = 10, tol: float = 1e-9) -> float:
+        last = np.inf
+        forward = True
+        for i in range(n_sweeps):
+            e = self.sweep(forward)
+            if self.iprint >= 1:
+                print(f"su2f sweep {i}: E = {e:.12f}")
+            if abs(e - last) < tol:
+                break
+            last = e
+            forward = not forward
+        return self.energies[-1]
+
+
+def hubbard_su2_dmrg(L: int, t_hop: float = 1.0, u: float = 2.0,
+                     n_elec: Optional[int] = None, twos: int = 0,
+                     bond_dim: int = 100, iprint: int = 0,
+                     seed: int = 7) -> SU2FermionDMRG:
+    entries, n_sym, dn = hubbard_su2_entries(t_hop, u)
+    return SU2FermionDMRG(L, entries, n_sym, dn,
+                          target=(n_elec if n_elec is not None else L, twos),
+                          bond_dim=bond_dim, iprint=iprint, seed=seed)
