@@ -337,3 +337,21 @@ class DMRGDriver:
         """Transition 1PDM <bra|c+ c|ket>
         (reference pyblock2/driver/core.py get_trans_1pdm)."""
         return self.get_npdm(ket, pdm_type=1, bra=bra)
+
+    @staticmethod
+    def mpo_sum(a: MPO, b: MPO) -> MPO:
+        """A + B by bond-channel direct sum (StackedMPO-style composition)."""
+        from ..dmrg.mpo_algebra import mpo_sum
+        return mpo_sum(a, b)
+
+    @staticmethod
+    def mpo_scale(a: MPO, c: float) -> MPO:
+        from ..dmrg.mpo_algebra import mpo_scale
+        return mpo_scale(a, c)
+
+    @staticmethod
+    def extrapolate_energy(discarded_weights, energies):
+        """Linear E-vs-discarded-weight extrapolation -> (E0, error bar)
+        (reference energy-extrapolation workflow)."""
+        from ..dmrg.extrapolate import extrapolate_energy
+        return extrapolate_energy(discarded_weights, energies)
