@@ -67,9 +67,10 @@ class MovingEnvironment:
                 dt = np.result_type(dt, b.dtype)
                 break
             break
+        # scan every MPO entry: a site can mix real and complex operators
+        # (e.g. Pauli X/Z vs Y), and only some entries force the complex path
         for w in self.mpo.tensors[t].values():
             dt = np.result_type(dt, w.dtype)
-            break
         for T in (self.bra.tensors[t], self.ket.tensors[t]):
             for b in T.blocks.values():
                 dt = np.result_type(dt, b.dtype)

@@ -167,12 +167,18 @@ class MPS:
         tensors = []
         for t in range(info.n_sites):
             blocks = {}
+            # degenerate site quanta (trivial-symmetry qubits, big sites)
+            # share one block with the multiplicity along the physical axis
+            mult: Dict[QN, int] = {}
+            for qp in info.site_quanta[t]:
+                mult[qp] = mult.get(qp, 0) + 1
             for ql, dl in info.bonds[t].items():
-                for p, qp in enumerate(info.site_quanta[t]):
+                for qp, m in mult.items():
                     qr = g.add(ql, qp)
                     dr = info.bonds[t + 1].get(qr, 0)
                     if dr > 0:
-                        blocks[(ql, qp, qr)] = rng.standard_normal((dl, 1, dr))
+                        blocks[(ql, qp, qr)] = rng.standard_normal((dl, m,
+                                                                    dr))
             tensors.append(MPSTensor(g, blocks))
         mps = MPS(info, tensors, center=0)
         mps.canonicalize()

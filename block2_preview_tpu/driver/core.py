@@ -339,6 +339,15 @@ class DMRGDriver:
         return self.get_npdm(ket, pdm_type=1, bra=bra)
 
     @staticmethod
+    def get_mpo_from_pauli_strings(strings, const_e: float = 0.0) -> MPO:
+        """MPO from weighted Pauli strings [(coeff, 'XXIZ...'), ...]
+        (reference pyblock2/driver/core.py:4205); pair with
+        models.qubit.qubit_random_mps for the matching MPS."""
+        from ..models.qubit import pauli_mpo
+        n = len(strings[0][1])
+        return pauli_mpo(n, strings, const_e=const_e)
+
+    @staticmethod
     def mpo_sum(a: MPO, b: MPO) -> MPO:
         """A + B by bond-channel direct sum (StackedMPO-style composition)."""
         from ..dmrg.mpo_algebra import mpo_sum

@@ -114,23 +114,37 @@ extern "C" {
 
 // Fused-operator assembly: out[out_off[c] + r*out_cols[c] + q] +=
 //   coef[c] * E[eoff[c] + r*d2[c] + q]   (grouped by output block)
+// Scatter env blocks into fused operator buffers.  rs/cs are the flat
+// strides between consecutive env rows/cols in the output — both 1-based
+// contiguous for multiplicity-1 site quanta, strided when several basis
+// states share a quantum (trivial-symmetry qubits, big sites).
 void assemble_exec(
     int64_t n_contrib, const double *epool, const int64_t *eoff,
     const int32_t *d1, const int32_t *d2, const double *coef,
-    const int64_t *out_off, const int32_t *out_cols,
+    const int64_t *out_off, const int64_t *rs, const int64_t *cs,
     const int64_t *grp_starts, int64_t n_grp, double *out) {
 #pragma omp parallel for schedule(dynamic, 16)
     for (int64_t g = 0; g < n_grp; g++) {
         for (int64_t c = grp_starts[g]; c < grp_starts[g + 1]; c++) {
-            const int R = d1[c], Cc = d2[c], S = out_cols[c];
+            const int R = d1[c], Cc = d2[c];
+            const int64_t S = rs[c], T = cs[c];
             const double *e = epool + eoff[c];
             double *o = out + out_off[c];
             const double cf = coef[c];
-            for (int r = 0; r < R; r++) {
-                const double *er = e + (size_t)r * Cc;
-                double *orow = o + (size_t)r * S;
-                for (int q = 0; q < Cc; q++)
-                    orow[q] += cf * er[q];
+            if (T == 1) {
+                for (int r = 0; r < R; r++) {
+                    const double *er = e + (size_t)r * Cc;
+                    double *orow = o + (size_t)r * S;
+                    for (int q = 0; q < Cc; q++)
+                        orow[q] += cf * er[q];
+                }
+            } else {
+                for (int r = 0; r < R; r++) {
+                    const double *er = e + (size_t)r * Cc;
+                    double *orow = o + (size_t)r * S;
+                    for (int q = 0; q < Cc; q++)
+                        orow[(size_t)q * T] += cf * er[q];
+                }
             }
         }
     }

@@ -363,7 +363,8 @@ def _exec_assembly_cached(struct, env, group):
         struct["d2_c"].ctypes.data_as(i32),
         struct["coef_c"].ctypes.data_as(dp),
         struct["ooff_c"].ctypes.data_as(i64),
-        struct["cols32"].ctypes.data_as(i32),
+        struct["rs_c"].ctypes.data_as(i64),
+        struct["cs_c"].ctypes.data_as(i64),
         struct["grp"].ctypes.data_as(i64), len(struct["grp"]) - 1,
         flat.ctypes.data_as(dp))
     out: Dict[int, Dict] = {}
@@ -485,8 +486,13 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
     fsec_list: List[Tuple[int, QN]] = []
 
     def _build_tab(fb, ct, act, side):
+        """(bond code, phys state) -> fused sector id, base offset within the
+        sector, and the stride between consecutive bond states.  Runs are
+        laid out (a-major, b-minor); with degenerate site quanta the site
+        multiplicity strides the bond axis on whichever side the bond is."""
         tab_sec = np.full((ncodes0, nphys), -1, dtype=np.int64)
         tab_off = np.zeros((ncodes0, nphys), dtype=np.int64)
+        tab_str = np.ones((ncodes0, nphys), dtype=np.int64)
         for fq, runs in fb.maps.items():
             if act is not None and fq not in act:
                 continue
@@ -500,17 +506,28 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
                     qbond, p_qn = qa, qb2
                 else:
                     p_qn, qbond = qa, qb2
+                qb_real = qbond if ct is None else g.sub(ct, qbond)
+                cc = code_of.get(qb_real)
+                if cc is None:
+                    continue
+                idx_within = 0
                 for p, q in enumerate(quanta):
                     if q == p_qn:
-                        qb_real = qbond if ct is None else g.sub(ct, qbond)
-                        cc = code_of.get(qb_real)
-                        if cc is not None:
-                            tab_sec[cc, p] = fid
-                            tab_off[cc, p] = off
-        return tab_sec, tab_off
+                        tab_sec[cc, p] = fid
+                        if bond_is_first:
+                            # fused index = off + bond*db + idx_within
+                            tab_off[cc, p] = off + idx_within
+                            tab_str[cc, p] = db
+                        else:
+                            # fused index = off + idx_within*db + bond
+                            tab_off[cc, p] = off + idx_within * db
+                            tab_str[cc, p] = 1
+                        idx_within += 1
+        return tab_sec, tab_off, tab_str
 
-    tab_sec_b, tab_off_b = _build_tab(fused, comp_target, active, 0)
-    tab_sec_k, tab_off_k = _build_tab(fused_k, ct_k, act_k, 1)
+    tab_sec_b, tab_off_b, tab_str_b = _build_tab(fused, comp_target,
+                                                 active, 0)
+    tab_sec_k, tab_off_k, tab_str_k = _build_tab(fused_k, ct_k, act_k, 1)
     fdims = np.asarray([(fused.info[q] if side == 0 else fused_k.info[q])
                         for side, q in fsec_list], dtype=np.int64)
 
@@ -527,6 +544,8 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
         return {}
     ob = tab_off_b[eqb[ie], wpb[iw]]
     ok = tab_off_k[eqk[ie], wpk[iw]]
+    stb = tab_str_b[eqb[ie], wpb[iw]]
+    stk = tab_str_k[eqk[ie], wpk[iw]]
     msym = out_key[iw]
     coefs = wc[iw]
     eshape = np.asarray([m.shape for m in emats], dtype=np.int64)
@@ -574,7 +593,8 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
             cols_c = out_cols[inv_s]
             ooff_c = np.ascontiguousarray(
                 offs[inv_s] + ob[order2] * cols_c + ok[order2])
-            cols32 = np.ascontiguousarray(cols_c.astype(np.int32))
+            rs_c = np.ascontiguousarray(stb[order2] * cols_c)
+            cs_c = np.ascontiguousarray(stk[order2])
             dp = ctypes.POINTER(ctypes.c_double)
             i64 = ctypes.POINTER(ctypes.c_int64)
             i32 = ctypes.POINTER(ctypes.c_int32)
@@ -583,7 +603,8 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
                 eoff_c.ctypes.data_as(i64),
                 d1_c.ctypes.data_as(i32), d2_c.ctypes.data_as(i32),
                 coef_c.ctypes.data_as(dp),
-                ooff_c.ctypes.data_as(i64), cols32.ctypes.data_as(i32),
+                ooff_c.ctypes.data_as(i64), rs_c.ctypes.data_as(i64),
+                cs_c.ctypes.data_as(i64),
                 grp.ctypes.data_as(i64), len(grp) - 1,
                 flat.ctypes.data_as(dp))
             out_n: Dict[int, Dict] = {}
@@ -602,8 +623,8 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
                 plan_cache[plan_key] = (sig, {
                     "env_order": env_order, "eoffs": eoffs.copy(),
                     "eoff_c": eoff_c, "d1_c": d1_c, "d2_c": d2_c,
-                    "coef_c": coef_c, "ooff_c": ooff_c, "cols32": cols32,
-                    "grp": grp, "total": int(offs[-1]),
+                    "coef_c": coef_c, "ooff_c": ooff_c, "rs_c": rs_c,
+                    "cs_c": cs_c, "grp": grp, "total": int(offs[-1]),
                     "out_meta": out_meta})
             return out_n
 
@@ -627,12 +648,15 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
             gidx = eoffs[ie[sel]][:, None, None] + rr * ct + cc2
             vals = epool[np.where(mask, gidx, len(epool) - 1)]
             vals = vals * coefs[sel][:, None, None]
-            # target flat index: out block offset + (ob + r) * cols + ok + c
+            # target flat index: out offset + (ob + r*stride_b) * cols
+            #                    + ok + c*stride_k
             oid = inv[sel]
             cols = out_cols[oid][:, None, None]
             tidx = (offs[oid][:, None, None]
-                    + (ob[sel][:, None, None] + rr) * cols
-                    + ok[sel][:, None, None] + cc2)
+                    + (ob[sel][:, None, None]
+                       + rr * stb[sel][:, None, None]) * cols
+                    + ok[sel][:, None, None]
+                    + cc2 * stk[sel][:, None, None])
             np.add.at(flat, tidx[mask], vals[mask])
 
     out: Dict[int, Dict] = {}

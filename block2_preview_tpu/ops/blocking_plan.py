@@ -78,6 +78,10 @@ def build_plan(env: Dict[int, BlockMatrix], entries, quanta, bra_T, ket_T,
             (bra_T, bra_keys, bra_shapes, bra_out, bra_tab),
             (ket_T, ket_keys, ket_shapes, ket_out, ket_tab)):
         for (ql, qp, qr), b in sorted(T.blocks.items()):
+            # degenerate site quanta (trivial-symmetry qubits, big sites):
+            # several basis states p share one MPS block; each gets its own
+            # registry slice along the block's physical axis
+            islice = 0
             for p, q in enumerate(quanta):
                 if q != qp:
                     continue
@@ -88,9 +92,10 @@ def build_plan(env: Dict[int, BlockMatrix], entries, quanta, bra_T, ket_T,
                     key = (p, code(qr))
                     out_code = code(ql)
                 tab[key] = len(keys)
-                keys.append((ql, qp, qr))
+                keys.append(((ql, qp, qr), islice))
                 shapes.append((b.shape[0], b.shape[2]))
                 outs.append(out_code)
+                islice += 1
     bra_out = np.asarray(bra_out, dtype=np.int64)
     ket_out = np.asarray(ket_out, dtype=np.int64)
 
@@ -277,17 +282,14 @@ def _pools(plan: BlockingPlan, env, bra_T, ket_T, dtype):
     for ii, (sym, k) in enumerate(plan.env_order):
         epool[eoffs[ii]:eoffs[ii + 1]] = env[sym].blocks[k].ravel()
     bpool = np.zeros(sent_b + 1, dtype=dtype)
-    for ii, k in enumerate(plan.bra_order):
-        b = bra_T.blocks[k]
-        m = b.reshape(b.shape[0], b.shape[2])
+    for ii, (k, isl) in enumerate(plan.bra_order):
+        m = bra_T.blocks[k][:, isl, :]
         if np.iscomplexobj(m):
             m = m.conj()
         bpool[boffs[ii]:boffs[ii + 1]] = m.ravel()
     kpool = np.zeros(sent_k + 1, dtype=dtype)
-    for ii, k in enumerate(plan.ket_order):
-        b = ket_T.blocks[k]
-        kpool[koffs[ii]:koffs[ii + 1]] = b.reshape(
-            b.shape[0], b.shape[2]).ravel()
+    for ii, (k, isl) in enumerate(plan.ket_order):
+        kpool[koffs[ii]:koffs[ii + 1]] = ket_T.blocks[k][:, isl, :].ravel()
     return epool, bpool, kpool
 
 
@@ -302,6 +304,8 @@ def _gather(pool, offs, idx_blocks, rows_true, cols_true, R, Cc, sent):
 
 def execute_plan_numpy(plan: BlockingPlan, env, bra_T, ket_T, group,
                        dtype=np.float64) -> Dict[int, BlockMatrix]:
+    if plan.native is not None:
+        dtype = np.result_type(dtype, plan.native["coefs"].dtype)
     epool, bpool, kpool = _pools(plan, env, bra_T, ket_T, dtype)
     eoffs, sent_e = plan.env_sizes
     boffs, sent_b = plan.bra_sizes

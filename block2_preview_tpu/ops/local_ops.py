@@ -74,17 +74,24 @@ class OpRegistry:
         ident = IDENT if ident is None else ident
         parity = PARITY if parity is None else parity
         # reserved slots (parity may equal identity for bosonic sites)
-        self.mats.append(np.asarray(ident, dtype=np.float64))
-        self.mats.append(np.asarray(parity, dtype=np.float64))
+        self.mats.append(np.asarray(ident, dtype=self._dt(ident)))
+        self.mats.append(np.asarray(parity, dtype=self._dt(parity)))
         self._index[np.round(parity, 14).tobytes()] = self.ID_Z
         self._index[np.round(ident, 14).tobytes()] = self.ID_I
 
+    @staticmethod
+    def _dt(mat):
+        return np.complex128 if np.iscomplexobj(mat) else np.float64
+
     def register(self, mat: np.ndarray) -> int:
+        # real-valued complex matrices dedupe against their real twins
+        if np.iscomplexobj(mat) and not np.any(mat.imag):
+            mat = mat.real
         key = np.round(mat, 14).tobytes()
         idx = self._index.get(key)
         if idx is None:
             idx = len(self.mats)
-            self.mats.append(np.asarray(mat, dtype=np.float64))
+            self.mats.append(np.asarray(mat, dtype=self._dt(mat)))
             self._index[key] = idx
         return idx
 
