@@ -79,10 +79,16 @@ def term_row(n_sites: int, coeff: float, ops: Sequence[Tuple[int, int]],
     site-major spin-orbital ordering; matches block2's SZ operator algebra,
     reference src/dmrg/qc_hamiltonian.hpp:40 site op definitions).
 
+    spec may also be a per-site sequence of SiteBasisSpec (heterogeneous
+    chains with big sites, reference src/big_site/big_site.hpp); each
+    site's elementary ids index into its own elem_mats.
+
     Returns (signed coefficient, opid row) or None if the term vanishes.
     """
+    per_site_spec = not isinstance(spec, SiteBasisSpec)
+    spec0 = spec[0] if per_site_spec else spec
     sites = [s for s, _ in ops]
-    sign = -1.0 if (spec.fermionic and _inversion_parity(sites)) else 1.0
+    sign = -1.0 if (spec0.fermionic and _inversion_parity(sites)) else 1.0
     order = sorted(range(len(ops)), key=lambda i: sites[i])
     per_site: dict = {}
     for i in order:
@@ -94,12 +100,13 @@ def term_row(n_sites: int, coeff: float, ops: Sequence[Tuple[int, int]],
         if here is None:
             row[t] = OpRegistry.ID_Z if (n_right & 1) else OpRegistry.ID_I
             continue
+        st = spec[t] if per_site_spec else spec
         n_right -= len(here)
-        mat = spec.elem_mats[here[0]]
+        mat = st.elem_mats[here[0]]
         for e in here[1:]:
-            mat = mat @ spec.elem_mats[e]
+            mat = mat @ st.elem_mats[e]
         if n_right & 1:
-            mat = mat @ spec.parity
+            mat = mat @ st.parity
         if not np.any(mat):
             return None
         row[t] = registry.register(mat)
@@ -112,7 +119,8 @@ def build_term_table(n_sites: int, raw_terms: Iterable[RawTerm],
                      cutoff: float = 1e-14,
                      spec: SiteBasisSpec = SZ_SITE) -> TermTable:
     """Normal-order raw operator strings into a packed, deduplicated table."""
-    registry = registry or spec.registry()
+    registry = registry or \
+        (spec if isinstance(spec, SiteBasisSpec) else spec[0]).registry()
     coeff_rows: List[float] = []
     opid_rows: List[np.ndarray] = []
     for coeff, ops in raw_terms:

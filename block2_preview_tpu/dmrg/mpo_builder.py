@@ -83,14 +83,27 @@ def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
     labels are not XOR point-group irreps)."""
     g = tt.group
     L = tt.n_sites
+    specs = list(spec) if not isinstance(spec, SiteBasisSpec) else [spec] * L
     if site_quanta is None:
         if site_pgs is None:
             site_pgs = [0] * L
-        site_quanta = [spec.quanta(int(p)) for p in site_pgs]
+        site_quanta = [specs[t].quanta(int(p))
+                       for t, p in enumerate(site_pgs)]
 
-    # delta quantum per (registry id, site)
+    def _mat(t: int, opid: int) -> np.ndarray:
+        # identity/JW-parity are per-site (big sites have their own dims)
+        if opid == OpRegistry.ID_I:
+            return specs[t].ident
+        if opid == OpRegistry.ID_Z:
+            return specs[t].parity
+        return tt.registry[opid]
+
+    # delta quantum per (registry id, site); registry ids whose dims do not
+    # match a site never occur there (heterogeneous chains)
     nreg = len(tt.registry)
-    dq_table = [[op_delta_quantum(g, tt.registry[i], site_quanta[t])
+    dq_table = [[g.zero if i < 2 else
+                 (op_delta_quantum(g, tt.registry[i], site_quanta[t])
+                  if tt.registry[i].shape[0] == len(site_quanta[t]) else None)
                  for i in range(nreg)] for t in range(L)]
 
     # 128-bit rolling suffix hashes: O(1) suffix-identity keys per bond,
@@ -174,7 +187,7 @@ def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
         # left-covered symbols: weight-1 entries
         for i in np.nonzero(cov_l)[0]:
             add_entry(int(lk_sym[i]), int(new_sym_of_lk[i]),
-                      tt.registry[int(lk_op[i])])
+                      _mat(t, int(lk_op[i])))
         # right-covered symbols: coefficient-absorbing entries
         for ei in np.nonzero(free_edges)[0]:
             li, ri = int(e_l[ei]), int(e_r[ei])
@@ -188,7 +201,7 @@ def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
                 assert dqs[o_sym] == dq_here, "inconsistent suffix charge"
             if abs(e_coeff[ei]) > cutoff:
                 add_entry(int(lk_sym[li]), o_sym,
-                          e_coeff[ei] * tt.registry[int(lk_op[li])])
+                          e_coeff[ei] * _mat(t, int(lk_op[li])))
 
         tensors.append(w)
         bond_dqs.append([d if d is not None else g.zero for d in dqs])
