@@ -339,6 +339,14 @@ class DMRGDriver:
         return self.get_npdm(ket, pdm_type=1, bra=bra)
 
     @staticmethod
+    def chebyshev_moments(mpo: MPO, t0: MPS, n_moments: int, a: float,
+                          b: float, bond_dim: int, **kw):
+        """KPM moments mu_k = <t0|T_k((H-b)/a)|t0> for Chebyshev dynamical
+        response (reference pyblock2/chebydmrg.py)."""
+        from ..dmrg.chebyshev import chebyshev_moments
+        return chebyshev_moments(mpo, t0, n_moments, a, b, bond_dim, **kw)
+
+    @staticmethod
     def get_mpo_from_pauli_strings(strings, const_e: float = 0.0) -> MPO:
         """MPO from weighted Pauli strings [(coeff, 'XXIZ...'), ...]
         (reference pyblock2/driver/core.py:4205); pair with
