@@ -338,6 +338,12 @@ class DMRGDriver:
         (reference pyblock2/driver/core.py get_trans_1pdm)."""
         return self.get_npdm(ket, pdm_type=1, bra=bra)
 
+    def trans_mps_to_sgf(self, ket: MPS) -> MPS:
+        """Exact SZ -> SGF (spin-orbital) MPS transform
+        (reference pyblock2/driver/core.py:7217-7457 trans_mps tools)."""
+        from ..utils.transform import sz_to_sgf_mps
+        return sz_to_sgf_mps(ket, pg_per_site=self.orb_sym)
+
     @staticmethod
     def chebyshev_moments(mpo: MPO, t0: MPS, n_moments: int, a: float,
                           b: float, bond_dim: int, **kw):
