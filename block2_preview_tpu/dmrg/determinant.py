@@ -126,5 +126,6 @@ def sample_determinants(mps: MPS, n_samples: int, seed: int = 1234
             p, nv, w = cands[pick]
             occ.append(p)
             v = {k: x / np.sqrt(w) for k, x in nv.items()}
-        out.append((tuple(occ), float(np.prod(1.0))))
+        occ = tuple(occ)
+        out.append((occ, det_coefficient(m, occ)))
     return out
