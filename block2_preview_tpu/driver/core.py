@@ -338,6 +338,13 @@ class DMRGDriver:
         (reference pyblock2/driver/core.py get_trans_1pdm)."""
         return self.get_npdm(ket, pdm_type=1, bra=bra)
 
+    @staticmethod
+    def get_normal_ordered_integrals(fcidump: FCIDUMP):
+        """(E_HF, fock, <pq||rs>) of H normal-ordered w.r.t. the aufbau
+        determinant (reference NormalOrder, pyblock2/driver/core.py:8353)."""
+        from ..uc.mp import normal_ordered_integrals
+        return normal_ordered_integrals(fcidump)
+
     def trans_mps_to_sgf(self, ket: MPS) -> MPS:
         """Exact SZ -> SGF (spin-orbital) MPS transform
         (reference pyblock2/driver/core.py:7217-7457 trans_mps tools)."""

@@ -99,3 +99,16 @@ def canonicalize_fcidump(fd: FCIDUMP) -> FCIDUMP:
         h1e=c.T @ fd.h1e @ c,
         g2e=np.einsum("pi,qj,rk,sl,pqrs->ijkl", c, c, c, c, fd.g2e,
                       optimize=True))
+
+
+def normal_ordered_integrals(fd: FCIDUMP):
+    """Normal ordering of H with respect to the aufbau determinant
+    (reference pyblock2/driver/core.py:8353 NormalOrder / WickNormalOrder):
+
+        H = E_HF + sum_pq f_pq {c+_p c_q} + (1/4) sum <pq||rs> {c+c+cc}
+
+    in spin orbitals (site-major interleaved ordering).  Returns
+    (E_HF, fock, v_antisymmetrized); the braces denote normal ordering
+    w.r.t. the Fermi vacuum.  Validated by re-expanding the normal-ordered
+    pieces into plain operators (tests/test_normal_order.py)."""
+    return hf_energy_and_fock(fd)
