@@ -61,14 +61,18 @@ class Linear:
                        ) -> float:
         effs = [EffectiveHamiltonian2(me, t) for me in self.mes]
         space = effs[0].bra_space
-        rhs: Dict[Key2, np.ndarray] = {k: np.zeros(space.shapes[k])
+        dt = np.result_type(np.float64,
+                            *[eff.dtype for eff in effs],
+                            *[np.asarray(c).dtype for c in self.coeffs])
+        rhs: Dict[Key2, np.ndarray] = {k: np.zeros(space.shapes[k], dtype=dt)
                                        for k in space.keys}
         for c, eff in zip(self.coeffs, effs):
             psi_k = eff.initial_guess()
             out = eff.matvec_blocks(psi_k)
             for k, b in out.items():
                 rhs[k] += c * b
-        nrm = np.sqrt(sum(np.sum(b * b) for b in rhs.values()))
+        nrm = np.sqrt(abs(sum(np.sum(b * np.conj(b))
+                              for b in rhs.values())))
         g = effs[0].g
         target = self.bra.info.target
         if nrm > 1e-300:
