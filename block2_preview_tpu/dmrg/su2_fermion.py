@@ -85,7 +85,13 @@ class SU2FermionDMRG:
                  target: Tuple[int, int] = None, bond_dim: int = 100,
                  seed: int = 7, iprint: int = 0):
         self.L = L
-        self.entries = list(entries)
+        # entries: either one list used at every site, or a per-site list
+        # of lists (site-dependent coefficients, e.g. long-range t_ij)
+        if entries and isinstance(entries[0], list):
+            assert len(entries) == L
+            self.site_entries = [list(e) for e in entries]
+        else:
+            self.site_entries = [list(entries)] * L
         self.n_sym = n_symbols
         self.dn = dict(sym_dn)
         self.T = target if target is not None else (L, 0)
@@ -93,10 +99,11 @@ class SU2FermionDMRG:
         self.iprint = iprint
         # symbol spin ranks by propagation (as in su2_spin)
         self.rank: Dict[int, int] = {0: 0, n_symbols - 1: 0}
+        all_entries = [e for es in self.site_entries for e in es]
         changed = True
         while changed:
             changed = False
-            for (i, o, w, _c) in self.entries:
+            for (i, o, w, _c) in all_entries:
                 k = SITE_OPS[w][1]
                 if i in self.rank and o not in self.rank:
                     ki = self.rank[i]
@@ -214,7 +221,7 @@ class SU2FermionDMRG:
         for (ql, m, qr), b in A.items():
             by_ql.setdefault(ql, []).append((m, qr, b))
         out: Dict[int, Dict] = {}
-        for (i, o, w, cf) in self.entries:
+        for (i, o, w, cf) in self.site_entries[t]:
             e = env.get(i)
             if e is None:
                 continue
@@ -248,7 +255,7 @@ class SU2FermionDMRG:
         for (ql, m, qr), b in B.items():
             by_qr.setdefault(qr, []).append((m, ql, b))
         out: Dict[int, Dict] = {}
-        for (i, o, w, cf) in self.entries:
+        for (i, o, w, cf) in self.site_entries[t]:
             e = env.get(o)
             if e is None:
                 continue
@@ -317,7 +324,7 @@ class SU2FermionDMRG:
 
         # LW[m][(Qb, Qk)] from [E_l[i] (x) w_t]
         LW: Dict[int, Dict] = {}
-        for (i, o, w, cf) in self.entries:
+        for (i, o, w, cf) in self.site_entries[t]:
             e = env_l.get(i)
             if e is None:
                 continue
@@ -358,7 +365,7 @@ class SU2FermionDMRG:
                             (phase * fac * r * cf) * eb
         # RW[m][(Qb, Qk)] from [w_{t+1} (x) E_r[o]]
         RW: Dict[int, Dict] = {}
-        for (i, o, w, cf) in self.entries:
+        for (i, o, w, cf) in self.site_entries[t + 1]:
             e = env_r.get(o)
             if e is None:
                 continue
@@ -540,3 +547,49 @@ def hubbard_su2_dmrg(L: int, t_hop: float = 1.0, u: float = 2.0,
     return SU2FermionDMRG(L, entries, n_sym, dn,
                           target=(n_elec if n_elec is not None else L, twos),
                           bond_dim=bond_dim, iprint=iprint, seed=seed)
+
+
+def su2_one_electron_entries(tmat: np.ndarray, u: float = 0.0,
+                             eps: Optional[Sequence[float]] = None):
+    """Per-site MPO entries for a general one-electron Hamiltonian plus a
+    local Hubbard U,
+
+        H = sum_{i<j} t_ij sum_sigma (c+_i c_j + h.c.)
+            + sum_i eps_i n_i + U sum_i n_up n_dn,
+
+    in spin-adapted form: each pending creation/annihilation spinor gets its
+    own rank-1 symbol; pass-through entries are plain identities — the
+    Jordan-Wigner strings live entirely in the graded recoupling phase.
+    Returns (per-site entries, n_symbols, sym_dn)."""
+    tmat = np.asarray(tmat)
+    L = tmat.shape[0]
+    c_sym = {i: 1 + i for i in range(L)}
+    d_sym = {i: 1 + L + i for i in range(L)}
+    H = 2 * L + 1
+    dn = {0: 0, H: 0}
+    for i in range(L):
+        dn[c_sym[i]] = +1
+        dn[d_sym[i]] = -1
+    site_entries: List[List] = []
+    for s in range(L):
+        es: List = [(0, 0, "I", 1.0), (H, H, "I", 1.0)]
+        if u != 0.0:
+            es.append((0, H, "NN", u))
+        if eps is not None and eps[s] != 0.0:
+            es.append((0, H, "N", float(eps[s])))
+        opens_c = any(abs(tmat[s, j]) > 0 for j in range(s + 1, L))
+        if opens_c:
+            es.append((0, c_sym[s], "C", 1.0))
+            es.append((0, d_sym[s], "D", 1.0))
+        for i in range(s):
+            live = any(abs(tmat[i, j]) > 0 for j in range(s, L))
+            if not live:
+                continue
+            if abs(tmat[i, s]) > 0:
+                es.append((c_sym[i], H, "D", -SQ2 * tmat[i, s]))
+                es.append((d_sym[i], H, "C", -SQ2 * tmat[i, s]))
+            if any(abs(tmat[i, j]) > 0 for j in range(s + 1, L)):
+                es.append((c_sym[i], c_sym[i], "I", 1.0))
+                es.append((d_sym[i], d_sym[i], "I", 1.0))
+        site_entries.append(es)
+    return site_entries, 2 * L + 2, dn

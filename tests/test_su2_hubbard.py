@@ -81,3 +81,36 @@ def test_su2_hubbard_triplet():
     d = hubbard_su2_dmrg(4, 1.0, 2.0, twos=2, bond_dim=60)
     e = d.solve(n_sweeps=6)
     assert abs(e - e_ed) < 1e-9, (e, e_ed)
+
+
+def test_su2_long_range_one_electron():
+    """Arbitrary long-range t_ij + local U + site energies, several (N, S)
+    targets incl. half-integer spin, vs sector ED."""
+    from block2_preview_tpu.core.expr import build_term_table
+    from block2_preview_tpu.dmrg.su2_fermion import (SU2FermionDMRG,
+                                                     su2_one_electron_entries)
+    from block2_preview_tpu.ops.local_ops import CRE_A, CRE_B, DES_A, DES_B
+    rng = np.random.RandomState(2)
+    Lx = 4
+    t = rng.standard_normal((Lx, Lx)) * 0.7
+    t = (t + t.T) / 2
+    np.fill_diagonal(t, 0.0)
+    eps = rng.standard_normal(Lx) * 0.3
+    u = 1.5
+    raw = []
+    for i in range(Lx):
+        for j in range(Lx):
+            if i != j and abs(t[i, j]) > 0:
+                raw.append((t[i, j], [(i, CRE_A), (j, DES_A)]))
+                raw.append((t[i, j], [(i, CRE_B), (j, DES_B)]))
+        raw.append((eps[i], [(i, CRE_A), (i, DES_A)]))
+        raw.append((eps[i], [(i, CRE_B), (i, DES_B)]))
+        raw.append((u, [(i, CRE_A), (i, DES_A), (i, CRE_B), (i, DES_B)]))
+    h = term_table_to_sparse(build_term_table(Lx, raw))
+    ents, nsym, dn = su2_one_electron_entries(t, u, eps)
+    for (ne, tsz, tj) in ((4, 0, 0), (3, 1, 1), (4, 2, 2)):
+        ix = sector_indices(Lx, ne, tsz)
+        e_ed = float(np.linalg.eigvalsh(h[np.ix_(ix, ix)].toarray())[0])
+        d = SU2FermionDMRG(Lx, ents, nsym, dn, target=(ne, tj), bond_dim=80)
+        e = d.solve(n_sweeps=8)
+        assert abs(e - e_ed) < 1e-9, (ne, tj, e, e_ed)
