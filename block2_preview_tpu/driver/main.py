@@ -127,6 +127,29 @@ def run(config_path: str) -> float:
         dm2 = pdm2_spatial(mps, orb_sym=fd.orb_sym,
                            assume_singlet=drv.spin == 0)
         np.save("2pdm.npy", dm2)
+    if "threepdm" in dic or "restart_threepdm" in dic:
+        from ..dmrg.expect import pdm3_spatial
+        np.save("3pdm.npy", pdm3_spatial(mps))
+    if "orbital_entropy" in dic:
+        from ..dmrg.expect import orbital_entropy_2site
+        s2, minfo = orbital_entropy_2site(mps)
+        np.save("orbital_entropy.npy", s2)
+        np.save("mutual_information.npy", minfo)
+        if iprint:
+            print("MAX MUTUAL INFORMATION = %12.8f" % minfo.max())
+    if "extrapolation" in dic and len(solver.discarded_weights) >= 2:
+        from ..dmrg.extrapolate import extrapolate_energy
+        per_sweep = [float(np.min(es)) for es in solver.energies]
+        k = min(len(per_sweep), len(solver.discarded_weights))
+        e_x, err = extrapolate_energy(solver.discarded_weights[-k:],
+                                      per_sweep[-k:])
+        print("Extrapolated Energy = %20.15f +/- %.2e" % (e_x, err))
+    if dic.get("sample") not in (None, ""):
+        from ..dmrg.determinant import sample_determinants
+        n_samp = int(str(dic["sample"]))
+        samples = sample_determinants(mps, n_samp)
+        np.save("sample_dets.npy",
+                np.array([occ for occ, _ in samples], dtype=np.int8))
     return float(energies[0])
 
 

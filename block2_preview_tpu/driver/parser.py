@@ -16,7 +16,8 @@ KNOWN_KEYS = {
     "fiedler", "nonspinadapted", "num_thrds", "mem", "onepdm", "twopdm",
     "restart_onepdm", "restart_twopdm", "mps_tags", "warmup", "nonspinadapted",
     "singlet_embedding", "conn_centers", "fullrestart", "noise",
-    "spin_penalty",
+    "spin_penalty", "threepdm", "restart_threepdm", "orbital_entropy",
+    "extrapolation", "sample", "delta_t", "target_t",
 }
 
 

@@ -66,3 +66,43 @@ outputlevel 1
     e_ed = ground_state_energy(qc_term_table(fd), fd.n_elec, fd.twos,
                                fd.const_e)[0]
     assert abs(energies[0] - e_ed) < 1e-7
+
+
+def test_cli_property_keywords(tmp_path):
+    """threepdm / orbital_entropy / extrapolation / sample keywords."""
+    conf = tmp_path / "dmrg.conf"
+    conf.write_text("""
+orbitals /root/reference/data/HUBBARD-L6.FCIDUMP
+nelec 6
+spin 0
+schedule
+0 40 1e-8 1e-4
+2 60 1e-9 1e-5
+4 60 1e-9 0.0
+end
+maxiter 8
+sweep_tol 1E-9
+noreorder
+outputlevel 1
+onepdm
+orbital_entropy
+extrapolation
+sample 50
+""")
+    import numpy as np
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "block2_preview_tpu.driver.main", str(conf)],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd=str(tmp_path))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "MAX MUTUAL INFORMATION" in out.stdout
+    s2 = np.load(tmp_path / "orbital_entropy.npy")
+    mi = np.load(tmp_path / "mutual_information.npy")
+    assert s2.shape == (6, 6) and mi.shape == (6, 6)
+    dets = np.load(tmp_path / "sample_dets.npy")
+    assert dets.shape == (50, 6)
+    assert any(l.startswith("Extrapolated Energy")
+               for l in out.stdout.splitlines()), out.stdout[-1500:]
