@@ -1,13 +1,14 @@
-"""Spin-adapted (SU(2)) DMRG for fermions: the Hubbard chain.
+"""Spin-adapted (SU(2)) DMRG for fermions.
 
 Extends the spin-chain engine (su2_spin.py) to fermionic sites: sectors are
-(N, 2S) pairs, sites carry several multiplets (|0>, |singly-occ>, |2>), the
-elementary operators are spin-1/2 tensor operators (creation/annihilation
+(N, 2S, pg) triples, sites carry several multiplets (|0>, |singly-occ>, |2>),
+the elementary operators are spin-1/2 tensor operators (creation/annihilation
 spinors), and the coupled-product recoupling acquires a graded (fermionic)
 phase.  This is the full non-abelian machinery of block2's SU2 universe
-(reference src/core/cg.hpp SU2CG, src/dmrg/qc_hamiltonian.hpp SU2 site ops,
-src/core/sparse_matrix.hpp 9j recoupling) minus the long-range
-complementary-operator QC MPO (round 2).
+(reference src/core/clebsch_gordan.hpp SU2CG, src/dmrg/qc_hamiltonian.hpp SU2
+site ops, src/core/sparse_matrix.hpp 9j recoupling).  The quantum-chemistry
+MPO (complementary-operator term tables compiled by bipartite compression)
+lives in su2_qc.py and runs on this engine.
 
 Derived numerically and validated m-resolved (tests/test_su2_hubbard.py):
   * creation spinor C+ = (c_up^+, c_dn^+) is a rank-1/2 tensor; annihilation
@@ -26,9 +27,10 @@ Derived numerically and validated m-resolved (tests/test_su2_hubbard.py):
     and sum_sigma c+_{2 sigma} c_{1 sigma} = -sqrt(2) [C~ (x) C+]^0, so
     H_hop = sqrt(2) t ([C+ (x) C~]^0 + [C~ (x) C+]^0) for -t(c+c + h.c.)
 
-Sectors q = (N, tj); all spins DOUBLED.  Right-block labels use the
-complement convention (label = what remains for the left), so the
-wavefunction sectors at a center are qL == qR, as in the abelian engine.
+Sectors q = (N, tj, pg); all spins DOUBLED; pg is an XOR point-group label.
+Right-block labels use the complement convention (label = what remains for
+the left), so the wavefunction sectors at a center are qL == qR, as in the
+abelian engine.
 """
 
 from __future__ import annotations
@@ -78,12 +80,23 @@ def hubbard_su2_entries(t_hop: float, u: float):
 class SU2FermionDMRG:
     """Two-site spin-adapted DMRG over fermionic SU(2) sites.
 
-    entries: (i, o, opname, coeff); sym_dn: {symbol: dN of the pending
-    operator}; target = (n_elec, 2S)."""
+    entries: (i, o, opname, coeff) — one list used at every site, or a
+    per-site list of lists; sym_dn: {symbol: dN of the pending operator};
+    target = (n_elec, 2S) or (n_elec, 2S, pg).
+
+    ops: extra on-site operator registry {name: (reduced 3x3, 2k, dN)}
+    merged over SITE_OPS (su2_qc.py supplies coupled composites).
+    ranks: explicit {symbol: doubled rank}; if omitted, ranks are
+    propagated from the boundary symbols (only possible for MPOs whose
+    pending symbols never combine two nonzero ranks).
+    site_pgs: per-site XOR point-group labels (default all 0).
+    """
 
     def __init__(self, L: int, entries, n_symbols: int, sym_dn,
-                 target: Tuple[int, int] = None, bond_dim: int = 100,
-                 seed: int = 7, iprint: int = 0):
+                 target: Tuple = None, bond_dim: int = 100,
+                 seed: int = 7, iprint: int = 0, ops: Dict = None,
+                 ranks: Dict[int, int] = None,
+                 site_pgs: Optional[Sequence[int]] = None):
         self.L = L
         # entries: either one list used at every site, or a per-site list
         # of lists (site-dependent coefficients, e.g. long-range t_ij)
@@ -94,23 +107,39 @@ class SU2FermionDMRG:
             self.site_entries = [list(entries)] * L
         self.n_sym = n_symbols
         self.dn = dict(sym_dn)
-        self.T = target if target is not None else (L, 0)
+        if target is None:
+            target = (L, 0, 0)
+        elif len(target) == 2:
+            target = (target[0], target[1], 0)
+        self.T = tuple(target)
         self.D = bond_dim
         self.iprint = iprint
-        # symbol spin ranks by propagation (as in su2_spin)
-        self.rank: Dict[int, int] = {0: 0, n_symbols - 1: 0}
-        all_entries = [e for es in self.site_entries for e in es]
-        changed = True
-        while changed:
-            changed = False
-            for (i, o, w, _c) in all_entries:
-                k = SITE_OPS[w][1]
-                if i in self.rank and o not in self.rank:
-                    ki = self.rank[i]
-                    self.rank[o] = k if ki == 0 else (ki if k == 0 else None)
-                    if self.rank[o] is None:
-                        raise ValueError("ambiguous symbol rank")
-                    changed = True
+        self.ops = dict(SITE_OPS)
+        if ops:
+            self.ops.update(ops)
+        self.site_pgs = [0] * L if site_pgs is None else [int(p)
+                                                          for p in site_pgs]
+        # per-site multiplet quanta (N, 2S, pg)
+        self.mults = [[(0, 0, 0), (1, 1, self.site_pgs[t]), (2, 0, 0)]
+                      for t in range(L)]
+        if ranks is not None:
+            self.rank: Dict[int, int] = dict(ranks)
+        else:
+            # symbol spin ranks by propagation (as in su2_spin)
+            self.rank = {0: 0, n_symbols - 1: 0}
+            all_entries = [e for es in self.site_entries for e in es]
+            changed = True
+            while changed:
+                changed = False
+                for (i, o, w, _c) in all_entries:
+                    k = self.ops[w][1]
+                    if i in self.rank and o not in self.rank:
+                        ki = self.rank[i]
+                        self.rank[o] = k if ki == 0 else \
+                            (ki if k == 0 else None)
+                        if self.rank[o] is None:
+                            raise ValueError("ambiguous symbol rank")
+                        changed = True
         self.bonds = self._fci_bonds(L, bond_dim)
         rng = np.random.RandomState(seed)
         # tensor blocks keyed (ql, mult, qr)
@@ -118,7 +147,7 @@ class SU2FermionDMRG:
         for t in range(L):
             blk: Dict[Tuple, np.ndarray] = {}
             for ql, dl in self.bonds[t].items():
-                for m, qr in self._fuse_l(ql):
+                for m, qr in self._fuse_l(ql, t):
                     dr = self.bonds[t + 1].get(qr, 0)
                     if dr:
                         blk[(ql, m, qr)] = rng.standard_normal((dl, dr))
@@ -126,41 +155,43 @@ class SU2FermionDMRG:
         self._canonicalize_right()
         self.lenvs: List[Optional[Dict]] = [None] * (L + 1)
         self.renvs: List[Optional[Dict]] = [None] * (L + 1)
-        z = (0, 0)
+        z = (0, 0, 0)
         self.lenvs[0] = {0: {(z, z): np.ones((1, 1))}}
         self.renvs[L] = {n_symbols - 1: {(self.T, self.T): np.ones((1, 1))}}
         for t in range(L - 1, 1, -1):
             self.renvs[t] = self._right_contract(t)
         self.energies: List[float] = []
+        # sweeps must alternate direction (the gauge after a forward sweep
+        # is left-canonical, so only a backward sweep can follow); solve()
+        # resumes from the recorded direction
+        self._forward_next = True
 
     # -- sector fusion -------------------------------------------------
-    @staticmethod
-    def _fuse_l(q):
-        """(bond q (x) site mult m) -> [(m, q')] left fusion."""
-        n, tj = q
+    def _fuse_l(self, q, t: int):
+        """(bond q (x) site mult m) -> [(m, q')] left fusion at site t."""
+        n, tj, pg = q
         out = []
-        for m, (nm, tjm) in enumerate(MULTS):
+        for m, (nm, tjm, pgm) in enumerate(self.mults[t]):
             for tj2 in range(abs(tj - tjm), tj + tjm + 1, 2):
-                out.append((m, (n + nm, tj2)))
+                out.append((m, (n + nm, tj2, pg ^ pgm)))
         return out
 
-    @staticmethod
-    def _fuse_r(q):
+    def _fuse_r(self, q, t: int):
         """(site m (x) right label q) -> [(m, q')]; labels are complements
         (remaining-for-left), so the site SUBTRACTS its N."""
-        n, tj = q
+        n, tj, pg = q
         out = []
-        for m, (nm, tjm) in enumerate(MULTS):
+        for m, (nm, tjm, pgm) in enumerate(self.mults[t]):
             for tj2 in range(abs(tj - tjm), tj + tjm + 1, 2):
-                out.append((m, (n - nm, tj2)))
+                out.append((m, (n - nm, tj2, pg ^ pgm)))
         return out
 
     def _fci_bonds(self, L, maxd):
-        left = [{(0, 0): 1}]
+        left = [{(0, 0, 0): 1}]
         for t in range(L):
-            nxt: Dict[Tuple[int, int], int] = {}
+            nxt: Dict[Tuple[int, int, int], int] = {}
             for q, c in left[t].items():
-                for m, q2 in self._fuse_l(q):
+                for m, q2 in self._fuse_l(q, t):
                     nxt[q2] = nxt.get(q2, 0) + c
             left.append(nxt)
         # right labels are complements: label(t) = target - N(sites >= t),
@@ -171,7 +202,7 @@ class SU2FermionDMRG:
         for t in range(L - 1, -1, -1):
             nxt = {}
             for q, c in right[t + 1].items():
-                for m, q2 in self._fuse_r(q):
+                for m, q2 in self._fuse_r(q, t):
                     if q2[0] >= 0:
                         nxt[q2] = nxt.get(q2, 0) + c
             right[t] = nxt
@@ -217,6 +248,7 @@ class SU2FermionDMRG:
         graded phase (-1)^{p_w * N(ket bond)}"""
         env = self.lenvs[t]
         A = self.tensors[t]
+        mults = self.mults[t]
         by_ql: Dict[Tuple, List] = {}
         for (ql, m, qr), b in A.items():
             by_ql.setdefault(ql, []).append((m, qr, b))
@@ -225,7 +257,7 @@ class SU2FermionDMRG:
             e = env.get(i)
             if e is None:
                 continue
-            wred, k_w, dn_w = SITE_OPS[w]
+            wred, k_w, dn_w = self.ops[w]
             p_w = abs(dn_w) % 2
             k_i, k_o = self.rank[i], self.rank[o]
             for (qlb, qlk), eb in e.items():
@@ -236,8 +268,8 @@ class SU2FermionDMRG:
                         if r == 0.0:
                             continue
                         fac = coupled_factor(
-                            qlk[1], MULTS[mk][1], qrk[1], k_i, k_w, k_o,
-                            qlb[1], MULTS[mb][1], qrb[1])
+                            qlk[1], mults[mk][1], qrk[1], k_i, k_w, k_o,
+                            qlb[1], mults[mb][1], qrb[1])
                         if abs(fac) < 1e-14:
                             continue
                         d = out.setdefault(o, {})
@@ -251,6 +283,7 @@ class SU2FermionDMRG:
         graded phase (-1)^{p_o * N(ket site multiplet)}"""
         env = self.renvs[t + 1]
         B = self.tensors[t]
+        mults = self.mults[t]
         by_qr: Dict[Tuple, List] = {}
         for (ql, m, qr), b in B.items():
             by_qr.setdefault(qr, []).append((m, ql, b))
@@ -259,7 +292,7 @@ class SU2FermionDMRG:
             e = env.get(o)
             if e is None:
                 continue
-            wred, k_w, dn_w = SITE_OPS[w]
+            wred, k_w, dn_w = self.ops[w]
             p_o = abs(self.dn[o]) % 2
             k_i, k_o = self.rank[i], self.rank[o]
             for (qrb2, qrk2), eb in e.items():
@@ -268,10 +301,10 @@ class SU2FermionDMRG:
                         r = wred[mb, mk]
                         if r == 0.0:
                             continue
-                        phase = -1.0 if (p_o and (MULTS[mk][0] & 1)) else 1.0
+                        phase = -1.0 if (p_o and (mults[mk][0] & 1)) else 1.0
                         fac = coupled_factor(
-                            MULTS[mk][1], qrk2[1], qlk[1], k_w, k_o, k_i,
-                            MULTS[mb][1], qrb2[1], qlb[1])
+                            mults[mk][1], qrk2[1], qlk[1], k_w, k_o, k_i,
+                            mults[mb][1], qrb2[1], qlb[1])
                         if abs(fac) < 1e-14:
                             continue
                         d = out.setdefault(i, {})
@@ -283,7 +316,7 @@ class SU2FermionDMRG:
     # -- effective Hamiltonian ------------------------------------------
     def bonds_actual(self, t: int, side: str = "left") -> Dict:
         if t == 0:
-            return {(0, 0): 1}
+            return {(0, 0, 0): 1}
         if t == self.L:
             return {self.T: 1}
         dims: Dict[Tuple, int] = {}
@@ -300,15 +333,16 @@ class SU2FermionDMRG:
         env_r = self.renvs[t + 2]
         bond_l = self.bonds_actual(t, "left")
         bond_r = self.bonds_actual(t + 2, "right")
+        mults_t, mults_u = self.mults[t], self.mults[t + 1]
         fl: Dict[Tuple, List[Tuple]] = {}   # Q -> [(ql, m, off, d)]
         for ql, d in sorted(bond_l.items()):
-            for m, Q in self._fuse_l(ql):
+            for m, Q in self._fuse_l(ql, t):
                 runs = fl.setdefault(Q, [])
                 off = sum(r[3] for r in runs)
                 runs.append((ql, m, off, d))
         fr: Dict[Tuple, List[Tuple]] = {}   # Q -> [(m, qr2, off, d)]
         for qr2, d in sorted(bond_r.items()):
-            for m, Q in self._fuse_r(qr2):
+            for m, Q in self._fuse_r(qr2, t + 1):
                 runs = fr.setdefault(Q, [])
                 off = sum(r[3] for r in runs)
                 runs.append((m, qr2, off, d))
@@ -328,18 +362,18 @@ class SU2FermionDMRG:
             e = env_l.get(i)
             if e is None:
                 continue
-            wred, k_w, dn_w = SITE_OPS[w]
+            wred, k_w, dn_w = self.ops[w]
             p_w = abs(dn_w) % 2
             k_i, k_m = self.rank[i], self.rank[o]
             for (qlb, qlk), eb in e.items():
                 phase = -1.0 if (p_w and (qlk[0] & 1)) else 1.0
-                for mb, Qb in self._fuse_l(qlb):
+                for mb, Qb in self._fuse_l(qlb, t):
                     if Qb not in fl:
                         continue
                     ob = {(r[0], r[1]): (r[2], r[3]) for r in fl[Qb]}
                     if (qlb, mb) not in ob:
                         continue
-                    for mk, Qk in self._fuse_l(qlk):
+                    for mk, Qk in self._fuse_l(qlk, t):
                         if Qk not in fl:
                             continue
                         ok = {(r[0], r[1]): (r[2], r[3]) for r in fl[Qk]}
@@ -349,8 +383,8 @@ class SU2FermionDMRG:
                         if r == 0.0:
                             continue
                         fac = coupled_factor(
-                            qlk[1], MULTS[mk][1], Qk[1], k_i, k_w, k_m,
-                            qlb[1], MULTS[mb][1], Qb[1])
+                            qlk[1], mults_t[mk][1], Qk[1], k_i, k_w, k_m,
+                            qlb[1], mults_t[mb][1], Qb[1])
                         if abs(fac) < 1e-14:
                             continue
                         o1, d1 = ob[(qlb, mb)]
@@ -369,17 +403,17 @@ class SU2FermionDMRG:
             e = env_r.get(o)
             if e is None:
                 continue
-            wred, k_w, dn_w = SITE_OPS[w]
+            wred, k_w, dn_w = self.ops[w]
             p_o = abs(self.dn[o]) % 2
             k_m, k_o = self.rank[i], self.rank[o]
             for (qr2b, qr2k), eb in e.items():
-                for mb, Qb in self._fuse_r(qr2b):
+                for mb, Qb in self._fuse_r(qr2b, t + 1):
                     if Qb not in fr:
                         continue
                     ob = {(r[0], r[1]): (r[2], r[3]) for r in fr[Qb]}
                     if (mb, qr2b) not in ob:
                         continue
-                    for mk, Qk in self._fuse_r(qr2k):
+                    for mk, Qk in self._fuse_r(qr2k, t + 1):
                         if Qk not in fr:
                             continue
                         ok = {(r[0], r[1]): (r[2], r[3]) for r in fr[Qk]}
@@ -388,10 +422,11 @@ class SU2FermionDMRG:
                         r = wred[mb, mk]
                         if r == 0.0:
                             continue
-                        phase = -1.0 if (p_o and (MULTS[mk][0] & 1)) else 1.0
+                        phase = -1.0 if (p_o and (mults_u[mk][0] & 1)) \
+                            else 1.0
                         fac = coupled_factor(
-                            MULTS[mk][1], qr2k[1], Qk[1], k_w, k_o, k_m,
-                            MULTS[mb][1], qr2b[1], Qb[1])
+                            mults_u[mk][1], qr2k[1], Qk[1], k_w, k_o, k_m,
+                            mults_u[mb][1], qr2b[1], Qb[1])
                         if abs(fac) < 1e-14:
                             continue
                         o1, d1 = ob[(mb, qr2b)]
@@ -456,17 +491,27 @@ class SU2FermionDMRG:
         return keys, dims, offsets, size, fl, fr, matvec, diag
 
     # -- sweeps ----------------------------------------------------------
-    def sweep(self, forward: bool, dav_thrd: float = 1e-9) -> float:
+    def sweep(self, forward: bool, dav_thrd: float = 1e-9,
+              noise: float = 0.0) -> float:
         L = self.L
         emin = np.inf
         rng = range(L - 1) if forward else range(L - 2, -1, -1)
+        if forward and L > 2 and self.renvs[2] is None:
+            raise ValueError(
+                "right environments are stale: sweeps must alternate "
+                "directions (a forward sweep leaves the MPS left-canonical);"
+                " use solve(), which resumes from the recorded direction")
+        if not forward and L > 2 and self.lenvs[L - 2] is None:
+            raise ValueError(
+                "left environments are stale: sweeps must alternate "
+                "directions; use solve()")
+        self._forward_next = not forward
         for t in rng:
             keys, dims, offsets, size, fl, fr, matvec, diag = \
                 self._effective(t)
-            x0 = np.random.RandomState(11 + t).standard_normal(size)
-            x0 /= np.linalg.norm(x0)
+            x0 = self._guess(t, keys, dims, offsets, size, fl, fr)
             w, v, nmv = davidson(matvec, diag, x0, conv_thrd=dav_thrd,
-                                 max_iter=200, max_subspace=30)
+                                 max_iter=400, max_subspace=40)
             emin = min(emin, float(w[0]))
             psi = {Q: v[offsets[Q]:offsets[Q] + dims[Q][0] * dims[Q][1],
                         0].reshape(dims[Q]) for Q in keys}
@@ -474,19 +519,27 @@ class SU2FermionDMRG:
                 rhos: Dict[Tuple, np.ndarray] = {}
                 for Q, p in psi.items():
                     rhos[Q] = p @ p.T / (Q[1] + 1.0)
-                self._decimate(t, rhos, fl, True)
+                    if noise > 0.0:
+                        rhos[Q] += noise * np.eye(rhos[Q].shape[0])
+                self._decimate(t, rhos, fl, True, psi)
             else:
                 rhos = {}
                 for Q, p in psi.items():
                     rhos[Q] = p.T @ p / (Q[1] + 1.0)
-                self._decimate(t, rhos, fr, False)
+                    if noise > 0.0:
+                        rhos[Q] += noise * np.eye(rhos[Q].shape[0])
+                self._decimate(t, rhos, fr, False, psi)
             if self.iprint >= 2:
                 print(f"  su2f {'-->' if forward else '<--'} site {t:3d} "
                       f"E = {w[0]:.10f} nmv={nmv}")
         self.energies.append(emin)
         return emin
 
-    def _decimate(self, t, rhos, fused, forward):
+    def _guess(self, t, keys, dims, offsets, size, fl, fr):
+        x0 = np.random.RandomState(11 + t).standard_normal(size)
+        return x0 / np.linalg.norm(x0)
+
+    def _decimate(self, t, rhos, fused, forward, psi=None):
         eigs, vecs = [], {}
         for Q, r in rhos.items():
             ww, vv = np.linalg.eigh(r)
@@ -496,7 +549,12 @@ class SU2FermionDMRG:
         kept: Dict[Tuple, List[int]] = {}
         budget = self.D
         for (x, Q, i) in eigs:
-            if budget <= 0 or x <= 1e-14:
+            # keep states up to the multiplet budget even at (near-)zero
+            # weight: at FCI-capped bonds this preserves exactness; dropping
+            # zero-weight multiplets creates noise-free local minima
+            # (block2 escapes those via perturbative noise,
+            # reference src/dmrg/effective_hamiltonian.hpp:253)
+            if budget <= 0 or x < 0.0:
                 break
             kept.setdefault(Q, []).append(i)
             budget -= 1
@@ -523,19 +581,23 @@ class SU2FermionDMRG:
                 self.renvs[u] = None
             for u in range(t + 1, self.L + 1):
                 self.lenvs[u] = None
-            self.lenvs[0] = {0: {((0, 0), (0, 0)): np.ones((1, 1))}}
+            z = (0, 0, 0)
+            self.lenvs[0] = {0: {(z, z): np.ones((1, 1))}}
 
-    def solve(self, n_sweeps: int = 10, tol: float = 1e-9) -> float:
+    def solve(self, n_sweeps: int = 10, tol: float = 1e-9,
+              noises: Optional[Sequence[float]] = None,
+              dav_thrds: Optional[Sequence[float]] = None) -> float:
         last = np.inf
-        forward = True
         for i in range(n_sweeps):
-            e = self.sweep(forward)
+            noise = noises[min(i, len(noises) - 1)] if noises else 0.0
+            thrd = dav_thrds[min(i, len(dav_thrds) - 1)] \
+                if dav_thrds else 1e-9
+            e = self.sweep(self._forward_next, dav_thrd=thrd, noise=noise)
             if self.iprint >= 1:
                 print(f"su2f sweep {i}: E = {e:.12f}")
-            if abs(e - last) < tol:
+            if abs(e - last) < tol and noise == 0.0:
                 break
             last = e
-            forward = not forward
         return self.energies[-1]
 
 
