@@ -19,6 +19,7 @@ import numpy as np
 
 from ..core.symmetry import QN
 from ..ops.krylov import gmres_solve
+from ..ops.solvers import gcrotmk, idrs, lsqr
 from .effective import EffectiveHamiltonian2, Key2
 from .environment import MovingEnvironment
 from .linear import identity_mpo
@@ -28,13 +29,18 @@ from .sweep import split_backward_update, split_forward_update
 
 
 class GreensFunction:
-    def __init__(self, h_mpo: MPO, b: MPS, x: MPS, iprint: int = 0):
+    def __init__(self, h_mpo: MPO, b: MPS, x: MPS, iprint: int = 0,
+                 solver: str = "gmres"):
         """h_mpo: Hamiltonian MPO (const_e included in the solve);
         b: right-hand-side MPS (e.g. c_j|gs> from a site-MPO multiply);
-        x: initial correction-vector MPS (same target as b)."""
+        x: initial correction-vector MPS (same target as b);
+        solver: local linear solver — gmres | gcrotmk | idrs | lsqr
+        (the reference cycles GCROT(m,k)/IDR(s)/LSQR,
+        sweep_algorithm.hpp Linear solver_type)."""
         self.h_mpo = h_mpo
         self.b = b
         self.x = x
+        self.solver = solver
         self.iprint = iprint
         self.me_h = MovingEnvironment(h_mpo, x)
         self.me_h.init_environments()
@@ -54,7 +60,22 @@ class GreensFunction:
             return z * v - (eff_h.matvec_np(v) + const * v)
 
         x0 = eff_h.flatten(eff_h.initial_guess()).astype(np.complex128)
-        sol, nmv = gmres_solve(amat, rhs, x0=x0, tol=solve_tol)
+        if self.solver == "gcrotmk":
+            sol, nmv = gcrotmk(amat, rhs, x0=x0, tol=solve_tol)
+        elif self.solver == "idrs":
+            sol, nmv = idrs(amat, rhs, x0=x0, tol=solve_tol)
+        elif self.solver == "lsqr":
+            zc = np.conj(z) - const
+
+            def amat_h(v):
+                return zc * v - eff_h.matvec_np(v)
+
+            sol, nmv = lsqr(amat, amat_h, rhs, tol=solve_tol)
+        elif self.solver == "gmres":
+            sol, nmv = gmres_solve(amat, rhs, x0=x0, tol=solve_tol)
+        else:
+            raise ValueError(f"unknown local solver '{self.solver}' "
+                             "(gmres | gcrotmk | idrs | lsqr)")
         val = complex(np.vdot(rhs, sol))
         blocks = eff_h.unflatten(sol)
         if forward:

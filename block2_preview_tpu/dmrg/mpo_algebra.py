@@ -67,3 +67,44 @@ def mpo_sum(a: MPO, b: MPO) -> MPO:
         tensors.append(blk)
     return MPO(a.group, L, a.site_quanta, bond_dqs, tensors,
                const_e=a.const_e + b.const_e)
+
+
+def mpo_product(a: MPO, b: MPO) -> MPO:
+    """A @ B (operator product, A applied after B) as a bond-product MPO —
+    block2's StackedMPO (reference src/dmrg/mpo_fusing.hpp:39).
+
+    Site entries are full on-site operator matrices (Jordan-Wigner strings
+    already resolved into parity entries by the term compiler), so the
+    stacked site tensor is the plain matrix product over the physical index
+    and the Kronecker product over bond channels; bond charges add.
+    Scalar parts (const_e) distribute: (A+a)(B+b) = AB + aB + bA + ab.
+    """
+    assert a.n_sites == b.n_sites and a.group is b.group
+    L = a.n_sites
+    g = a.group
+    bond_dqs = []
+    nb = [len(d) for d in b.bond_dqs]
+    for t in range(L + 1):
+        dqs = [g.add(qa, qb) for qa in a.bond_dqs[t] for qb in b.bond_dqs[t]]
+        bond_dqs.append(dqs)
+    tensors = []
+    for t in range(L):
+        blk = {}
+        for (i1, o1), m1 in a.tensors[t].items():
+            for (i2, o2), m2 in b.tensors[t].items():
+                key = (i1 * nb[t] + i2, o1 * nb[t + 1] + o2)
+                m = m1 @ m2
+                if key in blk:
+                    blk[key] = blk[key] + m
+                else:
+                    blk[key] = m
+        tensors.append(blk)
+    out = MPO(g, L, a.site_quanta, bond_dqs, tensors, const_e=0.0)
+    core_a = MPO(g, L, a.site_quanta, a.bond_dqs, a.tensors, const_e=0.0)
+    core_b = MPO(g, L, b.site_quanta, b.bond_dqs, b.tensors, const_e=0.0)
+    if b.const_e != 0.0:
+        out = mpo_sum(out, mpo_scale(core_a, b.const_e))
+    if a.const_e != 0.0:
+        out = mpo_sum(out, mpo_scale(core_b, a.const_e))
+    out.const_e = a.const_e * b.const_e
+    return out

@@ -92,3 +92,22 @@ def test_greens_function_vs_ed(driver6):
     Ged = bvec.conj() @ np.linalg.solve(
         zz * np.eye(len(ixM)) - hM, bvec)
     assert abs(G - Ged) < 5e-5
+
+
+def test_greens_function_solver_family(driver6):
+    """GCROT(m,k) and IDR(s) local solvers reproduce the GMRES correction
+    vector (reference Linear solver_type cycling GCROT/IDRS/LSQR,
+    src/core/iterative_matrix_functions.hpp:2303,2554,2988)."""
+    drv, fd, mpo, gs, e0 = driver6
+    smpo = drv.get_site_mpo("d", 0)
+    tb = (fd.n_elec - 1, fd.twos - 1, int(fd.orb_sym[0]))
+    bmps = drv.get_random_mps(120, target=tb, seed=11)
+    Linear(bmps, [(smpo, gs)]).solve(120, n_sweeps=5)
+    omega, eta = e0 - 0.4, 0.05
+    vals = {}
+    for solver in ("gmres", "gcrotmk", "idrs"):
+        x = drv.get_random_mps(120, target=tb, seed=13)
+        gf = GreensFunction(mpo, bmps, x, iprint=0, solver=solver)
+        vals[solver] = gf.solve(omega, eta, 120, n_sweeps=4)
+    for solver in ("gcrotmk", "idrs"):
+        assert abs(vals[solver] - vals["gmres"]) < 1e-5, (solver, vals)
