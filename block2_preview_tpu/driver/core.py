@@ -26,9 +26,10 @@ from ..ops.local_ops import CRE_A, CRE_B, DES_A, DES_B
 
 
 class SymmetryTypes(enum.Enum):
-    """Mirrors reference pyblock2/driver/core.py:25 (subset; SU2 later)."""
+    """Mirrors reference pyblock2/driver/core.py:25 (subset)."""
     SZ = "sz"
     SGF = "sgf"
+    SU2 = "su2"
 
 
 # SZ-mode operator letters, matching pyblock2's ExprBuilder vocabulary
@@ -78,6 +79,8 @@ class DMRGDriver:
             self.group: SymmetryGroup = SGF_GROUP
             self.spec = SGF_SITE
         else:
+            # SU2 mode reuses the SZ group for bookkeeping objects the
+            # spin-adapted engine does not touch (FCIDUMP, reordering)
             self.group = SZ_GROUP
             self.spec = SZ_SITE
         self.scratch = scratch
@@ -123,6 +126,9 @@ class DMRGDriver:
                               twos=self.spin, ipg=self.pg_irrep,
                               orb_sym=self.orb_sym, const_e=ecore,
                               h1e=np.asarray(h1e), g2e=np.asarray(g2e))
+        if self.symm_type == SymmetryTypes.SU2:
+            return _su2_qc_mpo(self, fcidump.h1e, fcidump.g2e,
+                               fcidump.const_e)
         if self.symm_type == SymmetryTypes.SGF:
             raw = qc_raw_terms_sgf(fcidump, cutoff)
             tt = build_term_table(fcidump.n_sites, raw, group=self.group,
@@ -176,6 +182,8 @@ class DMRGDriver:
     def get_random_mps(self, bond_dim: int = 250, target=None,
                        seed: int = 1234) -> MPS:
         """reference pyblock2/driver/core.py:7494"""
+        if self.symm_type == SymmetryTypes.SU2:
+            return SU2MPSSpec(target or self.target, bond_dim, seed=seed)
         site_quanta = [self.spec.quanta(int(p)) for p in self.orb_sym]
         info = MPSInfo(self.group, site_quanta, target or self.target,
                        bond_dim)
@@ -188,6 +196,9 @@ class DMRGDriver:
              n_sweeps: int = 16, tol: float = 1e-9,
              backend: str = "numpy", iprint: int = 1) -> float:
         """Ground-state DMRG (reference pyblock2/driver/core.py:4437)."""
+        if self.symm_type == SymmetryTypes.SU2:
+            return _su2_dmrg(self, mpo, ket, bond_dims, noises, thrds,
+                             n_sweeps, tol, iprint)
         solver = DMRG(mpo, ket, backend=backend, iprint=iprint)
         e = solver.solve(list(bond_dims), list(noises), list(thrds),
                          n_sweeps=n_sweeps, tol=tol)
@@ -385,3 +396,50 @@ class DMRGDriver:
         (reference energy-extrapolation workflow)."""
         from ..dmrg.extrapolate import extrapolate_energy
         return extrapolate_energy(discarded_weights, energies)
+
+
+class SU2MPO:
+    """Compiled spin-adapted MPO handle (driver SU2 mode): per-site symbol
+    entries + reduced-operator registry for SU2FermionDMRG
+    (reference MPOQC<SU2>, src/dmrg/qc_mpo.hpp:1851)."""
+
+    def __init__(self, entries, n_symbols, sym_dn, sym_rank, registry):
+        self.entries = entries
+        self.n_symbols = n_symbols
+        self.sym_dn = sym_dn
+        self.sym_rank = sym_rank
+        self.registry = registry
+
+
+class SU2MPSSpec:
+    """Deferred spin-adapted MPS: (target, bond_dim, seed); the engine
+    materializes the reduced tensors at dmrg() time."""
+
+    def __init__(self, target, bond_dim, seed=7):
+        self.target = target
+        self.bond_dim = bond_dim
+        self.seed = seed
+        self.engine = None
+
+
+def _su2_qc_mpo(driver, h1e, g2e, ecore):
+    from ..dmrg.su2_qc import compile_su2_entries, qc_su2_term_table
+    tt = qc_su2_term_table(np.asarray(h1e),
+                           None if g2e is None else np.asarray(g2e),
+                           float(ecore))
+    return SU2MPO(*compile_su2_entries(tt))
+
+
+def _su2_dmrg(driver, mpo: SU2MPO, ket: SU2MPSSpec, bond_dims, noises,
+              thrds, n_sweeps, tol, iprint):
+    from ..dmrg.su2_fermion import SU2FermionDMRG
+    eng = SU2FermionDMRG(
+        driver.n_sites, mpo.entries, mpo.n_symbols, mpo.sym_dn,
+        target=ket.target, bond_dim=max(bond_dims), seed=ket.seed,
+        iprint=iprint, ops=mpo.registry, ranks=mpo.sym_rank,
+        site_pgs=driver.orb_sym)
+    ket.engine = eng
+    e = eng.solve(n_sweeps=n_sweeps, tol=tol, noises=list(noises),
+                  dav_thrds=list(thrds))
+    driver._last_dmrg = eng
+    return e

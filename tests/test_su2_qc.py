@@ -130,3 +130,22 @@ def test_su2_qc_n2_sto3g_irrep():
     e = d.solve(n_sweeps=12, tol=1e-11,
                 noises=[1e-4, 1e-4, 1e-5, 1e-6, 0.0], dav_thrds=[1e-12])
     assert abs(e - (-107.306744734756)) < 1e-8
+
+
+def test_su2_driver_mode():
+    """DMRGDriver(symm_type=SU2): spin-adapted QC DMRG through the standard
+    driver API (reference pyblock2 core.py:287 Block2Wrapper SU2 mode)."""
+    from block2_preview_tpu.driver.core import DMRGDriver, SymmetryTypes
+    drv = DMRGDriver(symm_type=SymmetryTypes.SU2)
+    fd = drv.read_fcidump("/root/reference/data/HUBBARD-L8.FCIDUMP")
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    ket = drv.get_random_mps(100)
+    e = drv.dmrg(mpo, ket, bond_dims=[100], noises=[0.0], thrds=[1e-10],
+                 n_sweeps=8, iprint=0)
+    # SZ-mode value for the same system (cross-engine parity)
+    drv2 = DMRGDriver()
+    fd2 = drv2.read_fcidump("/root/reference/data/HUBBARD-L8.FCIDUMP")
+    e2 = drv2.dmrg(drv2.get_qc_mpo(fcidump=fd2), drv2.get_random_mps(200),
+                   bond_dims=[200], noises=[1e-5, 0.0], thrds=[1e-10],
+                   n_sweeps=8, iprint=0)
+    assert abs(e - e2) < 1e-8, (e, e2)
