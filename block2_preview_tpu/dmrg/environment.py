@@ -26,6 +26,30 @@ from .mps import MPS
 EnvMap = Dict[int, BlockMatrix]   # mpo bond symbol -> operator on bond basis
 
 
+class _StkMarker:
+    """Sentinel stored in env lists when the bond lives as a stacked device
+    pool; materialized lazily on first dict-style access."""
+
+
+_STK = _StkMarker()
+
+
+class _EnvList(list):
+    """Env list that materializes stacked device pools on access."""
+
+    def __init__(self, me: "MovingEnvironment", side: str, n: int):
+        super().__init__([None] * n)
+        self._me = me
+        self._side = side
+
+    def __getitem__(self, i):
+        v = list.__getitem__(self, i)
+        if v is _STK:
+            v = self._me._materialize(self._side, i)
+            list.__setitem__(self, i, v)
+        return v
+
+
 class MovingEnvironment:
     def __init__(self, mpo: MPO, ket: MPS, bra: Optional[MPS] = None):
         self.mpo = mpo
@@ -33,8 +57,12 @@ class MovingEnvironment:
         self.bra = bra if bra is not None else ket
         self.g = mpo.group
         L = mpo.n_sites
-        self.left_envs: List[Optional[EnvMap]] = [None] * (L + 1)
-        self.right_envs: List[Optional[EnvMap]] = [None] * (L + 1)
+        self.left_envs: List[Optional[EnvMap]] = _EnvList(self, "l", L + 1)
+        self.right_envs: List[Optional[EnvMap]] = _EnvList(self, "r", L + 1)
+        # stacked device pools per bond (ops/stacked.py): (meta, jnp pool)
+        self._stk_l: Dict[int, tuple] = {}
+        self._stk_r: Dict[int, tuple] = {}
+        self._stk_plans: Dict = {}
         # boundaries; the final MPO bond symbol may carry a nonzero charge
         # (site MPOs like c/c+ change particle number: bra target differs)
         vac = self.g.zero
@@ -59,6 +87,82 @@ class MovingEnvironment:
             self.right_envs[t] = self._right_contract(t)
 
     fast = True   # vectorized join-based blocking (ops/blocking_plan.py)
+    # execute blocking plans on the accelerator (ops/blocking_jax.py);
+    # set by DMRG(backend='jax_device') — the single host core then only
+    # builds plans while the MXU does the contraction FLOPs
+    device = False
+    # symbol-stacked device-resident environments (ops/stacked.py): bonds
+    # live as flat device pools chained device-to-device; BlockMatrix maps
+    # materialize lazily where the effective Hamiltonian needs them
+    stacked = False
+
+    # ------------------------------------------------------------------
+    def _materialize(self, side: str, t: int) -> EnvMap:
+        import numpy as _np
+        if side == "l":
+            meta, pool = self._stk_l[t]
+        else:
+            meta, pool = self._stk_r[t]
+        return meta.unpack(_np.asarray(pool), self.g, None)
+
+    def _stk_contract(self, t: int, direction: str):
+        """One stacked blocking step on device; returns True on success."""
+        import numpy as _np
+
+        import jax.numpy as jnp
+
+        from ..ops.stacked import (build_stacked_plan, execute_stacked,
+                                   meta_from_env, _cap_class)
+        dt = self._dtype_of({}, t)
+        if dt not in (np.float64, np.float32):
+            return False
+        left = direction == "left"
+        src_bond = t if left else t + 1
+        store = self._stk_l if left else self._stk_r
+        ent = store.get(src_bond)
+        if ent is None:
+            env = (list.__getitem__(self.left_envs, src_bond) if left
+                   else list.__getitem__(self.right_envs, src_bond))
+            if env is _STK or env is None:
+                env = (self.left_envs[src_bond] if left
+                       else self.right_envs[src_bond])
+            if env is None:
+                return False
+            meta = meta_from_env(env, self.mpo.bond_dqs[src_bond])
+            pool = meta.pack(env, dtype=dt)
+            pp = _np.zeros(_cap_class(len(pool)), dtype=dt)
+            pp[:len(pool)] = pool
+            ent = (meta, jnp.asarray(pp))
+            store[src_bond] = ent
+        meta_in, pool_in = ent
+        key = (t, direction)
+        sig = (tuple((dq, tuple(ss)) for dq, ss in meta_in.groups),
+               tuple(tuple(sorted(s.items())) for s in meta_in.sectors),
+               tuple(sorted((k, b.shape) for k, b in
+                            self.bra.tensors[t].blocks.items())),
+               tuple(sorted((k, b.shape) for k, b in
+                            self.ket.tensors[t].blocks.items())))
+        cached = self._stk_plans.get(key)
+        if cached is not None and cached[0] == hash(sig):
+            plan = cached[1]
+        else:
+            plan = build_stacked_plan(
+                meta_in, self.mpo.tensors[t], self.mpo.site_quanta[t],
+                self.bra.tensors[t], self.ket.tensors[t], self.g, direction,
+                self.mpo.bond_dqs[src_bond],
+                self.mpo.bond_dqs[t + 1 if left else t])
+            self._stk_plans[key] = (hash(sig), plan)
+        if plan is None:
+            return False
+        pool_out = execute_stacked(plan, pool_in, dtype=dt)
+        dst = t + 1 if left else t
+        if left:
+            self._stk_l[dst] = (plan.meta_out, pool_out)
+            list.__setitem__(self.left_envs, dst, _STK)
+        else:
+            self._stk_r[dst] = (plan.meta_out, pool_out)
+            list.__setitem__(self.right_envs, dst, _STK)
+        return True
 
     def _dtype_of(self, env, t):
         dt = np.float64
@@ -84,8 +188,12 @@ class MovingEnvironment:
                                          structure_signature)
         if not hasattr(self, "_plan_cache"):
             self._plan_cache = {}
+        import os
+        import time as _time
+        timing = os.environ.get("B2TPU_TIMING")
         bra_T = self.bra.tensors[t]
         ket_T = self.ket.tensors[t]
+        t0 = _time.time()
         sig = structure_signature(env, (t, direction), bra_T, ket_T)
         key = (t, direction)
         cached = self._plan_cache.get(key)
@@ -96,9 +204,22 @@ class MovingEnvironment:
             self._plan_cache[key] = (sig, plan)
         else:
             plan = cached[1]
+        t_plan = _time.time() - t0
         if plan is None:
             return {}
         dt = self._dtype_of(env, t)
+        if self.device and dt in (np.float64, np.float32):
+            from ..ops.blocking_jax import execute_plan_jax
+            t0 = _time.time()
+            out = execute_plan_jax(plan, env, bra_T, ket_T, self.g,
+                                   dtype=dt)
+            if timing:
+                print(f"    blk[{t}{direction[0]}] plan={t_plan:.2f}s "
+                      f"exec={_time.time() - t0:.2f}s "
+                      f"nbkt={len(plan._jax_struct['buckets'])} "
+                      f"nout={plan.total_out}", flush=True)
+            if out is not None:
+                return out
         if dt == np.float64:
             from ..ops.blocking_plan import execute_plan_native
             out = execute_plan_native(plan, env, bra_T, ket_T, self.g)
@@ -197,15 +318,21 @@ class MovingEnvironment:
 
     # ------------------------------------------------------------------
     def update_left(self, t: int) -> None:
+        if self.stacked and self._stk_contract(t, "left"):
+            return
         self.left_envs[t + 1] = self._left_contract(t)
 
     def update_right(self, t: int) -> None:
+        if self.stacked and self._stk_contract(t, "right"):
+            return
         self.right_envs[t] = self._right_contract(t)
 
     def invalidate_left(self, t: int) -> None:
         for i in range(t + 1, len(self.left_envs)):
             self.left_envs[i] = None
+            self._stk_l.pop(i, None)
 
     def invalidate_right(self, t: int) -> None:
         for i in range(t, -1, -1):
             self.right_envs[i] = None
+            self._stk_r.pop(i, None)

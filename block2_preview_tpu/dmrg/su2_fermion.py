@@ -559,8 +559,10 @@ class SU2FermionDMRG:
             kept.setdefault(Q, []).append(i)
             budget -= 1
         new_tensor: Dict[Tuple, np.ndarray] = {}
+        kept_v: Dict[Tuple, np.ndarray] = {}
         for Q, idxs in kept.items():
             vmat = vecs[Q][:, idxs]
+            kept_v[Q] = vmat
             if forward:
                 for (ql, m, off, d) in fused[Q]:
                     new_tensor[(ql, m, Q)] = vmat[off:off + d, :]
@@ -569,6 +571,16 @@ class SU2FermionDMRG:
                     new_tensor[(Q, m, qr2)] = vmat[off:off + d, :].T
         if forward:
             self.tensors[t] = new_tensor
+            # absorb the projected center into the neighbor tensor so the
+            # stored MPS always IS the current state (block2 keeps this in
+            # MPS::canonical_form / center wavefunctions, mps.hpp:1656)
+            if psi is not None:
+                nxt: Dict[Tuple, np.ndarray] = {}
+                for Q, vmat in kept_v.items():
+                    cen = vmat.T @ psi[Q]     # (kept, fr(Q))
+                    for (m, qr2, off, d) in self._effective_fr(t, Q):
+                        nxt[(Q, m, qr2)] = cen[:, off:off + d]
+                self.tensors[t + 1] = nxt
             self.lenvs[t + 1] = self._left_contract(t)
             for u in range(t + 2, self.L + 1):
                 self.lenvs[u] = None
@@ -576,6 +588,13 @@ class SU2FermionDMRG:
                 self.renvs[u] = None
         else:
             self.tensors[t + 1] = new_tensor
+            if psi is not None:
+                prv: Dict[Tuple, np.ndarray] = {}
+                for Q, vmat in kept_v.items():
+                    cen = psi[Q] @ vmat       # (fl(Q), kept)
+                    for (ql, m, off, d) in self._effective_fl(t, Q):
+                        prv[(ql, m, Q)] = cen[off:off + d, :]
+                self.tensors[t] = prv
             self.renvs[t + 1] = self._right_contract(t + 1)
             for u in range(t, -1, -1):
                 self.renvs[u] = None
@@ -583,6 +602,27 @@ class SU2FermionDMRG:
                 self.lenvs[u] = None
             z = (0, 0, 0)
             self.lenvs[0] = {0: {(z, z): np.ones((1, 1))}}
+
+    # fused-run layouts reused by the center-absorption step
+    def _effective_fl(self, t, Q=None):
+        bond_l = self.bonds_actual(t, "left")
+        fl: Dict[Tuple, List[Tuple]] = {}
+        for ql, d in sorted(bond_l.items()):
+            for m, Q2 in self._fuse_l(ql, t):
+                runs = fl.setdefault(Q2, [])
+                off = sum(r[3] for r in runs)
+                runs.append((ql, m, off, d))
+        return fl if Q is None else fl.get(Q, [])
+
+    def _effective_fr(self, t, Q=None):
+        bond_r = self.bonds_actual(t + 2, "right")
+        fr: Dict[Tuple, List[Tuple]] = {}
+        for qr2, d in sorted(bond_r.items()):
+            for m, Q2 in self._fuse_r(qr2, t + 1):
+                runs = fr.setdefault(Q2, [])
+                off = sum(r[3] for r in runs)
+                runs.append((m, qr2, off, d))
+        return fr if Q is None else fr.get(Q, [])
 
     def solve(self, n_sweeps: int = 10, tol: float = 1e-9,
               noises: Optional[Sequence[float]] = None,

@@ -206,6 +206,9 @@ class DMRG:
                  dav_max_iter: int = 200):
         self.mpo = mpo
         self.mps = mps
+        if backend not in ("numpy", "jax", "jax_device", "jax_stacked"):
+            raise ValueError(f"unknown backend '{backend}' "
+                             "(numpy | jax | jax_device | jax_stacked)")
         self.backend = backend
         self.dtype = dtype
         self.iprint = iprint
@@ -214,6 +217,10 @@ class DMRG:
         self.weights = list(weights) if weights is not None \
             else [1.0 / n_roots] * n_roots
         self.me = MovingEnvironment(mpo, mps)
+        if backend == "jax_device":
+            self.me.device = True
+        elif backend == "jax_stacked":
+            self.me.stacked = True
         self.me.init_environments()
         self.energies: List[np.ndarray] = []
         self.discarded_weights: List[float] = []
@@ -250,14 +257,24 @@ class DMRG:
         return x0
 
     def _solve_eff(self, eff: EffectiveHamiltonian2, x0, diag, dav_thrd):
-        if self.backend == "jax_device" and self.n_roots == 1:
+        # tiny centers: per-call device dispatch + transfers dominate; the
+        # host reference matvec is faster below a few thousand unknowns
+        if self.backend in ("jax", "jax_device", "jax_stacked") \
+                and eff.size < 4096:
+            return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,
+                            conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
+        if self.backend == "jax_device" and self.n_roots == 1 \
+                and self.dtype == np.float32:
+            # fully-fused on-device Davidson (f32 on the MXU); f64 runs
+            # XLA-emulated and is better served by host Davidson around
+            # the device matvec below
             from ..ops.exec_jax import FusedPlanExecutor
             ex = FusedPlanExecutor(eff, dtype=self.dtype)
             th, xv, nmv = ex.solve_ground_state(
                 x0[:, 0], diag, conv_thrd=dav_thrd, max_iter=200,
                 max_subspace=20)
             return np.array([th]), xv[:, None], nmv
-        if self.backend in ("jax", "jax_device"):
+        if self.backend in ("jax", "jax_device", "jax_stacked"):
             from ..ops.exec_jax import FusedPlanExecutor
             if not hasattr(self, "_exec_cache"):
                 self._exec_cache = {}

@@ -331,8 +331,16 @@ class DMRGDriver:
 
     def get_npdm(self, ket: MPS, pdm_type: int = 1, bra: MPS = None):
         """1PDM / 2PDM; pass bra for transition densities
-        (reference pyblock2/driver/core.py:5504 get_npdm / get_trans_1pdm)."""
+        (reference pyblock2/driver/core.py:5504 get_npdm / get_trans_1pdm).
+        In SU2 mode the solved spin-adapted MPS is expanded to SZ first
+        (reference TransMPS SU2->SZ, core.py:7217); the spatial PDMs are
+        Sz-independent."""
         from ..dmrg.expect import pdm1, pdm2_spatial, pdm3_spatial
+        if isinstance(ket, SU2MPSSpec):
+            assert ket.engine is not None, "run dmrg() first"
+            ket = self.trans_mps_to_sz(ket)
+            if bra is not None and isinstance(bra, SU2MPSSpec):
+                bra = self.trans_mps_to_sz(bra)
         sym = self.orb_sym if bra is None else None
         if pdm_type == 1:
             return pdm1(ket, orb_sym=sym, bra=bra)
@@ -355,6 +363,13 @@ class DMRGDriver:
         determinant (reference NormalOrder, pyblock2/driver/core.py:8353)."""
         from ..uc.mp import normal_ordered_integrals
         return normal_ordered_integrals(fcidump)
+
+    def trans_mps_to_sz(self, ket, tjz: int = None) -> MPS:
+        """Exact SU2 -> SZ MPS expansion of a solved spin-adapted state
+        (reference pyblock2/driver/core.py:7217 mps_change_symm)."""
+        from ..utils.transform import su2_to_sz_mps
+        assert isinstance(ket, SU2MPSSpec) and ket.engine is not None
+        return su2_to_sz_mps(ket.engine, tjz=tjz)
 
     def trans_mps_to_sgf(self, ket: MPS) -> MPS:
         """Exact SZ -> SGF (spin-orbital) MPS transform

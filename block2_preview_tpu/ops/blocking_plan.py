@@ -32,7 +32,7 @@ class BlockingPlan:
     __slots__ = ("buckets", "out_meta", "out_offs", "total_out",
                  "env_order", "bra_order", "ket_order",
                  "env_sizes", "bra_sizes", "ket_sizes", "direction",
-                 "dq_out", "native")
+                 "dq_out", "native", "_jax_struct")
 
 
 def structure_signature(env, entries_id, bra_T, ket_T) -> int:

@@ -116,3 +116,103 @@ def sz_to_sgf_mps(mps: MPS, pg_per_site=None) -> MPS:
                    max(max(d.values()) for d in bond_dims if d))
     info.bonds = bond_dims
     return MPS(info, tensors, center=0)
+
+
+# ---------------------------------------------------------------------------
+# SU2 -> SZ (reference pyblock2 core.py:7217 mps_change_symm / TransMPS)
+# ---------------------------------------------------------------------------
+
+_SU2_MULTS = [(0, 0), (1, 1), (2, 0)]
+# multiplet -> [(SZ site-basis index, 2m)] in sz_site_basis_quanta order
+_SU2_STATES = {0: [(0, 0)], 1: [(1, 1), (2, -1)], 2: [(3, 0)]}
+
+
+def su2_to_sz_mps(engine, tjz: int = None) -> MPS:
+    """Expand a solved spin-adapted MPS (SU2FermionDMRG) into an abelian SZ
+    MPS for the 2Sz = tjz projection (default: highest weight 2Sz = 2S).
+
+    Requires the engine's stored tensors to be in left-fusion form with the
+    center absorbed at the last site — i.e. the last completed sweep was a
+    forward sweep (machine-verified: the plain per-vertex Clebsch-Gordan
+    expansion then reproduces the m-resolved state exactly; see
+    tests/test_su2_transform.py).  If the engine last swept backward, one
+    extra forward sweep is run.
+    """
+    from ..core.clebsch_gordan import clebsch_gordan
+    from ..core.symmetry import SZ_GROUP
+    from ..ops.local_ops import sz_site_basis_quanta
+
+    if engine._forward_next:   # last sweep was backward -> refresh
+        engine.sweep(True, dav_thrd=1e-12)
+    L = engine.L
+    T = engine.T
+    if tjz is None:
+        tjz = T[1]
+    assert abs(tjz) <= T[1] and (tjz - T[1]) % 2 == 0
+
+    # SZ bond sector layouts: (N, mz, pg) -> [(su2 sector q, offset, dim)]
+    def bond_layout(dims_su2):
+        lay: Dict[QN, List] = {}
+        for q in sorted(dims_su2):
+            n, tj, pg = q
+            d = dims_su2[q]
+            for mz in range(-tj, tj + 1, 2):
+                runs = lay.setdefault((n, mz, pg), [])
+                off = sum(r[2] for r in runs)
+                runs.append((q, off, d))
+        return lay
+
+    # per-bond SU2 sector dims from the tensors
+    bond_dims: List[Dict] = [dict() for _ in range(L + 1)]
+    bond_dims[0] = {(0, 0, 0): 1}
+    for t in range(L):
+        for (ql, m, qr), mat in engine.tensors[t].items():
+            bond_dims[t].setdefault(ql, mat.shape[0])
+            bond_dims[t + 1].setdefault(qr, mat.shape[1])
+    layouts = [bond_layout(bd) for bd in bond_dims]
+    # restrict the terminal bond to the requested projection
+    layouts[L] = {(T[0], tjz, T[2]): [(T, 0, 1)]}
+
+    site_quanta = [sz_site_basis_quanta(int(p)) for p in engine.site_pgs]
+    info = MPSInfo(SZ_GROUP, site_quanta, (T[0], tjz, T[2]),
+                   max(sum(r[2] for r in runs)
+                       for lay in layouts for runs in lay.values()))
+    tensors: List[MPSTensor] = []
+    for t in range(L):
+        blocks: Dict[Tuple, np.ndarray] = {}
+        quanta = site_quanta[t]
+        for (ql, m, qr), mat in engine.tensors[t].items():
+            jl, jr = ql[1], qr[1]
+            jm = _SU2_MULTS[m][1]
+            nm = _SU2_MULTS[m][0]
+            pg_m = engine.site_pgs[t] if nm == 1 else 0
+            for (sidx, tm) in _SU2_STATES[m]:
+                qp = quanta[sidx]
+                for ml in range(-jl, jl + 1, 2):
+                    mr = ml + tm
+                    if abs(mr) > jr:
+                        continue
+                    kl = (ql[0], ml, ql[2])
+                    kr = (qr[0], mr, qr[2])
+                    if kl not in layouts[t] or kr not in layouts[t + 1]:
+                        continue
+                    cg = clebsch_gordan(jl, jm, jr, ml, tm, mr)
+                    if abs(cg) < 1e-14:
+                        continue
+                    off_l = next((o for (q2, o, _d) in layouts[t][kl]
+                                  if q2 == ql), None)
+                    off_r = next((o for (q2, o, _d) in layouts[t + 1][kr]
+                                  if q2 == qr), None)
+                    if off_l is None or off_r is None:
+                        continue
+                    dl_tot = sum(r[2] for r in layouts[t][kl])
+                    dr_tot = sum(r[2] for r in layouts[t + 1][kr])
+                    key = (kl, qp, kr)
+                    blk = blocks.get(key)
+                    if blk is None:
+                        blk = np.zeros((dl_tot, 1, dr_tot))
+                        blocks[key] = blk
+                    blk[off_l:off_l + mat.shape[0], 0,
+                        off_r:off_r + mat.shape[1]] += cg * mat
+        tensors.append(MPSTensor(SZ_GROUP, blocks))
+    return MPS(info, tensors, center=L - 1)
