@@ -16,6 +16,8 @@ host Davidson), "jax_device" (everything on device).
 
 from __future__ import annotations
 
+import time
+
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -464,6 +466,7 @@ class DMRG:
         else:
             rng = range(L - 1) if forward else range(L - 2, -1, -1)
         for t in rng:
+            tsite = time.time()
             if dot == 1:
                 e, dw, nmv = self.update_one_dot(t, forward, bond_dim, noise,
                                                  dav_thrd)
@@ -476,7 +479,8 @@ class DMRG:
             if self.iprint >= 2:
                 estr = " ".join(f"{x:.12f}" for x in e)
                 print(f"   {'-->' if forward else '<--'} site {t:3d} "
-                      f"E = {estr}  dw = {dw:.2e}  nmv = {nmv}")
+                      f"E = {estr}  dw = {dw:.2e}  nmv = {nmv}  "
+                      f"t = {time.time() - tsite:.2f}s", flush=True)
         return res
 
     def solve(self, bond_dims: List[int], noises: List[float],

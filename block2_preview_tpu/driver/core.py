@@ -350,6 +350,12 @@ class DMRGDriver:
                                 bra=bra)
         elif pdm_type == 3:
             return pdm3_spatial(ket, bra=bra)
+        elif pdm_type >= 4:
+            # high orders: determinant-space reconstruction (small active
+            # spaces only — the regime where the reference's symbol-free
+            # scheme is used for 4PDM, general_npdm.hpp:43)
+            from ..dmrg.npdm import npdm_spatial
+            return npdm_spatial(ket, pdm_type, bra=bra)
         raise NotImplementedError(f"pdm order {pdm_type}")
 
     def get_trans_1pdm(self, bra: MPS, ket: MPS):
