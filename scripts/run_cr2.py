@@ -40,8 +40,12 @@ occs = np.loadtxt("/root/reference/data/CR2.SVP.OCC")
 info.set_bond_dimension_using_occ(occs.ravel(), bias=2.0)
 mps = MPS.random(info)
 
-dmrg = DMRG(mpo, mps, backend=backend, dtype=dtype, iprint=2)
+dmrg = DMRG(mpo, mps, backend=backend, dtype=dtype, iprint=2,
+            dav_max_iter=30 if dtype == np.float32 else 100)
 sched_d = [D] * n_sweeps
 sched_n = [1e-4, 1e-5] + [0] * max(n_sweeps - 2, 0)
-e = dmrg.solve(sched_d, sched_n, [1e-6], n_sweeps=n_sweeps, tol=0)
+# f32: conv_thrd is on |r|^2; residual floor ~ eps_f32 * |H| — 1e-4 is the
+# practical warmup setting (f64 polish sweeps tighten afterwards)
+thrd = 1e-4 if dtype == np.float32 else 1e-7
+e = dmrg.solve(sched_d, sched_n, [thrd], n_sweeps=n_sweeps, tol=0)
 print("FINAL E=%.10f  t=%.1fs" % (e, time.time() - t0), flush=True)
