@@ -26,8 +26,12 @@ from ..core.symmetry import SymmetryGroup
 from ..dmrg.mps import MPS, MPSInfo
 
 
-def save_mps(mps: MPS, path: str) -> None:
-    """Write an MPS (tensors + bookkeeping) to `path` (.npz)."""
+def save_mps(mps: MPS, path: str, fp_tol: float = 0.0) -> None:
+    """Write an MPS (tensors + bookkeeping) to `path` (.npz).
+
+    fp_tol > 0 stores tensor blocks through the lossy FP codec
+    (reference fp_codec.hpp / CLI `fp_cps_cutoff` parser.py:28) with an
+    absolute per-element error bound of fp_tol."""
     arrays: Dict[str, np.ndarray] = {}
     meta = {
         "n_sites": mps.n_sites,
@@ -39,12 +43,21 @@ def save_mps(mps: MPS, path: str) -> None:
         "fermion_index": mps.group.fermion_index,
         "site_quanta": [[list(q) for q in qs]
                         for qs in mps.info.site_quanta],
+        "fp_tol": fp_tol,
         "blocks": [],
     }
+    codec = None
+    if fp_tol > 0.0:
+        from .fp_codec import FPCodec
+        codec = FPCodec(fp_tol)
     for t, T in enumerate(mps.tensors):
         for bi, ((ql, qp, qr), b) in enumerate(sorted(T.blocks.items())):
             name = f"t{t}_b{bi}"
-            arrays[name] = b
+            if codec is not None:
+                for k, v in codec.encode(b).items():
+                    arrays[f"{name}__{k}"] = v
+            else:
+                arrays[name] = b
             meta["blocks"].append(
                 {"site": t, "name": name, "ql": list(ql), "qp": list(qp),
                  "qr": list(qr)})
@@ -67,9 +80,20 @@ def load_mps(path: str) -> MPS:
     info = MPSInfo(group, site_quanta, tuple(meta["target"]),
                    meta["bond_dim"])
     tensors = [MPSTensor(group, {}) for _ in range(meta["n_sites"])]
+    fp_tol = meta.get("fp_tol", 0.0)
+    codec = None
+    if fp_tol and fp_tol > 0.0:
+        from .fp_codec import FPCodec
+        codec = FPCodec(fp_tol)
     for blk in meta["blocks"]:
         key = (tuple(blk["ql"]), tuple(blk["qp"]), tuple(blk["qr"]))
-        tensors[blk["site"]].blocks[key] = data[blk["name"]]
+        if codec is not None:
+            pre = blk["name"] + "__"
+            enc = {k[len(pre):]: data[k] for k in data.files
+                   if k.startswith(pre)}
+            tensors[blk["site"]].blocks[key] = codec.decode(enc)
+        else:
+            tensors[blk["site"]].blocks[key] = data[blk["name"]]
     return MPS(info, tensors, center=meta["center"])
 
 
