@@ -166,9 +166,13 @@ def qc_raw_terms(fd: FCIDUMP, cutoff: float = 1e-13,
                       (0, 1, 0.5, vab), (1, 0, 0.5, vba)]
     # symmetry filter on orbital labels: "xor" (D2h point groups), an int L
     # (mod-L momentum conservation with +k for creation, -k annihilation),
-    # or "none"
+    # "lz" (plain-integer additive conservation on fd.k_sym — the SZLZ mode,
+    # reference symmetry.hpp:864), or "none"
     pg = None
-    if pg_mode != "none" and fd.orb_sym is not None and np.any(fd.orb_sym):
+    if pg_mode == "lz":
+        pg = np.asarray(fd.k_sym if fd.k_sym is not None else fd.orb_sym,
+                        dtype=np.int64)
+    elif pg_mode != "none" and fd.orb_sym is not None and np.any(fd.orb_sym):
         pg = np.asarray(fd.orb_sym, dtype=np.int64)
 
     def keep1(i, j):
@@ -176,6 +180,8 @@ def qc_raw_terms(fd: FCIDUMP, cutoff: float = 1e-13,
             return True
         if pg_mode == "xor":
             return (pg[i] ^ pg[j]) == 0
+        if pg_mode == "lz":
+            return pg[i] - pg[j] == 0
         return (pg[i] - pg[j]) % int(pg_mode) == 0
 
     def keep2(i, j, k, l):
@@ -183,6 +189,8 @@ def qc_raw_terms(fd: FCIDUMP, cutoff: float = 1e-13,
             return True
         if pg_mode == "xor":
             return (pg[i] ^ pg[j] ^ pg[k] ^ pg[l]) == 0
+        if pg_mode == "lz":
+            return pg[i] - pg[j] + pg[k] - pg[l] == 0
         return (pg[i] - pg[j] + pg[k] - pg[l]) % int(pg_mode) == 0
 
     for s in (0, 1):

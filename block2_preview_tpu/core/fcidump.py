@@ -33,6 +33,11 @@ class FCIDUMP:
     # UHF: h1e = (ha, hb); g2e = (vaa, vbb, vab)
     h1e: object = None
     g2e: object = None
+    # K/LZ symmetry labels (reference SZK/SZLZ modes, symmetry.hpp:738,864):
+    # KSYM= per-orbital additive labels; KMOD= modulus (0 = plain integers,
+    # the Lz case; N > 0 = mod-N momentum)
+    k_sym: Optional[np.ndarray] = None
+    k_mod: int = 0
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -70,10 +75,18 @@ class FCIDUMP:
             orb_sym = orbsym - 1      # MOLPRO d2h labels 1..8 -> XOR labels 0..7
         else:
             orb_sym = np.zeros(norb, dtype=np.int64)
+        mk = re.search(r"KSYM\s*=\s*([0-9,\-\s]+)", header, re.I)
+        k_sym = None
+        if mk is not None:
+            k_sym = np.array([int(x) for x in
+                              mk.group(1).replace(",", " ").split()],
+                             dtype=np.int64)
+        k_mod = get_int("KMOD", 0) if mk is not None else 0
 
         fd = FCIDUMP(n_sites=norb, n_elec=nelec, twos=ms2,
                      ipg=max(isym - 1, 0), orb_sym=orb_sym, uhf=bool(iuhf),
-                     general=bool(igeneral), tgeneral=bool(itgeneral))
+                     general=bool(igeneral), tgeneral=bool(itgeneral),
+                     k_sym=k_sym, k_mod=k_mod)
 
         # detect complex data: "re im i j k l" lines (DHF relativistic)
         is_complex = False
