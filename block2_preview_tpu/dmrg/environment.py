@@ -63,6 +63,9 @@ class MovingEnvironment:
         self._stk_l: Dict[int, tuple] = {}
         self._stk_r: Dict[int, tuple] = {}
         self._stk_plans: Dict = {}
+        # explicit device dtype for the stacked engine (None = inferred);
+        # set by DMRG(dtype=...) so f32 runs don't request f64 buffers
+        self.device_dtype = None
         # boundaries; the final MPO bond symbol may carry a nonzero charge
         # (site MPOs like c/c+ change particle number: bra target differs)
         vac = self.g.zero
@@ -113,7 +116,7 @@ class MovingEnvironment:
 
         from ..ops.stacked import (build_stacked_plan, execute_stacked,
                                    meta_from_env, _cap_class)
-        dt = self._dtype_of({}, t)
+        dt = self.device_dtype or self._dtype_of({}, t)
         if dt not in (np.float64, np.float32):
             return False
         left = direction == "left"

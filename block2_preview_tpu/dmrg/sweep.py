@@ -223,6 +223,7 @@ class DMRG:
             self.me.device = True
         elif backend == "jax_stacked":
             self.me.stacked = True
+            self.me.device_dtype = dtype
         self.me.init_environments()
         self.energies: List[np.ndarray] = []
         self.discarded_weights: List[float] = []

@@ -117,15 +117,23 @@ class DMRGDriver:
 
     def get_qc_mpo(self, h1e=None, g2e=None, ecore: float = 0.0,
                    fcidump: Optional[FCIDUMP] = None,
-                   cutoff: float = 1e-13) -> MPO:
-        """Quantum-chemistry MPO via bipartite compression
-        (reference pyblock2/driver/core.py:3282, default FastBipartite)."""
+                   cutoff: float = 1e-13,
+                   algo_type: str = "bipartite") -> MPO:
+        """Quantum-chemistry MPO (reference pyblock2/driver/core.py:3282).
+        algo_type: "bipartite" (default, the FastBipartite analog) or the
+        analytic complementary-operator partitions "nc" / "cn" /
+        "conventional" (reference MPOQC qc_mpo.hpp:646, QCTypes)."""
         if fcidump is None:
             assert h1e is not None and g2e is not None
             fcidump = FCIDUMP(n_sites=self.n_sites, n_elec=self.n_elec,
                               twos=self.spin, ipg=self.pg_irrep,
                               orb_sym=self.orb_sym, const_e=ecore,
                               h1e=np.asarray(h1e), g2e=np.asarray(g2e))
+        if algo_type in ("nc", "cn", "conventional"):
+            assert self.symm_type == SymmetryTypes.SZ, \
+                "analytic MPOQC: SZ mode"
+            from ..dmrg.mpoqc_nc import build_mpoqc
+            return build_mpoqc(fcidump, scheme=algo_type, cutoff=cutoff)
         if self.symm_type == SymmetryTypes.SU2:
             return _su2_qc_mpo(self, fcidump.h1e, fcidump.g2e,
                                fcidump.const_e)

@@ -37,13 +37,7 @@ from .blocking_plan import BlockingPlan, _pools
 # persistent compilation cache: blocking kernels are one jit per padded
 # shape signature; caching them on disk makes fresh processes (bench runs,
 # restarts) skip the XLA compile wall entirely
-try:  # pragma: no cover - cache support depends on the backend
-    from jax.experimental.compilation_cache import compilation_cache as _cc
-    import os as _os
-    _cc.set_cache_dir(_os.environ.get("B2TPU_JIT_CACHE",
-                                      "/tmp/b2tpu_jit_cache"))
-except Exception:
-    pass
+from . import jit_cache  # noqa: F401  (persistent XLA cache)
 
 
 def _pow2(n: int) -> int:

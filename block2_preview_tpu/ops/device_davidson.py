@@ -14,6 +14,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Callable
 
+from . import jit_cache  # noqa: F401  (persistent XLA cache)
 import jax
 import jax.numpy as jnp
 import numpy as np

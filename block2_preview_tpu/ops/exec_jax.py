@@ -19,6 +19,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from . import jit_cache  # noqa: F401  (persistent XLA cache)
 import jax
 import jax.numpy as jnp
 

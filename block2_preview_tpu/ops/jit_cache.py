@@ -1,0 +1,30 @@
+"""Persistent XLA compilation cache, shared by every device executor.
+
+Each device kernel (stacked blocking slabs, fused sigma-vector buckets,
+on-device Davidson) is one jit per padded shape signature; DMRG sweeps visit
+hundreds of signatures.  Under the remote-compile TPU setup each cold
+compile is a network round trip, so caching compiled executables on disk
+(B2TPU_JIT_CACHE, default /tmp/b2tpu_jit_cache) is the difference between
+minutes-per-site warmup and near-instant restarts.  Import this module
+before defining any jitted kernel.
+"""
+
+import os
+
+try:  # pragma: no cover - cache support depends on the backend
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("B2TPU_JIT_CACHE",
+                                     "/tmp/b2tpu_jit_cache"))
+    # cache every compile, even fast ones — the remote-compile round trip
+    # dominates, not local XLA time
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    try:
+        from jax.experimental.compilation_cache import (
+            compilation_cache as _cc)
+        _cc.set_cache_dir(os.environ.get("B2TPU_JIT_CACHE",
+                                         "/tmp/b2tpu_jit_cache"))
+    except Exception:
+        pass

@@ -31,6 +31,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from . import jit_cache  # noqa: F401  (persistent XLA cache)
 import jax
 import jax.numpy as jnp
 
