@@ -207,7 +207,7 @@ def _mix_scatter(pool_out, res, src, coef, tgt, npool):
 class StackedPlan:
     __slots__ = ("buckets", "meta_out", "bra_order", "ket_order",
                  "bra_sizes", "ket_sizes", "direction", "pool_cap",
-                 "out_cap")
+                 "out_cap", "_site_pools", "_warmed")
 
 
 def build_stacked_plan(meta_in: StackedMeta, entries, quanta, bra_T, ket_T,
@@ -378,9 +378,10 @@ def build_stacked_plan(meta_in: StackedMeta, entries, quanta, bra_T, ket_T,
     return plan
 
 
-def execute_stacked(plan: StackedPlan, epool_dev, dtype=np.float64):
-    """Run a stacked blocking plan; epool_dev is the (padded) device pool of
-    the input bond; returns the device pool of the output bond."""
+def _plan_site_pools(plan: StackedPlan, dtype):
+    cached = getattr(plan, "_site_pools", None)
+    if cached is not None and cached[0] == dtype:
+        return cached[1], cached[2]
     bra_mats, boffs = plan.bra_sizes
     ket_mats, koffs = plan.ket_sizes
 
@@ -396,16 +397,53 @@ def execute_stacked(plan: StackedPlan, epool_dev, dtype=np.float64):
 
     bpool = pack_site(bra_mats, boffs)
     kpool = pack_site(ket_mats, koffs)
+    plan._site_pools = (dtype, bpool, kpool)
+    return bpool, kpool
+
+
+def _bucket_step(bk, epool_dev, bpool, kpool, out, left, dtype, out_cap):
+    res = _slab_exec(epool_dev, bpool, kpool, bk["eoff"], bk["boff"],
+                     bk["koff"], bk["dl"], bk["dk"], bk["dx"], bk["dy"],
+                     bk["S"], bk["Lp"], bk["Kp"], bk["Xp"], bk["Yp"],
+                     left)
+    return _mix_scatter(out, res, bk["src"],
+                        jnp.asarray(bk["coef"].real.astype(dtype)),
+                        bk["tgt"], out_cap)
+
+
+def warm_stacked(plan: StackedPlan, epool_dev, dtype) -> None:
+    """Compile every bucket kernel of a fresh plan concurrently.  Under the
+    remote-compile TPU setup a cold jit is a network round trip; issuing
+    them from a thread pool overlaps the round trips (same trick as
+    blocking_jax._warm_buckets), after which the serial execution loop is
+    all cache hits."""
+    if getattr(plan, "_warmed", None) == dtype:
+        return
+    import concurrent.futures as cf
+    bpool, kpool = _plan_site_pools(plan, dtype)
+    left = plan.direction == "left"
+    zero_out = jnp.zeros(plan.out_cap, dtype=dtype)
+
+    def warm(bk):
+        _bucket_step(bk, epool_dev, bpool, kpool, zero_out, left, dtype,
+                     plan.out_cap).block_until_ready()
+
+    with cf.ThreadPoolExecutor(16) as ex:
+        list(ex.map(warm, plan.buckets))
+    plan._warmed = dtype
+
+
+def execute_stacked(plan: StackedPlan, epool_dev, dtype=np.float64):
+    """Run a stacked blocking plan; epool_dev is the (padded) device pool of
+    the input bond; returns the device pool of the output bond."""
+    bpool, kpool = _plan_site_pools(plan, dtype)
+    if getattr(plan, "_warmed", None) != dtype and len(plan.buckets) > 3:
+        warm_stacked(plan, epool_dev, dtype)
     left = plan.direction == "left"
     out = jnp.zeros(plan.out_cap, dtype=dtype)
     for bk in plan.buckets:
-        res = _slab_exec(epool_dev, bpool, kpool, bk["eoff"], bk["boff"],
-                         bk["koff"], bk["dl"], bk["dk"], bk["dx"], bk["dy"],
-                         bk["S"], bk["Lp"], bk["Kp"], bk["Xp"], bk["Yp"],
-                         left)
-        out = _mix_scatter(out, res, bk["src"],
-                           jnp.asarray(bk["coef"].real.astype(dtype)),
-                           bk["tgt"], plan.out_cap)
+        out = _bucket_step(bk, epool_dev, bpool, kpool, out, left, dtype,
+                           plan.out_cap)
     return out
 
 
