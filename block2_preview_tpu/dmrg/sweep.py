@@ -33,6 +33,24 @@ from .mpo import MPO
 from .mps import MPS, MPSTensor
 
 
+@dataclass
+class SweepTimings:
+    """Per-phase wall-clock accumulators (reference sweep_algorithm.hpp
+    teig/teff/tdm/tblk counters printed at :3128-3180 and the
+    MovingEnvironment tctr/trot timers, moving_environment.hpp:185)."""
+    teff: float = 0.0       # effective-H assembly (blocking + diagonal)
+    teig: float = 0.0       # Davidson / eigensolver
+    tdm: float = 0.0        # density matrix + decimation + split
+    tblk: float = 0.0       # environment move (contract-rotate)
+
+    def reset(self):
+        self.teff = self.teig = self.tdm = self.tblk = 0.0
+
+    def line(self) -> str:
+        return (f"Teff = {self.teff:8.2f} | Teig = {self.teig:8.2f} | "
+                f"Tdm = {self.tdm:8.2f} | Tblk = {self.tblk:8.2f}")
+
+
 def _average_rho_forward(eff: EffectiveHamiltonian2,
                          psis: Sequence[Dict[Key2, np.ndarray]],
                          weights: Sequence[float],
@@ -227,6 +245,7 @@ class DMRG:
         self.me.init_environments()
         self.energies: List[np.ndarray] = []
         self.discarded_weights: List[float] = []
+        self.timings = SweepTimings()
         # per-root center wavefunction tensors (MultiMPS analog); None means
         # "use the MPS center tensor" (root replication at cold start)
         self._center_tensors: Optional[List[MPSTensor]] = None
@@ -292,10 +311,16 @@ class DMRG:
     def update_two_dot(self, t: int, forward: bool, bond_dim: int,
                        noise: float, dav_thrd: float
                        ) -> Tuple[np.ndarray, float, int]:
+        tm = self.timings
+        t0 = time.time()
         eff = EffectiveHamiltonian2(self.me, t)
         x0 = self._initial_guesses(eff, t)
         diag = eff.diagonal()
+        t1 = time.time()
+        tm.teff += t1 - t0
         w, v, nmv = self._solve_eff(eff, x0, diag, dav_thrd)
+        t2 = time.time()
+        tm.teig += t2 - t1
         energies = w[:self.n_roots] + self.mpo.const_e
         psis = [eff.unflatten(v[:, r]) for r in range(self.n_roots)]
         g, target = eff.g, eff.target
@@ -303,6 +328,8 @@ class DMRG:
         if forward:
             a_tensor, centers, dw = split_forward_update(
                 eff, psis, self.weights, noise, bond_dim)
+            t3 = time.time()
+            tm.tdm += t3 - t2
             self.mps.tensors[t] = a_tensor
             self.mps.tensors[t + 1] = centers[0]
             self._center_tensors = centers
@@ -312,12 +339,15 @@ class DMRG:
         else:
             b_tensor, centers, dw = split_backward_update(
                 eff, psis, self.weights, noise, bond_dim)
+            t3 = time.time()
+            tm.tdm += t3 - t2
             self.mps.tensors[t + 1] = b_tensor
             self.mps.tensors[t] = centers[0]
             self._center_tensors = centers
             self._center_pos = t
             self.me.update_right(t + 1)
             self.me.invalidate_left(t)
+        tm.tblk += time.time() - t3
         return energies, dw, nmv
 
 
@@ -512,6 +542,9 @@ class DMRG:
                       f"noise={ns:.1e}  E = {estr}  "
                       f"dE = {np.max(np.abs(e - last_e)):+.3e} "
                       f" dw = {dw:.2e}  nmv = {res.n_matvec}")
+                if self.iprint >= 2:
+                    print("    " + self.timings.line(), flush=True)
+                self.timings.reset()
             if restart_dir is not None:
                 # per-sweep checkpoint (reference allocator.hpp:342
                 # restart_dir semantics)

@@ -100,16 +100,21 @@ def run(config_path: str) -> float:
         return float(e)
 
     penalty = dic.get("spin_penalty")
+    mpo_type = str(dic.get("qc_mpo_type", "bipartite")).lower()
     if penalty not in (None, ""):
         mpo = drv.get_qc_mpo_spin_penalty(fd, float(str(penalty)))
     else:
-        mpo = drv.get_qc_mpo(fcidump=fd)
+        # qc_mpo_type: bipartite (default) | nc | cn | conventional
+        # (reference block2main qc_mpo_type keyword / QCTypes)
+        mpo = drv.get_qc_mpo(fcidump=fd, algo_type=mpo_type)
     target = (drv.n_elec, drv.spin, drv.pg_irrep)
     mps = drv.get_random_mps(bond_dims[0], target=target)
     solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0,
                   n_roots=n_roots)
+    restart_dir = dic.get("restart_dir")
     e = solver.solve(bond_dims, noises, dav_thrds, n_sweeps=n_sweeps,
-                     tol=sweep_tol, twodot_to_onedot=t2o)
+                     tol=sweep_tol, twodot_to_onedot=t2o,
+                     restart_dir=str(restart_dir) if restart_dir else None)
     energies = np.atleast_1d(e)
     for i, ei in enumerate(energies):
         print("DMRG Energy = %20.15f" % ei)
@@ -130,6 +135,22 @@ def run(config_path: str) -> float:
     if "threepdm" in dic or "restart_threepdm" in dic:
         from ..dmrg.expect import pdm3_spatial
         np.save("3pdm.npy", pdm3_spatial(mps))
+    if "fourpdm" in dic or "restart_fourpdm" in dic:
+        from ..dmrg.npdm import npdm_spatial
+        np.save("4pdm.npy", npdm_spatial(mps, 4))
+    fp_tol = dic.get("fp_cps_cutoff")
+    if fp_tol not in (None, ""):
+        # lossy-compressed MPS checkpoint (reference fp_cps_cutoff)
+        from ..utils.io import save_mps
+        save_mps(mps, "mps.KET.npz", fp_tol=float(str(fp_tol)))
+    for key, h0 in (("nevpt2", "dyall"), ("mrrept", "fink")):
+        if dic.get(key) not in (None, ""):
+            toks = str(dic[key]).split()
+            ni, na = int(toks[0]), int(toks[1])
+            from ..uc.nevpt2 import mrpt2_energy
+            e0c, e2 = mrpt2_energy(fd, ni, na, h0=h0)
+            print("CASCI Energy = %20.15f" % e0c)
+            print("%s Energy = %20.15f" % (key.upper(), e0c + e2))
     if "orbital_entropy" in dic:
         from ..dmrg.expect import orbital_entropy_2site
         s2, minfo = orbital_entropy_2site(mps)

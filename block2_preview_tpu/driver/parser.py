@@ -18,6 +18,8 @@ KNOWN_KEYS = {
     "singlet_embedding", "conn_centers", "fullrestart", "noise",
     "spin_penalty", "threepdm", "restart_threepdm", "orbital_entropy",
     "extrapolation", "sample", "delta_t", "target_t",
+    "fourpdm", "restart_fourpdm", "fp_cps_cutoff", "restart_dir",
+    "nevpt2", "mrrept", "qc_mpo_type",
 }
 
 
