@@ -98,6 +98,10 @@ class MovingEnvironment:
     # live as flat device pools chained device-to-device; BlockMatrix maps
     # materialize lazily where the effective Hamiltonian needs them
     stacked = False
+    # executor for stacked pools: "bucket" = per-shape-bucket einsums
+    # (ops/stacked.py), "tiled" = compile-once fixed-tile kernels
+    # (ops/tiled_blocking.py)
+    stk_engine = "bucket"
 
     # ------------------------------------------------------------------
     def _materialize(self, side: str, t: int) -> EnvMap:
@@ -149,15 +153,27 @@ class MovingEnvironment:
         if cached is not None and cached[0] == hash(sig):
             plan = cached[1]
         else:
-            plan = build_stacked_plan(
-                meta_in, self.mpo.tensors[t], self.mpo.site_quanta[t],
-                self.bra.tensors[t], self.ket.tensors[t], self.g, direction,
-                self.mpo.bond_dqs[src_bond],
-                self.mpo.bond_dqs[t + 1 if left else t])
+            if self.stk_engine == "tiled":
+                from ..ops.tiled_blocking import build_tiled_blocking_plan
+                plan = build_tiled_blocking_plan(
+                    meta_in, self.mpo.tensors[t], self.mpo.site_quanta[t],
+                    self.bra.tensors[t], self.ket.tensors[t], self.g,
+                    direction, self.mpo.bond_dqs[src_bond],
+                    self.mpo.bond_dqs[t + 1 if left else t])
+            else:
+                plan = build_stacked_plan(
+                    meta_in, self.mpo.tensors[t], self.mpo.site_quanta[t],
+                    self.bra.tensors[t], self.ket.tensors[t], self.g,
+                    direction, self.mpo.bond_dqs[src_bond],
+                    self.mpo.bond_dqs[t + 1 if left else t])
             self._stk_plans[key] = (hash(sig), plan)
         if plan is None:
             return False
-        pool_out = execute_stacked(plan, pool_in, dtype=dt)
+        if self.stk_engine == "tiled":
+            from ..ops.tiled_blocking import execute_tiled_blocking
+            pool_out = execute_tiled_blocking(plan, pool_in, dtype=dt)
+        else:
+            pool_out = execute_stacked(plan, pool_in, dtype=dt)
         dst = t + 1 if left else t
         if left:
             self._stk_l[dst] = (plan.meta_out, pool_out)

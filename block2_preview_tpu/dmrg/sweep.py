@@ -226,9 +226,11 @@ class DMRG:
                  dav_max_iter: int = 200):
         self.mpo = mpo
         self.mps = mps
-        if backend not in ("numpy", "jax", "jax_device", "jax_stacked"):
+        if backend not in ("numpy", "jax", "jax_device", "jax_stacked",
+                           "jax_tiled"):
             raise ValueError(f"unknown backend '{backend}' "
-                             "(numpy | jax | jax_device | jax_stacked)")
+                             "(numpy | jax | jax_device | jax_stacked |"
+                             " jax_tiled)")
         self.backend = backend
         self.dtype = dtype
         self.iprint = iprint
@@ -239,9 +241,11 @@ class DMRG:
         self.me = MovingEnvironment(mpo, mps)
         if backend == "jax_device":
             self.me.device = True
-        elif backend == "jax_stacked":
+        elif backend in ("jax_stacked", "jax_tiled"):
             self.me.stacked = True
             self.me.device_dtype = dtype
+            if backend == "jax_tiled":
+                self.me.stk_engine = "tiled"
         self.me.init_environments()
         self.energies: List[np.ndarray] = []
         self.discarded_weights: List[float] = []
@@ -281,9 +285,22 @@ class DMRG:
     def _solve_eff(self, eff: EffectiveHamiltonian2, x0, diag, dav_thrd):
         # tiny centers: per-call device dispatch + transfers dominate; the
         # host reference matvec is faster below a few thousand unknowns
-        if self.backend in ("jax", "jax_device", "jax_stacked") \
-                and eff.size < 4096:
+        if self.backend in ("jax", "jax_device", "jax_stacked",
+                            "jax_tiled") and eff.size < 4096:
             return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,
+                            conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
+        if self.backend == "jax_tiled":
+            from ..ops.tiled import TiledExecutor
+            if not hasattr(self, "_tiled_cache"):
+                self._tiled_cache = {}
+            ex = TiledExecutor(eff, dtype=self.dtype,
+                               cache=self._tiled_cache, cache_key=eff.t)
+            if self.n_roots == 1:
+                th, xv, nmv = ex.solve_ground_state(
+                    x0[:, 0], diag, conv_thrd=dav_thrd,
+                    max_iter=self.dav_max_iter, max_subspace=20)
+                return np.array([th]), xv[:, None], nmv
+            return davidson(ex.matvec, diag, x0, n_roots=self.n_roots,
                             conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
         if self.backend == "jax_device" and self.n_roots == 1 \
                 and self.dtype == np.float32:

@@ -1,0 +1,378 @@
+"""Tiled ragged-GEMM sigma-vector executor — compile-once TPU engine.
+
+The bucketed executors (`exec_jax.py`) specialize one XLA program per
+block-shape signature; on quantum-chemistry systems the shape diversity
+across sites/bond dimensions produces thousands of distinct signatures and
+the sweep becomes compile-bound on a remote-compile TPU.
+
+This engine removes shapes from the signature entirely.  Every GEMM triple
+``sigma[ok] += LW[m][lk] @ psi[pk] @ RW[m][rk].T`` (the reference hot loop,
+src/core/operator_functions.hpp tensor_product_multiply dispatched through
+BatchGEMM, batch_gemm.hpp:237) is decomposed into fixed ``T x T`` tile
+tasks over tile-major pools:
+
+  stage 1:  tmp[i, ai, ni]  += L_tile[i, ai, ki] @ psi_tile[i, ki, ni]
+  stage 2:  sig[ok, ai, pi] += tmp[i, ai, ni]    @ R_tile[i, pi, ni]^T
+
+Task lists (pool tile indices + output tile ids) are *data*; the kernel is
+one jitted function — two batched [B, T, T] matmuls (MXU) feeding sorted
+segment-sums — with a `lax.scan` over fixed-size task groups so the tmp
+pool stays bounded.  Zero-padding of every tile makes masks unnecessary.
+JIT signatures depend only on (T, pool capacity classes, group count), all
+quantized to powers of two, so a full DMRG run compiles a handful of
+kernels instead of thousands, and they persist in the XLA disk cache.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from . import jit_cache  # noqa: F401  (persistent XLA cache)
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length() if n > 0 else 1
+
+
+# per tile size: (task chunk B, tmp pool tiles)
+_TILE_CFG = {16: (16384, 32768), 32: (8192, 8192), 64: (4096, 4096),
+             128: (1024, 1024)}
+
+
+def pick_tile(dims: np.ndarray) -> int:
+    """Choose tile size from the p90 of true block dims."""
+    if len(dims) == 0:
+        return 32
+    p = float(np.percentile(dims, 90))
+    if p <= 24:
+        return 16
+    if p <= 48:
+        return 32
+    if p <= 160:
+        return 64
+    return 128
+
+
+def _tile_grid(r: int, c: int, T: int) -> Tuple[int, int]:
+    return -(-r // T), -(-c // T)
+
+
+def _pack_tiled(mats: List[np.ndarray], T: int, dtype) -> Tuple[np.ndarray,
+                                                                np.ndarray]:
+    """Pack matrices tile-major: returns (pool [cap, T, T], base[i])."""
+    bases = np.zeros(len(mats) + 1, dtype=np.int64)
+    for i, m in enumerate(mats):
+        nr, nc = _tile_grid(m.shape[0], m.shape[1], T)
+        bases[i + 1] = bases[i] + nr * nc
+    ntot = int(bases[-1])
+    cap = _pow2(ntot + 1)
+    pool = np.zeros((cap, T, T), dtype=dtype)
+    for i, m in enumerate(mats):
+        r, c = m.shape
+        nr, nc = _tile_grid(r, c, T)
+        pad = np.zeros((nr * T, nc * T), dtype=dtype)
+        pad[:r, :c] = m
+        pool[bases[i]:bases[i + 1]] = (
+            pad.reshape(nr, T, nc, T).swapaxes(1, 2).reshape(-1, T, T))
+    return pool, bases
+
+
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T"))
+def _tiled_matvec_impl(xp, lp, rp, psi_idx, sig_idx,
+                       la, pa, s1, ta, ra, s2, nt1, nt2, T):
+    """One full sigma matvec.
+
+    xp [NX+1] padded flat psi (sentinel zero last); lp/rp tile pools;
+    psi_idx [NP, T, T] gather map flat->tiled; sig_idx [NX] tiled->flat;
+    la/pa/s1 [G, B1], ta/ra/s2 [G, B2] per-group task arrays (s* sorted
+    per group; sentinel tile id = nt1/nt2).
+    """
+    T2 = T * T
+    pp = xp[psi_idx]
+    loc = jnp.arange(T2, dtype=jnp.int32)
+
+    def body(sig, g):
+        laG, paG, s1G, taG, raG, s2G = g
+        prod1 = jnp.einsum("bak,bkn->ban", lp[laG], pp[paG],
+                           preferred_element_type=xp.dtype)
+        ids1 = (s1G[:, None] * T2 + loc[None, :]).reshape(-1)
+        tmp = jax.ops.segment_sum(prod1.reshape(-1), ids1,
+                                  num_segments=(nt1 + 1) * T2,
+                                  indices_are_sorted=True)
+        tmp3 = tmp[:nt1 * T2].reshape(nt1, T, T)
+        prod2 = jnp.einsum("ban,bpn->bap", tmp3[taG], rp[raG],
+                           preferred_element_type=xp.dtype)
+        ids2 = (s2G[:, None] * T2 + loc[None, :]).reshape(-1)
+        sig = sig + jax.ops.segment_sum(prod2.reshape(-1), ids2,
+                                        num_segments=(nt2 + 1) * T2,
+                                        indices_are_sorted=True)
+        return sig, 0
+
+    sig0 = jnp.zeros((nt2 + 1) * T2, dtype=xp.dtype)
+    sig, _ = lax.scan(body, sig0, (la, pa, s1, ta, ra, s2))
+    return sig[sig_idx]
+
+
+class TiledExecutor:
+    """Compile-once sigma-vector executor for an effective Hamiltonian.
+
+    The task structure depends only on the triple/shape layout and is
+    cached across center steps/sweeps via `cache`/`cache_key` (the
+    ConnectionInfo-reuse analog, reference sparse_matrix.hpp:71); the L/R
+    numeric pools are repacked per step.
+    """
+
+    def __init__(self, eff, dtype=np.float32, T: int = None,
+                 cache: dict = None, cache_key=None):
+        self.size = eff.size
+        self.dtype = dtype
+
+        lw_ids: Dict[Tuple, int] = {}
+        rw_ids: Dict[Tuple, int] = {}
+        lw_mats: List[np.ndarray] = []
+        rw_mats: List[np.ndarray] = []
+        for m, d in sorted(eff.LW.items()):
+            for k2, mat in sorted(d.items()):
+                lw_ids[(m, k2)] = len(lw_mats)
+                lw_mats.append(mat)
+        for m, d in sorted(eff.RW.items()):
+            for k2, mat in sorted(d.items()):
+                rw_ids[(m, k2)] = len(rw_mats)
+                rw_mats.append(mat)
+
+        struct = None
+        sig = None
+        if cache is not None and cache_key is not None:
+            sig = hash((self.size, T,
+                        tuple(sorted(eff.shapes.items())),
+                        tuple(eff.triples),
+                        tuple(m.shape for m in lw_mats),
+                        tuple(m.shape for m in rw_mats)))
+            ent = cache.get(cache_key)
+            if ent is not None and ent[0] == sig:
+                struct = ent[1]
+        if struct is None:
+            struct = self._build_struct(eff, lw_ids, rw_ids,
+                                        [m.shape for m in lw_mats],
+                                        [m.shape for m in rw_mats], T)
+            if cache is not None and cache_key is not None:
+                cache[cache_key] = (sig, struct)
+        self.struct = struct
+        T = struct["T"]
+        self.T = T
+
+        lpool, lb = _pack_tiled(lw_mats, T, dtype)
+        rpool, rb = _pack_tiled(rw_mats, T, dtype)
+        assert np.array_equal(lb, struct["lbases"])
+        assert np.array_equal(rb, struct["rbases"])
+        self.lpool = jnp.asarray(lpool)
+        self.rpool = jnp.asarray(rpool)
+
+    # ------------------------------------------------------------------
+    def _build_struct(self, eff, lw_ids, rw_ids, lw_shapes, rw_shapes,
+                      T):
+        if T is None:
+            dims = []
+            for s in lw_shapes + rw_shapes:
+                dims += [s[0], s[1]]
+            for k in eff.offsets:
+                dims += list(eff.shapes[k])
+            T = pick_tile(np.asarray(dims))
+        B, nt1 = _TILE_CFG[T]
+
+        lbases = np.zeros(len(lw_shapes) + 1, dtype=np.int64)
+        for i, s in enumerate(lw_shapes):
+            nr, nc = _tile_grid(s[0], s[1], T)
+            lbases[i + 1] = lbases[i] + nr * nc
+        rbases = np.zeros(len(rw_shapes) + 1, dtype=np.int64)
+        for i, s in enumerate(rw_shapes):
+            nr, nc = _tile_grid(s[0], s[1], T)
+            rbases[i + 1] = rbases[i] + nr * nc
+
+        # tiled layout of the flat psi/sigma vector
+        vb: Dict = {}
+        nv = 0
+        for k in sorted(eff.offsets):
+            r, c = eff.shapes[k]
+            nr, nc = _tile_grid(r, c, T)
+            vb[k] = (nv, nr, nc)
+            nv += nr * nc
+        nt2 = _pow2(nv + 1)
+
+        # gather maps flat <-> tiled
+        size_p = _pow2(self.size + 1)
+        psi_idx = np.full((nt2, T, T), size_p, dtype=np.int32)
+        sig_idx = np.zeros(size_p, dtype=np.int64)
+        rr = np.arange(T)
+        for k in sorted(eff.offsets):
+            off = eff.offsets[k]
+            r, c = eff.shapes[k]
+            base, nr, nc = vb[k]
+            flat = off + np.arange(r * c, dtype=np.int64)
+            fr, fc = np.divmod(np.arange(r * c), c)
+            tidx = ((base + (fr // T) * nc + (fc // T)) * (T * T)
+                    + (fr % T) * T + (fc % T))
+            sig_idx[flat] = tidx
+            ti, tj = fr // T, fc // T
+            psi_flat = psi_idx.reshape(-1)
+            psi_flat[tidx] = flat
+        sig_idx[self.size:] = (nt2 + 1) * T * T - 1   # pad -> last (zero) slot
+
+        # tasks
+        g_la: List[np.ndarray] = []
+        g_pa: List[np.ndarray] = []
+        g_s1: List[np.ndarray] = []
+        g_ta: List[np.ndarray] = []
+        g_ra: List[np.ndarray] = []
+        g_s2: List[np.ndarray] = []
+        c_la, c_pa, c_s1 = [], [], []
+        c_t2 = []   # (sig tile, tmp tile, r tile)
+        tmp_used = 0
+        lzero = int(lbases[-1])
+        rzero = int(rbases[-1])
+
+        def close_group():
+            nonlocal tmp_used
+            if not c_la and not c_t2:
+                return
+            la = np.full(B, lzero, dtype=np.int32)
+            pa = np.full(B, nt2, dtype=np.int32)
+            s1 = np.full(B, nt1, dtype=np.int32)
+            la[:len(c_la)] = c_la
+            pa[:len(c_pa)] = c_pa
+            s1[:len(c_s1)] = c_s1
+            t2 = np.asarray(sorted(c_t2), dtype=np.int64) if c_t2 else \
+                np.zeros((0, 3), dtype=np.int64)
+            ta = np.full(B, nt1, dtype=np.int32)
+            ra = np.full(B, rzero, dtype=np.int32)
+            s2 = np.full(B, nt2, dtype=np.int32)
+            s2[:len(t2)] = t2[:, 0]
+            ta[:len(t2)] = t2[:, 1]
+            ra[:len(t2)] = t2[:, 2]
+            g_la.append(la)
+            g_pa.append(pa)
+            g_s1.append(s1)
+            g_ta.append(ta)
+            g_ra.append(ra)
+            g_s2.append(s2)
+            c_la.clear()
+            c_pa.clear()
+            c_s1.clear()
+            c_t2.clear()
+            tmp_used = 0
+
+        for (m, lk, pk, rk, ok) in eff.triples:
+            lid = lw_ids[(m, lk)]
+            rid = rw_ids[(m, rk)]
+            a, kk = lw_shapes[lid]
+            p, n = rw_shapes[rid]
+            na, nk = _tile_grid(a, kk, T)
+            np_, nn = _tile_grid(p, n, T)
+            pbase, pnr, pnc = vb[pk]
+            obase, onr, onc = vb[ok]
+            assert pnr == nk and pnc == nn and onr == na and onc == np_
+            item_tmp = na * nn
+            item_s1 = na * nn * nk
+            item_s2 = na * nn * np_
+            if (tmp_used + item_tmp > nt1 or len(c_la) + item_s1 > B
+                    or len(c_t2) + item_s2 > B):
+                close_group()
+            if item_tmp > nt1 or item_s1 > B or item_s2 > B:
+                raise ValueError(
+                    f"block too large for tile cfg T={T}: "
+                    f"{(a, kk, n, p)}")
+            tb = tmp_used
+            for ai in range(na):
+                for ni in range(nn):
+                    tid = tb + ai * nn + ni
+                    for ki in range(nk):
+                        c_la.append(lbases[lid] + ai * nk + ki)
+                        c_pa.append(pbase + ki * pnc + ni)
+                        c_s1.append(tid)
+                    for pi in range(np_):
+                        c_t2.append((obase + ai * onc + pi, tid,
+                                     rbases[rid] + pi * nn + ni))
+            tmp_used += item_tmp
+        close_group()
+
+        G = _pow2(max(len(g_la), 1))
+        while len(g_la) < G:
+            g_la.append(np.full(B, lzero, dtype=np.int32))
+            g_pa.append(np.full(B, nt2, dtype=np.int32))
+            g_s1.append(np.full(B, nt1, dtype=np.int32))
+            g_ta.append(np.full(B, nt1, dtype=np.int32))
+            g_ra.append(np.full(B, rzero, dtype=np.int32))
+            g_s2.append(np.full(B, nt2, dtype=np.int32))
+
+        return {
+            "T": T, "B": B, "nt1": nt1, "nt2": nt2,
+            "size_p": size_p,
+            "lbases": lbases, "rbases": rbases,
+            "psi_idx": jnp.asarray(psi_idx),
+            "sig_idx": jnp.asarray(
+                np.minimum(sig_idx, (nt2 + 1) * T * T - 1)),
+            "la": jnp.asarray(np.stack(g_la)),
+            "pa": jnp.asarray(np.stack(g_pa)),
+            "s1": jnp.asarray(np.stack(g_s1)),
+            "ta": jnp.asarray(np.stack(g_ta)),
+            "ra": jnp.asarray(np.stack(g_ra)),
+            "s2": jnp.asarray(np.stack(g_s2)),
+        }
+
+    # ------------------------------------------------------------------
+    def pad(self, x: np.ndarray) -> np.ndarray:
+        xp = np.zeros(self.struct["size_p"] + 1, dtype=self.dtype)
+        xp[:self.size] = x
+        return xp
+
+    def matvec_device(self, xp):
+        s = self.struct
+        return _tiled_matvec_impl(xp, self.lpool, self.rpool,
+                                  s["psi_idx"], s["sig_idx"],
+                                  s["la"], s["pa"], s["s1"],
+                                  s["ta"], s["ra"], s["s2"],
+                                  s["nt1"], s["nt2"], s["T"])
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        out = self.matvec_device(jnp.asarray(self.pad(x)))
+        return np.asarray(out, dtype=np.float64)[:self.size]
+
+    # ------------------------------------------------------------------
+    def solve_ground_state(self, x0: np.ndarray, diag: np.ndarray,
+                           conv_thrd: float = 1e-8, max_iter: int = 100,
+                           max_subspace: int = 20):
+        """Fully on-device Davidson around the tiled matvec."""
+        s = self.struct
+        dp = np.ones(s["size_p"] + 1, dtype=self.dtype)
+        dp[:self.size] = diag
+        th, xv, it = _tiled_dav(
+            jnp.asarray(self.pad(x0)), jnp.asarray(dp),
+            self.lpool, self.rpool, s["psi_idx"], s["sig_idx"],
+            s["la"], s["pa"], s["s1"], s["ta"], s["ra"], s["s2"],
+            s["nt1"], s["nt2"], s["T"], s["size_p"],
+            conv_thrd, max_iter, max_subspace)
+        return (float(th), np.asarray(xv, dtype=np.float64)[:self.size],
+                int(it))
+
+
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "size_p",
+                                   "conv_thrd", "max_iter",
+                                   "max_subspace"))
+def _tiled_dav(x0, diag, lp, rp, psi_idx, sig_idx, la, pa, s1, ta, ra, s2,
+               nt1, nt2, T, size_p, conv_thrd, max_iter, max_subspace):
+    from .device_davidson import device_davidson
+
+    def mv(v):
+        out = _tiled_matvec_impl(v, lp, rp, psi_idx, sig_idx,
+                                 la, pa, s1, ta, ra, s2, nt1, nt2, T)
+        # matvec output is [size_p]; pad back to [size_p + 1]
+        return jnp.concatenate([out, jnp.zeros(1, dtype=out.dtype)])
+
+    return device_davidson(mv, diag, x0, conv_thrd=conv_thrd,
+                           max_iter=max_iter, max_subspace=max_subspace)
