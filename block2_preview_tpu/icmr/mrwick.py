@@ -1,0 +1,281 @@
+"""Multireference Wick engine over a CAS reference.
+
+Generalizes the Fermi-vacuum engine (`ic/wick.py`, reference
+src/ic/wick.hpp) to the three-space partition used by the internally
+contracted MR methods (reference pyblock2/icmr/*): the reference state is
+|Phi> = |core filled> x |Psi0 active> x |virt empty>, so
+
+  * core ops contract pairwise like holes   (<p^+ q> = delta, <p q^+> = 0),
+  * virtual ops contract like particles     (<p q^+> = delta, <p^+ q> = 0),
+  * active operator strings remain and are normal-ordered into expectation
+    values <p1^+ ... pk^+ q1 ... qk> = spin-orbital k-RDMs of |Psi0>
+    (k <= 4), the quantities DMRG provides via its NPDM engine.
+
+Everything is numeric-per-term at evaluation: index symbols carry explicit
+integer ranges (global spin-orbital index arrays), so fixed external labels
+are just length-1/2 ranges and einsum does the sums.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+CORE, ACTIVE, VIRT = "c", "a", "v"
+
+
+@dataclass(frozen=True)
+class MOp:
+    index: str      # symbol name (range bound at evaluation)
+    space: str      # CORE | ACTIVE | VIRT
+    dagger: bool
+
+    def __repr__(self):
+        return f"{self.index}{'^' if self.dagger else ''}"
+
+
+@dataclass
+class MTerm:
+    coeff: float
+    tensors: Tuple[Tuple[str, Tuple[str, ...]], ...]
+    ops: Tuple[MOp, ...]
+
+    def __repr__(self):
+        ts = " ".join(f"{n}[{','.join(ix)}]" for n, ix in self.tensors)
+        return f"{self.coeff:+g} {ts} | {' '.join(map(repr, self.ops))}"
+
+
+def conj_terms(terms: Sequence[MTerm]) -> List[MTerm]:
+    """Hermitian conjugate (real tensors): reverse ops, flip daggers."""
+    return [MTerm(t.coeff, t.tensors,
+                  tuple(MOp(o.index, o.space, not o.dagger)
+                        for o in reversed(t.ops)))
+            for t in terms]
+
+
+def _rename(terms: Sequence[MTerm], tag: str) -> List[MTerm]:
+    """Uniquify dummy symbols by suffixing; fixed symbols (starting 'X')
+    are left untouched so labels stay shared across factors."""
+    out = []
+    for t in terms:
+        m = {}
+
+        def r(x):
+            if x not in m:
+                m[x] = x + tag
+            return m[x]
+
+        out.append(MTerm(t.coeff,
+                         tuple((n, tuple(r(i) for i in ix))
+                               for n, ix in t.tensors),
+                         tuple(MOp(r(o.index), o.space, o.dagger)
+                               for o in t.ops)))
+    return out
+
+
+def mul_terms(*factors: Sequence[MTerm]) -> List[MTerm]:
+    """Product of operator sums with dummy renaming per factor."""
+    cur = [MTerm(1.0, (), ())]
+    for fi, f in enumerate(factors):
+        f = _rename(f, f"_{fi}")
+        cur = [MTerm(t1.coeff * t2.coeff, t1.tensors + t2.tensors,
+                     t1.ops + t2.ops)
+               for t1 in cur for t2 in f]
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# Wick contraction
+# ---------------------------------------------------------------------------
+
+def _pair_ok(a: MOp, b: MOp) -> bool:
+    """Nonzero contraction <a b> (a left of b) for core/virt spaces."""
+    if a.space == CORE and b.space == CORE:
+        return a.dagger and not b.dagger          # <p^+ q> = delta
+    if a.space == VIRT and b.space == VIRT:
+        return (not a.dagger) and b.dagger        # <p q^+> = delta
+    return False
+
+
+def _normal_order_active(ops: Tuple[MOp, ...]):
+    """Anticommute an active string into normal order (daggers left).
+    Returns [(sign, deltas, ordered_ops)]."""
+    for k in range(len(ops) - 1):
+        if (not ops[k].dagger) and ops[k + 1].dagger:
+            swapped = ops[:k] + (ops[k + 1], ops[k]) + ops[k + 2:]
+            contracted = ops[:k] + ops[k + 2:]
+            out = []
+            for (s, d, o) in _normal_order_active(swapped):
+                out.append((-s, d, o))
+            for (s, d, o) in _normal_order_active(contracted):
+                out.append((s, d + ((ops[k].index, ops[k + 1].index),), o))
+            return out
+    return [(1, (), ops)]
+
+
+def mr_expect(terms: Sequence[MTerm]) -> List[MTerm]:
+    """<Phi| terms |Phi>: full Wick over core/virt + active RDM strings.
+
+    Returns fully-contracted terms whose tensors include "delta" factors
+    and a "g{k}" factor with index order (p1..pk, q1..qk) for the
+    surviving active string <p1^+ ... pk^+ q1 ... qk>."""
+    out: List[MTerm] = []
+    for term in terms:
+        ext = [i for i, o in enumerate(term.ops) if o.space != ACTIVE]
+        act = [i for i, o in enumerate(term.ops) if o.space == ACTIVE]
+
+        def contract(remaining: List[int], pairs):
+            if not remaining:
+                _emit(term, pairs, act, out)
+                return
+            a = remaining[0]
+            for bi in range(1, len(remaining)):
+                b = remaining[bi]
+                if not _pair_ok(term.ops[a], term.ops[b]):
+                    continue
+                contract([r for r in remaining[1:] if r != b],
+                         pairs + [(a, b)])
+
+        contract(ext, [])
+    return out
+
+
+def _emit(term: MTerm, pairs, act, out: List[MTerm]) -> None:
+    # sign: crossings among pairs + active ops inside each pair's span
+    sign = 1
+    for (a1, b1), (a2, b2) in itertools.combinations(pairs, 2):
+        if a1 < a2 < b1 < b2 or a2 < a1 < b2 < b1:
+            sign = -sign
+    for (a, b) in pairs:
+        inside = sum(1 for i in act if a < i < b)
+        sign *= (-1) ** inside
+    deltas = tuple(("delta", (term.ops[a].index, term.ops[b].index))
+                   for (a, b) in pairs)
+    # active string in original order -> normal order -> RDM
+    aops = tuple(term.ops[i] for i in act)
+    for (s2, adeltas, no) in _normal_order_active(aops):
+        ncre = sum(1 for o in no if o.dagger)
+        nann = len(no) - ncre
+        if ncre != nann:
+            continue
+        # normal order => all daggers left
+        assert all(o.dagger for o in no[:ncre])
+        gt = ()
+        if ncre:
+            gt = (("g%d" % ncre, tuple(o.index for o in no)),)
+        out.append(MTerm(term.coeff * sign * s2,
+                         term.tensors + deltas
+                         + tuple(("delta", d) for d in adeltas) + gt, ()))
+
+
+# ---------------------------------------------------------------------------
+# numeric evaluation
+# ---------------------------------------------------------------------------
+
+def evaluate(cterms: Sequence[MTerm], tensors: Dict[str, np.ndarray],
+             range_of, local_names: Tuple[str, ...] = ("g1", "g2", "g3",
+                                                       "g4"),
+             local_offset: int = 0) -> float:
+    """Evaluate fully-contracted terms.
+
+    range_of: callable symbol -> global spin-orbital index array.
+    Tensors named in `local_names` (the RDMs) are indexed by
+    (global - local_offset).
+    """
+    total = 0.0
+    for term in cterms:
+        parent: Dict[str, str] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        facs = []
+        for name, ixs in term.tensors:
+            if name == "delta":
+                rx, ry = find(ixs[0]), find(ixs[1])
+                if rx != ry:
+                    parent[rx] = ry
+            else:
+                facs.append((name, ixs))
+        # effective range per class
+        cls_range: Dict[str, np.ndarray] = {}
+        dead = False
+        syms = set()
+        for name, ixs in term.tensors:
+            syms.update(ixs)
+        for x in syms:
+            r = find(x)
+            rng = ranges[x]
+            cur = cls_range.get(r)
+            cls_range[r] = rng if cur is None else \
+                np.intersect1d(cur, rng)
+        for r, rng in cls_range.items():
+            if len(rng) == 0:
+                dead = True
+        if dead:
+            continue
+        if not facs:
+            val = 1.0
+            for r, rng in cls_range.items():
+                val *= len(rng)
+            total += term.coeff * val
+            continue
+        letters: Dict[str, str] = {}
+        alphabet = iter("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUV")
+        specs = []
+        arrays = []
+        for name, ixs in facs:
+            sub = ""
+            slicers = []
+            for x in ixs:
+                r = find(x)
+                if r not in letters:
+                    letters[r] = next(alphabet)
+                sub += letters[r]
+                rng = cls_range[r]
+                slicers.append(rng - local_offset
+                               if name in local_names else rng)
+            specs.append(sub)
+            arrays.append(tensors[name][np.ix_(*slicers)])
+        val = np.einsum(",".join(specs) + "->", *arrays, optimize=True)
+        total += term.coeff * float(val)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Hamiltonian splitting over spaces
+# ---------------------------------------------------------------------------
+
+def split_hamiltonian(h_name: str = "h", v_name: str = "v",
+                      spaces: Sequence[str] = (CORE, ACTIVE, VIRT)
+                      ) -> List[MTerm]:
+    """H = sum h_PQ P^+ Q + 1/4 sum <PQ||RS> P^+ Q^+ S R, with every index
+    slot assigned a definite space (3^2 + 3^4 terms)."""
+    out: List[MTerm] = []
+    for sp, sq in itertools.product(spaces, repeat=2):
+        out.append(MTerm(1.0, ((h_name, ("p", "q")),),
+                         (MOp("p", sp, True), MOp("q", sq, False))))
+    for sp, sq, sr, ss in itertools.product(spaces, repeat=4):
+        out.append(MTerm(0.25, ((v_name, ("p", "q", "r", "s")),),
+                         (MOp("p", sp, True), MOp("q", sq, True),
+                          MOp("s", ss, False), MOp("r", sr, False))))
+    return out
+
+
+def spin_orbital_integrals(h1e: np.ndarray, g2e: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """(h_so, <PQ||RS>) in the interleaved spin-orbital basis
+    (0a, 0b, 1a, 1b, ...) from spatial h1e and chemist (pq|rs)."""
+    n = h1e.shape[0]
+    h_so = np.kron(h1e, np.eye(2))
+    # physicist <PQ|RS> = (pr|qs) delta_{s(P)s(R)} delta_{s(Q)s(S)}
+    eye2 = np.eye(2)
+    v_phys = np.einsum("prqs,ik,jl->piqjrksl", g2e.transpose(0, 2, 1, 3),
+                       eye2, eye2).reshape(2 * n, 2 * n, 2 * n, 2 * n)
+    v_as = v_phys - v_phys.transpose(0, 1, 3, 2)
+    return h_so, v_as

@@ -1,0 +1,390 @@
+"""Strongly-contracted NEVPT2 from active-space RDMs.
+
+DMRG-sc-NEVPT2 (reference pyblock2/icmr/scnevpt2.py, driven by the Wick
+engine src/ic/wick.hpp): second-order energy over the 8 Dyall perturber
+classes V(0), V(+1), V(-1), V(+2), V(-2), V(0'), V(+1'), V(-1'),
+
+    E2 = - sum_l  N_l / (e_l - E0),
+    N_l = <Psi_l|Psi_l>,  e_l = <Psi_l|H^D|Psi_l>/N_l,
+    |Psi_l> = P_l H |Psi0>,
+
+with l running over spatial external-label patterns (which inactive
+orbitals lose electrons, which virtuals gain them).  Everything reduces to
+active-space spin-orbital RDMs up to order 4 — the quantities the DMRG
+NPDM engine provides — evaluated through the multireference Wick engine
+(`mrwick.py`): the perturber operators are built symbolically by binding
+the external slots of the split Hamiltonian to each label, and
+N_l / e_l become einsum contractions over gamma_1..gamma_4.
+
+Validation: `sc_nevpt2_fci` computes the *same* theory exactly in
+determinant space (group H|Psi0> by external occupation pattern), so the
+RDM path is testable to machine precision on small systems.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..core.fcidump import FCIDUMP
+from ..core.expr import qc_term_table
+from ..core.integral_dyall import dyall_fcidump
+from ..ops.local_ops import IDENT, PARITY, _DA, _DB
+from ..uc.nevpt2 import casci_root
+from ..utils.ed import term_table_to_sparse
+from . import mrwick as mw
+from .mrwick import CORE, ACTIVE, VIRT, MOp, MTerm
+
+CLASSES = {
+    (2, 2): "V(0)", (2, 1): "V(+1)", (2, 0): "V(+2)",
+    (1, 2): "V(-1)", (1, 1): "V(0')", (1, 0): "V(+1')",
+    (0, 2): "V(-2)", (0, 1): "V(-1')",
+}
+
+
+# ---------------------------------------------------------------------------
+# spin-orbital operators and RDMs (determinant-space, for tests / small CAS)
+# ---------------------------------------------------------------------------
+
+def annihilators(L: int) -> List[sp.csr_matrix]:
+    """JW annihilation operators for spin orbitals (0a, 0b, 1a, 1b, ...)
+    in the site-major base-4 basis of utils/ed.py."""
+    ops = []
+    Z = sp.csr_matrix(PARITY)
+    I4 = sp.identity(4, format="csr")
+    for p in range(L):
+        for elem in (_DA, _DB):
+            mats = [Z] * p + [sp.csr_matrix(elem)] + [I4] * (L - p - 1)
+            ops.append(reduce(lambda a, b: sp.kron(a, b, format="csr"),
+                              mats))
+    return ops
+
+
+def active_gammas(psi0: np.ndarray, L: int, ncore: int, ncas: int,
+                  kmax: int = 4) -> Dict[str, np.ndarray]:
+    """Spin-orbital active RDMs gamma_k[p1..pk, q1..qk]
+    = <psi0| p1^+ ... pk^+ q1 ... qk |psi0> for k <= kmax."""
+    ann = annihilators(L)
+    na = 2 * ncas
+    act = [ann[2 * ncore + t] for t in range(na)]
+    gammas: Dict[str, np.ndarray] = {}
+    # chains: R[(q1..qk)] = c_q1 (R[(q2..qk)]);  L[(p1..pk)] = c_pk L[..pk-1]
+    Rp: Dict[Tuple[int, ...], np.ndarray] = {(): psi0}
+    Lp: Dict[Tuple[int, ...], np.ndarray] = {(): psi0}
+    for k in range(1, kmax + 1):
+        Rn, Ln = {}, {}
+        for t, v in Rp.items():
+            for q in range(na):
+                Rn[(q,) + t] = act[q] @ v
+        for t, v in Lp.items():
+            for p in range(na):
+                Ln[t + (p,)] = act[p] @ v
+        Rp, Lp = Rn, Ln
+        tuples = list(itertools.product(range(na), repeat=k))
+        Lm = np.stack([Lp[t] for t in tuples])
+        Rm = np.stack([Rp[t] for t in tuples])
+        g = Lm @ Rm.T
+        gammas[f"g{k}"] = g.reshape((na,) * (2 * k))
+    return gammas
+
+
+# ---------------------------------------------------------------------------
+# symbolic perturbers
+# ---------------------------------------------------------------------------
+
+def _space_terms(h: str, v: str, spaces1, spaces2) -> List[MTerm]:
+    """H = sum h_PQ P^+Q + 1/4 <PQ||RS> P^+Q^+SR with given space sets."""
+    out = []
+    for sp_, sq in spaces1:
+        out.append(MTerm(1.0, ((h, ("p", "q")),),
+                         (MOp("p", sp_, True), MOp("q", sq, False))))
+    for sp_, sq, sr, ss in spaces2:
+        out.append(MTerm(0.25, ((v, ("p", "q", "r", "s")),),
+                         (MOp("p", sp_, True), MOp("q", sq, True),
+                          MOp("s", ss, False), MOp("r", sr, False))))
+    return out
+
+
+def full_h_terms() -> List[MTerm]:
+    sp1 = list(itertools.product((CORE, ACTIVE, VIRT), repeat=2))
+    sp2 = list(itertools.product((CORE, ACTIVE, VIRT), repeat=4))
+    return _space_terms("h", "v", sp1, sp2)
+
+
+def dyall_terms() -> List[MTerm]:
+    """Dyall H0 operator part: diag core/virt one-body + active one-body
+    + active two-body (nonzero pattern of dyall_fcidump)."""
+    sp1 = [(CORE, CORE), (VIRT, VIRT), (ACTIVE, ACTIVE)]
+    sp2 = [(ACTIVE,) * 4]
+    return _space_terms("hd", "vd", sp1, sp2)
+
+
+def bind_label(hterms: List[MTerm], core_lab: Tuple[int, ...],
+               virt_lab: Tuple[int, ...]) -> List[MTerm]:
+    """Perturber A_l: restrict the external slots of H to the label
+    pattern (core_lab lose one electron each w/ multiplicity, virt_lab
+    gain).  Slots assigned 'other' range over the complement space and
+    must be balanced per space (their action is then diagonal, keeping
+    A_l|Phi> inside the P_l pattern)."""
+    cmul: Dict[int, int] = {}
+    for o in core_lab:
+        cmul[o] = cmul.get(o, 0) + 1
+    vmul: Dict[int, int] = {}
+    for o in virt_lab:
+        vmul[o] = vmul.get(o, 0) + 1
+    out: List[MTerm] = []
+    for term in hterms:
+        cslots = [i for i, o in enumerate(term.ops) if o.space == CORE]
+        vslots = [i for i, o in enumerate(term.ops) if o.space == VIRT]
+        copts = list(cmul) + ["other"]
+        vopts = list(vmul) + ["other"]
+        for cass in itertools.product(copts, repeat=len(cslots)):
+            for vass in itertools.product(vopts, repeat=len(vslots)):
+                # net change at each label orbital
+                ok = True
+                for o, m in cmul.items():
+                    net = sum((1 if term.ops[s].dagger else -1)
+                              for s, a in zip(cslots, cass) if a == o)
+                    if net != -m:
+                        ok = False
+                for o, m in vmul.items():
+                    net = sum((1 if term.ops[s].dagger else -1)
+                              for s, a in zip(vslots, vass) if a == o)
+                    if net != m:
+                        ok = False
+                if not ok:
+                    continue
+                # 'other' slots balanced per space
+                for slots, ass in ((cslots, cass), (vslots, vass)):
+                    nc = sum(1 for s, a in zip(slots, ass)
+                             if a == "other" and term.ops[s].dagger)
+                    nd = sum(1 for s, a in zip(slots, ass)
+                             if a == "other" and not term.ops[s].dagger)
+                    if nc != nd:
+                        ok = False
+                if not ok:
+                    continue
+                ren: Dict[str, str] = {}
+                for k, (s, a) in enumerate(zip(cslots, cass)):
+                    sym = term.ops[s].index
+                    ren[sym] = (f"O{sym}{k}" if a == "other"
+                                else f"X{a}_{sym}{k}")
+                for k, (s, a) in enumerate(zip(vslots, vass)):
+                    sym = term.ops[s].index
+                    ren[sym] = (f"W{sym}{k}" if a == "other"
+                                else f"X{a}_{sym}{k}")
+                for i, o in enumerate(term.ops):
+                    if o.space == ACTIVE:
+                        ren.setdefault(o.index, f"A{o.index}{i}")
+
+                def r(x):
+                    return ren.get(x, x)
+
+                out.append(MTerm(
+                    term.coeff,
+                    tuple((n, tuple(r(i) for i in ix))
+                          for n, ix in term.tensors),
+                    tuple(MOp(r(o.index), o.space, o.dagger)
+                          for o in term.ops)))
+    return out
+
+
+def tag_full(terms: List[MTerm]) -> List[MTerm]:
+    """Prefix-code symbols of untagged terms by their op space
+    (C/A/V full ranges)."""
+    out = []
+    pref = {CORE: "C", ACTIVE: "A", VIRT: "V"}
+    for term in terms:
+        ren = {o.index: pref[o.space] + o.index for o in term.ops}
+
+        def r(x):
+            return ren.get(x, x)
+
+        out.append(MTerm(term.coeff,
+                         tuple((n, tuple(r(i) for i in ix))
+                               for n, ix in term.tensors),
+                         tuple(MOp(r(o.index), o.space, o.dagger)
+                               for o in term.ops)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SCNEVPT2Result:
+    e2: float
+    e_casci: float
+    classes: Dict[str, float] = field(default_factory=dict)
+    skipped: List[Tuple] = field(default_factory=list)
+
+
+def _ranges_factory(n: int, ncore: int, ncas: int,
+                    core_lab: Tuple[int, ...], virt_lab: Tuple[int, ...]):
+    nact0 = 2 * ncore
+    core_all = np.arange(2 * ncore)
+    act_all = np.arange(nact0, nact0 + 2 * ncas)
+    virt_all = np.arange(nact0 + 2 * ncas, 2 * n)
+    core_other = np.asarray([x for x in core_all
+                             if x // 2 not in core_lab], dtype=np.int64)
+    virt_other = np.asarray([x for x in virt_all
+                             if x // 2 not in virt_lab], dtype=np.int64)
+
+    def range_of(sym: str) -> np.ndarray:
+        c = sym[0]
+        if c == "C":
+            return core_all
+        if c == "O":
+            return core_other
+        if c == "A":
+            return act_all
+        if c == "V":
+            return virt_all
+        if c == "W":
+            return virt_other
+        if c == "X":
+            o = int(sym.split("_")[0][1:])
+            return np.asarray([2 * o, 2 * o + 1], dtype=np.int64)
+        raise KeyError(sym)
+
+    return range_of
+
+
+def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
+              gammas: Optional[Dict[str, np.ndarray]] = None,
+              psi0: Optional[np.ndarray] = None,
+              iprint: int = 0) -> SCNEVPT2Result:
+    """RDM-driven strongly contracted NEVPT2.
+
+    gammas: spin-orbital active RDMs g1..g4 (from `active_gammas` or the
+    DMRG NPDM engine); computed from the determinant-space CASCI root
+    when omitted (small systems)."""
+    n = fd.n_sites
+    nvirt = n - ncore - ncas
+    e_cas, c0m, ix, mask = casci_root(fd, ncore, ncas)
+    if gammas is None:
+        if psi0 is None:
+            psi0 = np.zeros(4 ** n)
+            psi0[ix[mask]] = c0m
+        gammas = active_gammas(psi0, n, ncore, ncas)
+    na = 2 * ncas
+    # spatial active 1-rdm for the Dyall generalized Fock
+    g1 = gammas["g1"]
+    rdm1_sp = (g1[0::2, 0::2] + g1[1::2, 1::2])
+    fdd = dyall_fcidump(fd, ncore, ncas, rdm1_active=rdm1_sp)
+
+    h_so, v_as = mw.spin_orbital_integrals(fd.h1e, fd.g2e)
+    hd_so, vd_as = mw.spin_orbital_integrals(fdd.h1e, fdd.g2e)
+    tensors = {"h": h_so, "v": v_as, "hd": hd_so, "vd": vd_as}
+    tensors.update(gammas)
+    loc_off = 2 * ncore
+
+    hterms = full_h_terms()
+    hd = tag_full(dyall_terms())
+    # E0 (operator part only; constants cancel in e_l - E0)
+    r0 = _ranges_factory(n, ncore, ncas, (), ())
+    e0_op = mw.evaluate(mw.mr_expect(mw.mul_terms(hd)), tensors, r0,
+                        local_offset=loc_off)
+
+    res = SCNEVPT2Result(0.0, e_cas)
+    virt_orbs = list(range(ncore + ncas, n))
+    for (kc, kv), cname in CLASSES.items():
+        core_labs = ([()] if kc == 0 else
+                     [(i,) for i in range(ncore)] if kc == 1 else
+                     [(i, j) for i in range(ncore)
+                      for j in range(i, ncore)])
+        virt_labs = ([()] if kv == 0 else
+                     [(r,) for r in virt_orbs] if kv == 1 else
+                     [(r, s) for r in virt_orbs for s in virt_orbs
+                      if r <= s])
+        ecls = 0.0
+        for cl in core_labs:
+            for vl in virt_labs:
+                A = bind_label(hterms, cl, vl)
+                if not A:
+                    continue
+                rng = _ranges_factory(n, ncore, ncas, cl, vl)
+                Ad = mw.conj_terms(A)
+                nl = mw.evaluate(mw.mr_expect(mw.mul_terms(Ad, A)),
+                                 tensors, rng, local_offset=loc_off)
+                if nl < 1e-12:
+                    continue
+                he = mw.evaluate(mw.mr_expect(mw.mul_terms(Ad, hd, A)),
+                                 tensors, rng, local_offset=loc_off)
+                de = he / nl - e0_op
+                if de < 1e-10:
+                    res.skipped.append((cname, cl, vl, nl, de))
+                    continue
+                ecls -= nl / de
+                if iprint >= 2:
+                    print(f"  {cname} {cl}->{vl}: N={nl:.2e} "
+                          f"de={de:.6f}")
+        res.classes[cname] = ecls
+        res.e2 += ecls
+        if iprint:
+            print(f"{cname:8s} E2 = {ecls:.10f}")
+    return res
+
+
+# ---------------------------------------------------------------------------
+# exact determinant-space reference (same theory, brute force)
+# ---------------------------------------------------------------------------
+
+def sc_nevpt2_fci(fd: FCIDUMP, ncore: int, ncas: int,
+                  iprint: int = 0) -> SCNEVPT2Result:
+    """Exact strongly-contracted NEVPT2: group H|Psi0> by external
+    occupation pattern in determinant space."""
+    n = fd.n_sites
+    e_cas, c0m, ix, mask = casci_root(fd, ncore, ncas)
+    psi0 = np.zeros(4 ** n)
+    psi0[ix[mask]] = c0m
+    g1s = active_gammas(psi0, n, ncore, ncas, kmax=1)["g1"]
+    rdm1_sp = g1s[0::2, 0::2] + g1s[1::2, 1::2]
+    fdd = dyall_fcidump(fd, ncore, ncas, rdm1_active=rdm1_sp)
+
+    h = term_table_to_sparse(qc_term_table(fd))
+    hdm = term_table_to_sparse(qc_term_table(fdd))
+    e0 = float(psi0 @ (hdm @ psi0))
+    v = h @ psi0
+    # external occupation pattern of every basis state
+    dim = 4 ** n
+    occ = {0: 0, 1: 1, 2: 1, 3: 2}
+    nzi = np.nonzero(np.abs(v) > 1e-13)[0]
+    pats: Dict[Tuple[int, ...], List[int]] = {}
+    for b in nzi:
+        rem = int(b)
+        digs = []
+        for t in range(n - 1, -1, -1):
+            digs.append(rem % 4)
+            rem //= 4
+        digs = digs[::-1]           # site-major: site 0 first
+        pat = tuple(occ[digs[t]] for t in range(ncore)) + \
+            tuple(occ[digs[t]] for t in range(ncore + ncas, n))
+    # reference pattern: cores doubly occupied, virtuals empty
+        pats.setdefault(pat, []).append(b)
+    ref_pat = (2,) * ncore + (0,) * (n - ncore - ncas)
+    res = SCNEVPT2Result(0.0, e_cas)
+    for pat, rows in sorted(pats.items()):
+        if pat == ref_pat:
+            continue
+        rows = np.asarray(rows)
+        vl = np.zeros(dim)
+        vl[rows] = v[rows]
+        nl = float(vl @ vl)
+        if nl < 1e-12:
+            continue
+        de = float(vl @ (hdm @ vl)) / nl - e0
+        res.e2 -= nl / de
+        kc = 2 * ncore - sum(pat[:ncore])
+        kv = sum(pat[ncore:])
+        cname = CLASSES.get((kc, kv), f"({kc},{kv})")
+        res.classes[cname] = res.classes.get(cname, 0.0) - nl / de
+        if iprint >= 2:
+            print(f"  pat {pat}: N={nl:.3e} de={de:.6f}")
+    return res

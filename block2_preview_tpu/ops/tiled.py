@@ -91,32 +91,32 @@ def _tiled_matvec_impl(xp, lp, rp, psi_idx, sig_idx,
     xp [NX+1] padded flat psi (sentinel zero last); lp/rp tile pools;
     psi_idx [NP, T, T] gather map flat->tiled; sig_idx [NX] tiled->flat;
     la/pa/s1 [G, B1], ta/ra/s2 [G, B2] per-group task arrays (s* sorted
-    per group; sentinel tile id = nt1/nt2).
+    per group; sentinel tile id = nt1/nt2).  Segment sums run over the
+    leading (tile-id) axis; einsums request HIGHEST precision so f32 runs
+    are true f32 on the MXU (default would be bf16 passes — fatal for
+    Davidson convergence).
     """
-    T2 = T * T
     pp = xp[psi_idx]
-    loc = jnp.arange(T2, dtype=jnp.int32)
+    hi = lax.Precision.HIGHEST
 
     def body(sig, g):
         laG, paG, s1G, taG, raG, s2G = g
         prod1 = jnp.einsum("bak,bkn->ban", lp[laG], pp[paG],
+                           precision=hi,
                            preferred_element_type=xp.dtype)
-        ids1 = (s1G[:, None] * T2 + loc[None, :]).reshape(-1)
-        tmp = jax.ops.segment_sum(prod1.reshape(-1), ids1,
-                                  num_segments=(nt1 + 1) * T2,
+        tmp = jax.ops.segment_sum(prod1, s1G, num_segments=nt1 + 1,
                                   indices_are_sorted=True)
-        tmp3 = tmp[:nt1 * T2].reshape(nt1, T, T)
-        prod2 = jnp.einsum("ban,bpn->bap", tmp3[taG], rp[raG],
+        prod2 = jnp.einsum("ban,bpn->bap", tmp[taG], rp[raG],
+                           precision=hi,
                            preferred_element_type=xp.dtype)
-        ids2 = (s2G[:, None] * T2 + loc[None, :]).reshape(-1)
-        sig = sig + jax.ops.segment_sum(prod2.reshape(-1), ids2,
-                                        num_segments=(nt2 + 1) * T2,
+        sig = sig + jax.ops.segment_sum(prod2, s2G,
+                                        num_segments=nt2 + 1,
                                         indices_are_sorted=True)
         return sig, 0
 
-    sig0 = jnp.zeros((nt2 + 1) * T2, dtype=xp.dtype)
+    sig0 = jnp.zeros((nt2 + 1, T, T), dtype=xp.dtype)
     sig, _ = lax.scan(body, sig0, (la, pa, s1, ta, ra, s2))
-    return sig[sig_idx]
+    return sig.reshape(-1)[sig_idx]
 
 
 class TiledExecutor:

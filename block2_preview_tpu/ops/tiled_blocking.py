@@ -70,38 +70,31 @@ def _tiled_blocking_exec(epool, bpool, kpool, s1, s2, s3, coef,
     s3 [G, 5, B3]: prod-tile-src, obase, ostr, ormax, ocmax
     coef [G, B3]
     """
-    T2 = T * T
-    loc = jnp.arange(T2, dtype=jnp.int32)
     out0 = jnp.zeros(ncap, dtype=epool.dtype)
+    hi = lax.Precision.HIGHEST
 
     def body(out, g):
         g1, g2, g3, cf = g
         E = _gtile(epool, g1[0], g1[1], g1[2], g1[3], T)
         K = _gtile(kpool, g1[4], g1[5], g1[6], g1[7], T)
         if left:
-            p1 = jnp.einsum("blk,bky->bly", E, K,
+            p1 = jnp.einsum("blk,bky->bly", E, K, precision=hi,
                             preferred_element_type=epool.dtype)
         else:
-            p1 = jnp.einsum("blk,byk->bly", E, K,
+            p1 = jnp.einsum("blk,byk->bly", E, K, precision=hi,
                             preferred_element_type=epool.dtype)
-        ids1 = (g1[8][:, None] * T2 + loc[None, :]).reshape(-1)
-        tmp = jax.ops.segment_sum(p1.reshape(-1), ids1,
-                                  num_segments=(nt1 + 1) * T2,
+        tmp = jax.ops.segment_sum(p1, g1[8], num_segments=nt1 + 1,
                                   indices_are_sorted=True)
-        tmp3 = tmp[:nt1 * T2].reshape(nt1, T, T)
         Bm = _gtile(bpool, g2[0], g2[1], g2[2], g2[3], T)
         if left:
-            p2 = jnp.einsum("blx,bly->bxy", Bm, tmp3[g2[4]],
+            p2 = jnp.einsum("blx,bly->bxy", Bm, tmp[g2[4]], precision=hi,
                             preferred_element_type=epool.dtype)
         else:
-            p2 = jnp.einsum("bxl,bly->bxy", Bm, tmp3[g2[4]],
+            p2 = jnp.einsum("bxl,bly->bxy", Bm, tmp[g2[4]], precision=hi,
                             preferred_element_type=epool.dtype)
-        ids2 = (g2[5][:, None] * T2 + loc[None, :]).reshape(-1)
-        prod = jax.ops.segment_sum(p2.reshape(-1), ids2,
-                                   num_segments=(ntp + 1) * T2,
+        prod = jax.ops.segment_sum(p2, g2[5], num_segments=ntp + 1,
                                    indices_are_sorted=True)
-        prod3 = prod[:ntp * T2].reshape(ntp, T, T)
-        vals = prod3[g3[0]] * cf[:, None, None]
+        vals = prod[g3[0]] * cf[:, None, None]
         r = jnp.arange(T)[None, :, None]
         c = jnp.arange(T)[None, None, :]
         idx = g3[1][:, None, None] + r * g3[2][:, None, None] + c
