@@ -171,6 +171,48 @@ def _emit(term: MTerm, pairs, act, out: List[MTerm]) -> None:
                          + tuple(("delta", d) for d in adeltas) + gt, ()))
 
 
+def commutator_terms(Bterms: Sequence[MTerm],
+                     Aterms: Sequence[MTerm]) -> List[MTerm]:
+    """[B, A] with every B term of even operator length (Hamiltonians).
+
+    Rank-reducing: writing A.ops + B.ops and bubbling the B block to the
+    front, AB = (+1) BA + (contraction branches), so [B, A] = -(branches).
+    Each branch replaces an (A-op, B-op) adjacent pair by its
+    anticommutator delta — one fermion pair fewer, which is what makes
+    <A^+ [H_D, A]> evaluable with k-RDMs one order lower than
+    <A^+ H_D A> (the Koopmans-matrix trick of sc-NEVPT2)."""
+    B = _rename(Bterms, "_cb")
+    A = _rename(Aterms, "_ca")
+    out: List[MTerm] = []
+    for bt in B:
+        assert len(bt.ops) % 2 == 0
+        for at in A:
+            ops = list(at.ops) + list(bt.ops)
+            flags = [0] * len(at.ops) + [1] * len(bt.ops)
+            stack = [(at.coeff * bt.coeff, at.tensors + bt.tensors,
+                      ops, flags)]
+            while stack:
+                coef, tens, ops, flags = stack.pop()
+                # leftmost B op with an A op directly before it
+                k = next((i for i in range(1, len(ops))
+                          if flags[i] == 1 and flags[i - 1] == 0), None)
+                if k is None:
+                    continue    # pure BA term: cancels against +BA
+                y, x = ops[k - 1], ops[k]
+                if y.space == x.space and y.dagger != x.dagger:
+                    out.append(MTerm(
+                        -coef,   # [B,A] = -(branches)
+                        tens + (("delta", (y.index, x.index)),),
+                        tuple(ops[:k - 1] + ops[k + 1:])))
+                    # note: branch keeps remaining ops as-is (valid term)
+                so = list(ops)
+                sf = list(flags)
+                so[k - 1], so[k] = so[k], so[k - 1]
+                sf[k - 1], sf[k] = sf[k], sf[k - 1]
+                stack.append((-coef, tens, so, sf))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # numeric evaluation
 # ---------------------------------------------------------------------------
@@ -210,7 +252,7 @@ def evaluate(cterms: Sequence[MTerm], tensors: Dict[str, np.ndarray],
             syms.update(ixs)
         for x in syms:
             r = find(x)
-            rng = ranges[x]
+            rng = range_of(x)
             cur = cls_range.get(r)
             cls_range[r] = rng if cur is None else \
                 np.intersect1d(cur, rng)
@@ -275,7 +317,7 @@ def spin_orbital_integrals(h1e: np.ndarray, g2e: np.ndarray
     h_so = np.kron(h1e, np.eye(2))
     # physicist <PQ|RS> = (pr|qs) delta_{s(P)s(R)} delta_{s(Q)s(S)}
     eye2 = np.eye(2)
-    v_phys = np.einsum("prqs,ik,jl->piqjrksl", g2e.transpose(0, 2, 1, 3),
+    v_phys = np.einsum("pqrs,ik,jl->piqjrksl", g2e.transpose(0, 2, 1, 3),
                        eye2, eye2).reshape(2 * n, 2 * n, 2 * n, 2 * n)
     v_as = v_phys - v_phys.transpose(0, 1, 3, 2)
     return h_so, v_as

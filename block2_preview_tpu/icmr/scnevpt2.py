@@ -69,8 +69,10 @@ def active_gammas(psi0: np.ndarray, L: int, ncore: int, ncas: int,
                   kmax: int = 4) -> Dict[str, np.ndarray]:
     """Spin-orbital active RDMs gamma_k[p1..pk, q1..qk]
     = <psi0| p1^+ ... pk^+ q1 ... qk |psi0> for k <= kmax."""
-    ann = annihilators(L)
     na = 2 * ncas
+    if na == 0:
+        return {}
+    ann = annihilators(L)
     act = [ann[2 * ncore + t] for t in range(na)]
     gammas: Dict[str, np.ndarray] = {}
     # chains: R[(q1..qk)] = c_q1 (R[(q2..qk)]);  L[(p1..pk)] = c_pk L[..pk-1]
@@ -275,8 +277,11 @@ def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
         gammas = active_gammas(psi0, n, ncore, ncas)
     na = 2 * ncas
     # spatial active 1-rdm for the Dyall generalized Fock
-    g1 = gammas["g1"]
-    rdm1_sp = (g1[0::2, 0::2] + g1[1::2, 1::2])
+    if ncas:
+        g1 = gammas["g1"]
+        rdm1_sp = (g1[0::2, 0::2] + g1[1::2, 1::2])
+    else:
+        rdm1_sp = None
     fdd = dyall_fcidump(fd, ncore, ncas, rdm1_active=rdm1_sp)
 
     h_so, v_as = mw.spin_orbital_integrals(fd.h1e, fd.g2e)
@@ -287,10 +292,6 @@ def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
 
     hterms = full_h_terms()
     hd = tag_full(dyall_terms())
-    # E0 (operator part only; constants cancel in e_l - E0)
-    r0 = _ranges_factory(n, ncore, ncas, (), ())
-    e0_op = mw.evaluate(mw.mr_expect(mw.mul_terms(hd)), tensors, r0,
-                        local_offset=loc_off)
 
     res = SCNEVPT2Result(0.0, e_cas)
     virt_orbs = list(range(ncore + ncas, n))
@@ -315,10 +316,13 @@ def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
                                  tensors, rng, local_offset=loc_off)
                 if nl < 1e-12:
                     continue
-                he = mw.evaluate(mw.mr_expect(mw.mul_terms(Ad, hd, A)),
+                # <A^+ (H_D - E0) A> = <A^+ [H_D, A]>  (Dyall eigenstate
+                # property; keeps RDM order at 4)
+                comm = mw.commutator_terms(hd, A)
+                he = mw.evaluate(mw.mr_expect(mw.mul_terms(Ad, comm)),
                                  tensors, rng, local_offset=loc_off)
-                de = he / nl - e0_op
-                if de < 1e-10:
+                de = he / nl
+                if abs(de) < 1e-10:
                     res.skipped.append((cname, cl, vl, nl, de))
                     continue
                 ecls -= nl / de
@@ -344,8 +348,11 @@ def sc_nevpt2_fci(fd: FCIDUMP, ncore: int, ncas: int,
     e_cas, c0m, ix, mask = casci_root(fd, ncore, ncas)
     psi0 = np.zeros(4 ** n)
     psi0[ix[mask]] = c0m
-    g1s = active_gammas(psi0, n, ncore, ncas, kmax=1)["g1"]
-    rdm1_sp = g1s[0::2, 0::2] + g1s[1::2, 1::2]
+    if ncas:
+        g1s = active_gammas(psi0, n, ncore, ncas, kmax=1)["g1"]
+        rdm1_sp = g1s[0::2, 0::2] + g1s[1::2, 1::2]
+    else:
+        rdm1_sp = None
     fdd = dyall_fcidump(fd, ncore, ncas, rdm1_active=rdm1_sp)
 
     h = term_table_to_sparse(qc_term_table(fd))
