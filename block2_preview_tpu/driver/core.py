@@ -372,6 +372,30 @@ class DMRGDriver:
         return self.get_npdm(ket, pdm_type=1, bra=bra)
 
     @staticmethod
+    def sc_nevpt2(fcidump: FCIDUMP, n_inactive: int, n_active: int,
+                  cas_mps: Optional[MPS] = None, iprint: int = 0):
+        """DMRG-sc-NEVPT2 (reference pyblock2/icmr/scnevpt2.py): solve the
+        frozen-core CAS with DMRG (or pass a solved `cas_mps` over the
+        active orbitals), extract spin-orbital 1-4 RDMs from the MPS, and
+        evaluate the 8 strongly-contracted perturber classes.  Returns an
+        SCNEVPT2Result (e2, per-class breakdown)."""
+        from ..icmr.scnevpt2 import (gammas_from_mps, sc_nevpt2)
+        gammas = None
+        if cas_mps is not None:
+            if isinstance(cas_mps, SU2MPSSpec):
+                raise NotImplementedError("pass an SZ-mode CAS MPS")
+            gammas = gammas_from_mps(cas_mps)
+        return sc_nevpt2(fcidump, n_inactive, n_active, gammas=gammas,
+                         iprint=iprint)
+
+    @staticmethod
+    def get_cas_fcidump(fcidump: FCIDUMP, n_inactive: int, n_active: int
+                        ) -> FCIDUMP:
+        """Frozen-core active-space FCIDUMP (CASCI embedding)."""
+        from ..icmr.scnevpt2 import cas_fcidump
+        return cas_fcidump(fcidump, n_inactive, n_active)
+
+    @staticmethod
     def get_normal_ordered_integrals(fcidump: FCIDUMP):
         """(E_HF, fock, <pq||rs>) of H normal-ordered w.r.t. the aufbau
         determinant (reference NormalOrder, pyblock2/driver/core.py:8353)."""

@@ -95,6 +95,84 @@ def active_gammas(psi0: np.ndarray, L: int, ncore: int, ncas: int,
     return gammas
 
 
+def _perm_parity(perm: Tuple[int, ...]) -> int:
+    p = list(perm)
+    sign = 1
+    for i in range(len(p)):
+        while p[i] != i:
+            j = p[i]
+            p[i], p[j] = p[j], p[i]
+            sign = -sign
+    return sign
+
+
+def gammas_from_civec(dets: np.ndarray, coefs: np.ndarray, nso: int,
+                      kmax: int = 4) -> Dict[str, np.ndarray]:
+    """Spin-orbital RDMs gamma_k from a bitmask CI expansion (the DMRG
+    path: `dmrg.npdm.mps_to_civec` output of an active-space MPS).
+    Gram matrix over sorted annihilation combos + permutation-sign
+    expansion (same scheme as dmrg/npdm.npdm_spatial)."""
+    from ..dmrg.npdm import _apply_annihilations
+    gammas: Dict[str, np.ndarray] = {}
+    for k in range(1, kmax + 1):
+        combos = np.asarray(list(itertools.combinations(range(nso), k)),
+                            dtype=np.int64)
+        res = [_apply_annihilations(dets, coefs, row.tolist())
+               for row in combos]
+        nz = [d for (d, c) in res if len(d)]
+        union = np.unique(np.concatenate(nz)) if nz else \
+            np.zeros(0, dtype=np.int64)
+        W = np.zeros((len(combos), max(len(union), 1)))
+        for i, (d, c) in enumerate(res):
+            if len(d):
+                W[i, np.searchsorted(union, d)] = c
+        G = W @ W.T
+        gk = np.zeros((nso ** k, nso ** k))
+        shape = (nso,) * k
+        perms = list(itertools.permutations(range(k)))
+        rav = {s: np.ravel_multi_index(
+            tuple(combos[:, list(s)].T), shape) for s in perms}
+        for sL in perms:
+            # L operator = c_{p_k} ... c_{p_1}: permutation to ascending
+            # is reversed(sL)
+            sgl = _perm_parity(tuple(reversed(sL)))
+            for sR in perms:
+                sgr = _perm_parity(sR)
+                gk[np.ix_(rav[sL], rav[sR])] = (sgl * sgr) * G
+        gammas[f"g{k}"] = gk.reshape((nso,) * (2 * k))
+    return gammas
+
+
+def gammas_from_mps(mps, kmax: int = 4) -> Dict[str, np.ndarray]:
+    """Active-space spin-orbital RDMs straight from a (small) CAS MPS."""
+    from ..dmrg.npdm import mps_to_civec
+    dets, coefs = mps_to_civec(mps)
+    return gammas_from_civec(dets, np.real_if_close(coefs),
+                             2 * mps.n_sites, kmax)
+
+
+def cas_fcidump(fd: FCIDUMP, ncore: int, ncas: int) -> FCIDUMP:
+    """Frozen-core active-space FCIDUMP: h = inactive Fock (active block),
+    g = active integrals, const = core energy (reference MRCISFCIDUMP /
+    CASCI embedding, integral.hpp:1490)."""
+    from ..core.integral_dyall import inactive_fock
+    A = np.arange(ncore, ncore + ncas)
+    fI = inactive_fock(fd, ncore)
+    I = np.arange(ncore)
+    e_core = fd.const_e + 2.0 * np.sum(np.diag(fd.h1e)[I])
+    if ncore:
+        gII = fd.g2e[np.ix_(I, I, I, I)]
+        e_core += 2.0 * np.einsum("iijj->", gII) \
+            - np.einsum("ijji->", gII)
+    return FCIDUMP(n_sites=ncas, n_elec=fd.n_elec - 2 * ncore,
+                   twos=fd.twos, ipg=fd.ipg,
+                   orb_sym=None if fd.orb_sym is None
+                   else fd.orb_sym[A].copy(),
+                   h1e=fI[np.ix_(A, A)].copy(),
+                   g2e=fd.g2e[np.ix_(A, A, A, A)].copy(),
+                   const_e=e_core)
+
+
 # ---------------------------------------------------------------------------
 # symbolic perturbers
 # ---------------------------------------------------------------------------
@@ -269,12 +347,14 @@ def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
     when omitted (small systems)."""
     n = fd.n_sites
     nvirt = n - ncore - ncas
-    e_cas, c0m, ix, mask = casci_root(fd, ncore, ncas)
     if gammas is None:
+        e_cas, c0m, ix, mask = casci_root(fd, ncore, ncas)
         if psi0 is None:
             psi0 = np.zeros(4 ** n)
             psi0[ix[mask]] = c0m
         gammas = active_gammas(psi0, n, ncore, ncas)
+    else:
+        e_cas = float("nan")    # DMRG path: CAS energy tracked by caller
     na = 2 * ncas
     # spatial active 1-rdm for the Dyall generalized Fock
     if ncas:

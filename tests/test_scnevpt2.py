@@ -69,3 +69,32 @@ def test_scnevpt2_mp2_limit():
     ref = sc_nevpt2_fci(fd, 2, 0)
     got = sc_nevpt2(fd, 2, 0)
     assert abs(got.e2 - ref.e2) < 1e-8
+
+
+def test_dmrg_sc_nevpt2():
+    """Full production pipeline: DMRG on the frozen-core CAS -> spin-orbital
+    RDMs from the MPS -> sc-NEVPT2, vs the exact determinant-space SC."""
+    import numpy as np
+    from block2_preview_tpu.core.expr import qc_term_table
+    from block2_preview_tpu.dmrg.mpo_builder import build_mpo
+    from block2_preview_tpu.dmrg.mps import MPS, MPSInfo
+    from block2_preview_tpu.dmrg.sweep import DMRG
+    from block2_preview_tpu.icmr.scnevpt2 import (cas_fcidump,
+                                                  gammas_from_mps)
+
+    fd = _rand_fd(5, 6, seed=11)
+    ncore, ncas = 1, 3
+    cfd = cas_fcidump(fd, ncore, ncas)
+    tt = qc_term_table(cfd)
+    mpo = build_mpo(tt, site_pgs=cfd.orb_sym, const_e=cfd.const_e)
+    info = MPSInfo(mpo.group, mpo.site_quanta,
+                   (cfd.n_elec, cfd.twos, cfd.ipg), 60)
+    mps = MPS.random(info, seed=3)
+    dmrg = DMRG(mpo, mps, iprint=0)
+    e_cas_dmrg = dmrg.solve([60] * 8, [1e-5] * 3 + [0] * 5, [1e-10],
+                            n_sweeps=8, tol=1e-12)
+    ref = sc_nevpt2_fci(fd, ncore, ncas)
+    assert abs(e_cas_dmrg - ref.e_casci) < 1e-8
+    g = gammas_from_mps(dmrg.mps)
+    got = sc_nevpt2(fd, ncore, ncas, gammas=g)
+    assert abs(got.e2 - ref.e2) < 1e-7, (got.e2, ref.e2)
