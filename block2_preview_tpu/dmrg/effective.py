@@ -60,12 +60,15 @@ def _fused_bases(mps: MPS, t: int, target: QN):
 class _Space:
     """Sector keys / shapes / flat offsets of a two-site wavefunction space."""
 
-    def __init__(self, g, fl: FusedBasis, fr: FusedBasis, target: QN):
+    def __init__(self, g, fl: FusedBasis, fr: FusedBasis, target: QN,
+                 key_filter=None):
         self.fl, self.fr = fl, fr
         self.keys: List[Key2] = []
         for qL in fl.sectors():
             qR = g.sub(target, qL)
             if qR in fr.maps:
+                if key_filter is not None and not key_filter(qL):
+                    continue
                 self.keys.append((qL, qR))
         self.keys.sort()
         self.shapes = {(qL, qR): (fl.info[qL], fr.info[qR])
@@ -97,7 +100,7 @@ class _Space:
 
 
 class EffectiveHamiltonian2:
-    def __init__(self, me: MovingEnvironment, t: int):
+    def __init__(self, me: MovingEnvironment, t: int, key_filter=None):
         self.me = me
         self.t = t
         mpo, ket, bra = me.mpo, me.ket, me.bra
@@ -127,10 +130,12 @@ class EffectiveHamiltonian2:
         self.dtype = dt
 
         flk, frk = _fused_bases(ket, t, self.target)
-        self.ket_space = _Space(g, flk, frk, self.target)
+        self.ket_space = _Space(g, flk, frk, self.target,
+                                key_filter=key_filter)
         if self.mixed:
             flb, frb = _fused_bases(bra, t, bra.info.target)
-            self.bra_space = _Space(g, flb, frb, bra.info.target)
+            self.bra_space = _Space(g, flb, frb, bra.info.target,
+                                    key_filter=key_filter)
         else:
             self.bra_space = self.ket_space
 

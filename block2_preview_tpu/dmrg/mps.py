@@ -74,6 +74,45 @@ class MPSInfo:
                     if n_min[t] <= q[0] <= n_max[t]}
             assert dims, f"empty bond {t} after particle restriction"
             self.bonds[t] = StateInfo(self.group, dims)
+        # remembered so the sweep's decimation keeps the restriction
+        # (sweep._bond_window)
+        self.n_window = (list(n_min), list(n_max))
+
+    @staticmethod
+    def casci(group, site_quanta, target, bond_dim, n_inactive: int,
+              n_virtual: int) -> "MPSInfo":
+        """CASCI bond structure (reference src/dmrg/mps.hpp:1293
+        CASCIMPSInfo): the first n_inactive orbitals stay doubly occupied
+        and the last n_virtual stay empty, so cumulative N is pinned on
+        those bonds."""
+        info = MPSInfo(group, site_quanta, target, bond_dim)
+        L = info.n_sites
+        ne = target[0]
+        n_min = [0] * (L + 1)
+        n_max = [ne] * (L + 1)
+        for t in range(L + 1):
+            if t <= n_inactive:
+                n_min[t] = n_max[t] = 2 * t
+            elif t >= L - n_virtual:
+                n_min[t] = n_max[t] = ne
+        info.restrict_particle_range(n_min, n_max)
+        return info
+
+    @staticmethod
+    def mrci(group, site_quanta, target, bond_dim, n_ext: int,
+             ci_order: int = 2) -> "MPSInfo":
+        """MRCI bond structure (reference src/dmrg/mps.hpp:1400
+        MRCIMPSInfo): at most ci_order electrons in the last n_ext
+        (external) orbitals."""
+        info = MPSInfo(group, site_quanta, target, bond_dim)
+        L = info.n_sites
+        ne = target[0]
+        n_min = [0] * (L + 1)
+        n_max = [ne] * (L + 1)
+        for t in range(L - n_ext, L + 1):
+            n_min[t] = max(0, ne - ci_order)
+        info.restrict_particle_range(n_min, n_max)
+        return info
 
     def set_bond_dimension_using_occ(self, occs, bias: float = 1.0) -> None:
         """Occupancy-biased bond allocation (reference src/dmrg/mps.hpp:356

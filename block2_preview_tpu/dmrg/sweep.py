@@ -124,11 +124,13 @@ def _average_rho_backward(eff: EffectiveHamiltonian2,
 
 
 def _decimate(rho: Dict[QN, np.ndarray], bond_dim: int,
-              trunc_cutoff: float = 1e-16
+              trunc_cutoff: float = 1e-16, allowed=None
               ) -> Tuple[Dict[QN, np.ndarray], float]:
     eigs: List[Tuple[float, QN, int]] = []
     vecs: Dict[QN, np.ndarray] = {}
     for q, r in rho.items():
+        if allowed is not None and not allowed(q):
+            continue
         w, v = np.linalg.eigh(0.5 * (r + r.conj().T))
         vecs[q] = v
         for i, x in enumerate(w):
@@ -151,12 +153,28 @@ def _decimate(rho: Dict[QN, np.ndarray], bond_dim: int,
 
 
 
-def split_forward_update(eff, psis, weights, noise, bond_dim):
+def _bond_window(info, bond_idx, complement_of=None):
+    """Sector filter from a particle-range-restricted MPSInfo
+    (CASCI/MRCI bond structures, reference mps.hpp:1293/1400): None when
+    unrestricted.  Backward decimation keys sectors by the complementary
+    (right-part) quantum, so pass `complement_of=target` there."""
+    w = getattr(info, "n_window", None)
+    if w is None:
+        return None
+    lo, hi = w[0][bond_idx], w[1][bond_idx]
+    if complement_of is None:
+        return lambda q: lo <= q[0] <= hi
+    ne = complement_of[0]
+    return lambda q: lo <= ne - q[0] <= hi
+
+
+def split_forward_update(eff, psis, weights, noise, bond_dim,
+                         allowed=None):
     """Decimate psis into a left-canonical site tensor + per-root center
     tensors at t+1.  Returns (A_tensor, center_tensors, dw)."""
     g, target = eff.g, eff.target
     rho = _average_rho_forward(eff, psis, weights, noise)
-    rot, dw = _decimate(rho, bond_dim)
+    rot, dw = _decimate(rho, bond_dim, allowed=allowed)
     a_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
     for qL, vmat in rot.items():
         for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
@@ -180,12 +198,13 @@ def split_forward_update(eff, psis, weights, noise, bond_dim):
     return MPSTensor(g, a_blocks), centers, dw
 
 
-def split_backward_update(eff, psis, weights, noise, bond_dim):
+def split_backward_update(eff, psis, weights, noise, bond_dim,
+                          allowed=None):
     """Decimate psis into a right-canonical site tensor at t+1 + per-root
     center tensors at t.  Returns (B_tensor, center_tensors, dw)."""
     g, target = eff.g, eff.target
     rho = _average_rho_backward(eff, psis, weights, noise)
-    rot, dw = _decimate(rho, bond_dim)
+    rot, dw = _decimate(rho, bond_dim, allowed=allowed)
     b_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
     for qR, vmat in rot.items():
         ql_new = g.sub(target, qR)
@@ -330,7 +349,10 @@ class DMRG:
                        ) -> Tuple[np.ndarray, float, int]:
         tm = self.timings
         t0 = time.time()
-        eff = EffectiveHamiltonian2(self.me, t)
+        # particle-window restriction (CASCI/MRCI MPSInfo): the middle
+        # bond of the two-dot space is the fused-left quantum
+        eff = EffectiveHamiltonian2(
+            self.me, t, key_filter=_bond_window(self.mps.info, t + 1))
         x0 = self._initial_guesses(eff, t)
         diag = eff.diagonal()
         t1 = time.time()
@@ -344,7 +366,8 @@ class DMRG:
 
         if forward:
             a_tensor, centers, dw = split_forward_update(
-                eff, psis, self.weights, noise, bond_dim)
+                eff, psis, self.weights, noise, bond_dim,
+                allowed=_bond_window(self.mps.info, t + 1))
             t3 = time.time()
             tm.tdm += t3 - t2
             self.mps.tensors[t] = a_tensor
@@ -355,7 +378,9 @@ class DMRG:
             self.me.invalidate_right(t + 1)
         else:
             b_tensor, centers, dw = split_backward_update(
-                eff, psis, self.weights, noise, bond_dim)
+                eff, psis, self.weights, noise, bond_dim,
+                allowed=_bond_window(self.mps.info, t + 1,
+                                     complement_of=eff.target))
             t3 = time.time()
             tm.tdm += t3 - t2
             self.mps.tensors[t + 1] = b_tensor
