@@ -178,6 +178,21 @@ class FCIDUMP:
         return fd
 
     # ------------------------------------------------------------------
+    def reorder(self, perm) -> "FCIDUMP":
+        """New FCIDUMP with orbitals permuted: orbital i of the result is
+        orbital perm[i] of self (reference integral.hpp FCIDUMP::reorder)."""
+        p = np.asarray(perm, dtype=np.int64)
+        assert not self.uhf, "reorder: RHF/general integrals"
+        out = FCIDUMP(n_sites=self.n_sites, n_elec=self.n_elec,
+                      twos=self.twos, ipg=self.ipg,
+                      orb_sym=None if self.orb_sym is None
+                      else self.orb_sym[p].copy(),
+                      h1e=self.h1e[np.ix_(p, p)].copy(),
+                      g2e=self.g2e[np.ix_(p, p, p, p)].copy(),
+                      const_e=self.const_e)
+        return out
+
+    # ------------------------------------------------------------------
     def write(self, path: str, tol: float = 1e-13) -> None:
         """Write RHF-style FCIDUMP (reference integral.hpp FCIDUMP::write)."""
         assert not self.uhf, "writer: RHF/general integrals"
