@@ -116,13 +116,20 @@ class EffectiveHamiltonian2:
         for w in (mpo.tensors[t], mpo.tensors[t + 1]):
             for blk in w.values():
                 dt = np.result_type(dt, blk.dtype)
-        for env in (me.left_envs[t], me.right_envs[t + 2]):
-            if env:
-                for bm in env.values():
-                    for b in bm.blocks.values():
-                        dt = np.result_type(dt, b.dtype)
+        stk_l = getattr(me, "_stk_l", {}).get(t)
+        stk_r = getattr(me, "_stk_r", {}).get(t + 2)
+        for pooled, idx in ((stk_l, t), (stk_r, t + 2)):
+            if pooled is not None:
+                dt = np.result_type(dt, pooled[1].dtype)
+        if stk_l is None or stk_r is None:
+            for env in ((me.left_envs[t] if stk_l is None else None),
+                        (me.right_envs[t + 2] if stk_r is None else None)):
+                if env:
+                    for bm in env.values():
+                        for b in bm.blocks.values():
+                            dt = np.result_type(dt, b.dtype)
+                            break
                         break
-                    break
         for T in (ket.tensors[t], ket.tensors[t + 1]):
             for b in T.blocks.values():
                 dt = np.result_type(dt, b.dtype)
@@ -153,9 +160,19 @@ class EffectiveHamiltonian2:
     def _assemble(self, t: int) -> None:
         """Assemble LW[m]/RW[m] block operators on the fused bases."""
         g, mpo, me = self.g, self.me.mpo, self.me
-        env_l = me.left_envs[t]
-        env_r = me.right_envs[t + 2]
-        assert env_l is not None and env_r is not None
+        stk_l = getattr(me, "_stk_l", {}).get(t)
+        stk_r = getattr(me, "_stk_r", {}).get(t + 2)
+        if getattr(self, "fast_assemble", True) and \
+                (stk_l is not None or stk_r is not None):
+            # lazy: only materialized on assembly-plan cache misses
+            env_l = (lambda: me.left_envs[t]) if stk_l is not None \
+                else me.left_envs[t]
+            env_r = (lambda: me.right_envs[t + 2]) if stk_r is not None \
+                else me.right_envs[t + 2]
+        else:
+            env_l = me.left_envs[t]
+            env_r = me.right_envs[t + 2]
+            assert env_l is not None and env_r is not None
         tk = self.target
         tb = self.me.bra.info.target if self.mixed else tk
         flb, frb = self.bra_space.fl, self.bra_space.fr
@@ -175,13 +192,15 @@ class EffectiveHamiltonian2:
                 env_l, mpo.tensors[t], quanta_l, flb, bond_is_first=True,
                 join_on_input=True, group=g, active=active_lb,
                 fused_ket=flk, active_ket=active_lk, dtype=self.dtype,
-                plan_cache=me._asm_cache, plan_key=(t, "lw"))
+                plan_cache=me._asm_cache, plan_key=(t, "lw"),
+                env_pool=stk_l)
             self.RW = assemble_fused_ops(
                 env_r, mpo.tensors[t + 1], quanta_r, frb,
                 bond_is_first=False, join_on_input=False, comp_target=tb,
                 group=g, active=active_rb, fused_ket=frk,
                 comp_target_ket=tk, active_ket=active_rk, dtype=self.dtype,
-                plan_cache=me._asm_cache, plan_key=(t, "rw"))
+                plan_cache=me._asm_cache, plan_key=(t, "rw"),
+                env_pool=stk_r)
             return
 
         # LW[m][(qLb, qLk)] built from E_L[i] and W_t[(i, m)]

@@ -336,6 +336,72 @@ def _rv(d):
     return _round_dim(int(d))
 
 
+def _expand_ranges(starts, lens):
+    """Vectorized concatenation of index ranges [s, s+l)."""
+    total = int(np.sum(lens))
+    ends = np.cumsum(lens)
+    return np.repeat(starts, lens) + \
+        (np.arange(total) - np.repeat(ends - lens, lens))
+
+
+def _stk_gather_plan(env_order, meta):
+    """Positions of assembly env blocks inside a stacked pool
+    (ops/stacked.StackedMeta): (starts, lens) per block, or None."""
+    starts = np.zeros(len(env_order), dtype=np.int64)
+    lens = np.zeros(len(env_order), dtype=np.int64)
+    for ii, (sym, (qb, _qk)) in enumerate(env_order):
+        gp = meta.sym_pos.get(int(sym))
+        if gp is None:
+            return None
+        g, j = gp
+        ent = meta.sectors[g].get(qb)
+        if ent is None:
+            return None
+        off, db, dk = ent
+        starts[ii] = off + j * db * dk
+        lens[ii] = db * dk
+    return starts, lens
+
+
+def _exec_assembly_pooled(struct, pool):
+    """Cached assembly straight from a stacked env pool: one vectorized
+    gather replaces the per-block Python refill (and the device->host
+    BlockMatrix unpack entirely)."""
+    import ctypes
+
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = struct.get("stk_idx")
+    if idx is None:
+        starts, lens = struct["stk_ranges"]
+        idx = _expand_ranges(starts, lens)
+        struct["stk_idx"] = idx
+    eoffs = struct["eoffs"]
+    epool = np.zeros(int(eoffs[-1]) + 1, dtype=np.float64)
+    epool[:len(idx)] = pool[idx]
+    flat = np.zeros(struct["total"], dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.assemble_exec(
+        len(struct["eoff_c"]), epool.ctypes.data_as(dp),
+        struct["eoff_c"].ctypes.data_as(i64),
+        struct["d1_c"].ctypes.data_as(i32),
+        struct["d2_c"].ctypes.data_as(i32),
+        struct["coef_c"].ctypes.data_as(dp),
+        struct["ooff_c"].ctypes.data_as(i64),
+        struct["rs_c"].ctypes.data_as(i64),
+        struct["cs_c"].ctypes.data_as(i64),
+        struct["grp"].ctypes.data_as(i64), len(struct["grp"]) - 1,
+        flat.ctypes.data_as(dp))
+    out: Dict[int, Dict] = {}
+    for (m, qb_f, qk_f, o0, o1, r, c) in struct["out_meta"]:
+        out.setdefault(m, {})[(qb_f, qk_f)] = flat[o0:o1].reshape(r, c)
+    return out
+
+
 def _exec_assembly_cached(struct, env, group):
     """Execute a cached assembly plan: refill the env pool and run the
     native scatter kernel."""
@@ -404,7 +470,7 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
                        join_on_input: bool, comp_target=None, group=None,
                        active=None, dtype=np.float64, fused_ket=None,
                        comp_target_ket=None, active_ket=None,
-                       plan_cache=None, plan_key=None):
+                       plan_cache=None, plan_key=None, env_pool=None):
     """Vectorized assembly of fused-basis effective operators LW[m]/RW[m]
     (the DelayedOperatorTensor contraction of block2, reference
     src/core/operator_tensor.hpp:209), replacing per-block Python loops in
@@ -425,6 +491,18 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
     nphys = len(quanta)
     use_cache = (plan_cache is not None and plan_key is not None
                  and dtype == np.float64)
+    # stacked-pool fast path: cached plan + gather ranges -> no env
+    # materialization at all (kills the device->host unpack cost)
+    if use_cache and env_pool is not None:
+        ent = plan_cache.get(plan_key)
+        if ent is not None and "stk_ranges" in ent[1] \
+                and ent[1].get("stk_sig") == env_pool[0].signature():
+            out = _exec_assembly_pooled(
+                ent[1], np.asarray(env_pool[1], dtype=np.float64))
+            if out is not None:
+                return out
+    if callable(env):
+        env = env()
     if use_cache:
         sig = _assembly_sig(env, len(entries), fused, fused_ket,
                             active, active_ket, comp_target,
@@ -620,12 +698,18 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
                                  int(offs[u + 1]), int(out_rows[u]),
                                  int(out_cols[u])))
             if use_cache:
-                plan_cache[plan_key] = (sig, {
+                struct = {
                     "env_order": env_order, "eoffs": eoffs.copy(),
                     "eoff_c": eoff_c, "d1_c": d1_c, "d2_c": d2_c,
                     "coef_c": coef_c, "ooff_c": ooff_c, "rs_c": rs_c,
                     "cs_c": cs_c, "grp": grp, "total": int(offs[-1]),
-                    "out_meta": out_meta})
+                    "out_meta": out_meta}
+                if env_pool is not None:
+                    rng = _stk_gather_plan(env_order, env_pool[0])
+                    if rng is not None:
+                        struct["stk_ranges"] = rng
+                        struct["stk_sig"] = env_pool[0].signature()
+                plan_cache[plan_key] = (sig, struct)
             return out_n
 
     # chunk by padded env-block shape

@@ -59,16 +59,28 @@ class StackedMeta:
     total: pool length (+1 sentinel slot at the end when shipped).
     """
 
-    __slots__ = ("groups", "sectors", "total", "sym_pos")
+    __slots__ = ("groups", "sectors", "total", "sym_pos", "_sig")
 
     def __init__(self, groups, sectors, total):
         self.groups = groups
         self.sectors = sectors
         self.total = total
+        self._sig = None
         self.sym_pos: Dict[int, Tuple[int, int]] = {}
         for g, (_dq, syms) in enumerate(groups):
             for j, s in enumerate(syms):
                 self.sym_pos[int(s)] = (g, j)
+
+    def signature(self) -> int:
+        """Structural hash (groups + sector layout), cached."""
+        s = getattr(self, "_sig", None)
+        if s is None:
+            s = hash((tuple((dq, tuple(map(int, ss)))
+                            for dq, ss in self.groups),
+                      tuple(tuple(sorted(sec.items()))
+                            for sec in self.sectors), self.total))
+            self._sig = s
+        return s
 
     @staticmethod
     def from_bond(bond_dqs: Sequence[QN], sym_sectors: Dict[int, Dict],
