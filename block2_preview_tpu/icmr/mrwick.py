@@ -289,6 +289,115 @@ def evaluate(cterms: Sequence[MTerm], tensors: Dict[str, np.ndarray],
     return total
 
 
+def evaluate_tensor(cterms: Sequence[MTerm], tensors: Dict[str, np.ndarray],
+                    range_of, free: Sequence[str],
+                    local_names: Tuple[str, ...] = ("g1", "g2", "g3", "g4"),
+                    local_offset: int = 0) -> np.ndarray:
+    """Like `evaluate` but with FREE index symbols: returns an ndarray
+    over the free symbols' ranges (used for internally-contracted matrix
+    elements where active labels stay open)."""
+    free = list(free)
+    shape = tuple(len(range_of(x)) for x in free)
+    total = np.zeros(shape)
+    for term in cterms:
+        parent: Dict[str, str] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        facs = []
+        for name, ixs in term.tensors:
+            if name == "delta":
+                rx, ry = find(ixs[0]), find(ixs[1])
+                if rx != ry:
+                    # never merge two free symbols away: keep both as a
+                    # numeric delta factor instead
+                    if rx in free and ry in free:
+                        facs.append(("__eye__", (rx, ry)))
+                        continue
+                    if rx in free:
+                        rx, ry = ry, rx
+                    parent[rx] = ry
+            else:
+                facs.append((name, ixs))
+        syms = set(free)
+        for name, ixs in term.tensors:
+            syms.update(ixs)
+        cls_range: Dict[str, np.ndarray] = {}
+        dead = False
+        for x in syms:
+            r = find(x)
+            rng = range_of(x)
+            cur = cls_range.get(r)
+            cls_range[r] = rng if cur is None else np.intersect1d(cur, rng)
+        for r, rng in cls_range.items():
+            if len(rng) == 0:
+                dead = True
+        if dead:
+            continue
+        letters: Dict[str, str] = {}
+        alphabet = iter("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUV")
+        out_sub = ""
+        for x in free:
+            r = find(x)
+            if r not in letters:
+                letters[r] = next(alphabet)
+            out_sub += letters[r]
+        specs = []
+        arrays = []
+        for name, ixs in facs:
+            sub = ""
+            slicers = []
+            for x in ixs:
+                r = find(x)
+                if r not in letters:
+                    letters[r] = next(alphabet)
+                sub += letters[r]
+                rng = cls_range[r]
+                slicers.append(rng - local_offset
+                               if name in local_names else rng)
+            specs.append(sub)
+            if name == "__eye__":
+                n1, n2 = len(cls_range[find(ixs[0])]), \
+                    len(cls_range[find(ixs[1])])
+                arrays.append(np.eye(max(n1, n2))[:n1, :n2])
+            else:
+                arrays.append(tensors[name][np.ix_(*slicers)])
+        # free symbols whose class representative range shrank: broadcast
+        val = np.einsum(",".join(specs) + "->" + out_sub, *arrays,
+                        optimize=True) if facs else \
+            term.coeff * np.ones(shape)
+        if facs:
+            # align val into the full free-shape (ranges of free symbols
+            # are the declared ones when unconstrained; constrained
+            # classes shrink — scatter into the right slots)
+            slot = []
+            full = True
+            for x in free:
+                r = find(x)
+                rng = cls_range[r]
+                base = range_of(x)
+                if len(rng) == len(base) and np.array_equal(rng, base):
+                    slot.append(slice(None))
+                else:
+                    pos = np.searchsorted(base, rng)
+                    slot.append(pos)
+                    full = False
+            if full:
+                total += term.coeff * val
+            else:
+                # scatter-add on the constrained subgrid
+                ix = np.ix_(*[s if isinstance(s, np.ndarray)
+                              else np.arange(shape[i])
+                              for i, s in enumerate(slot)])
+                total[ix] += term.coeff * val
+        else:
+            total += val
+    return total
+
+
 # ---------------------------------------------------------------------------
 # Hamiltonian splitting over spaces
 # ---------------------------------------------------------------------------
