@@ -112,3 +112,101 @@ def grouped_site_specs(groups: Sequence[Sequence[int]],
                                         group=group, min_n=mn, max_n=mx,
                                         name=f"fock{s}"))
     return specs
+
+
+# ----------------------------------------------------------------------
+# AQCC / ACPF size-consistency-corrected big-site sweeps
+# (reference src/big_site/sweep_algorithm_big_site.hpp:292 DMRGBigSiteAQCC)
+# ----------------------------------------------------------------------
+
+def _gfactor(method: str, n_elec: int) -> float:
+    if method == "cisd":
+        return 0.0
+    if method == "acpf":
+        return 2.0 / n_elec
+    if method == "aqcc":
+        return 1.0 - (n_elec - 3.0) * (n_elec - 2.0) \
+            / (n_elec * (n_elec - 1.0))
+    raise ValueError(method)
+
+
+def big_site_aqcc(fd, groups, caps, bond_dim: int = 120,
+                  method: str = "aqcc", e_ref: Optional[float] = None,
+                  n_outer: int = 8, tol: float = 1e-9, iprint: int = 0):
+    """Size-consistency-corrected uncontracted MRCI on the big-site
+    layout: self-consistent shifted eigenproblem
+
+        (H + sigma * P_ext) |psi> = E |psi>,
+        sigma = (1 - g) * (E - e_ref),
+
+    with P_ext the projector on configurations exciting into the big
+    (external) site and g the ACPF/AQCC factor.  method='cisd' (g=0)
+    recovers plain MRCI.  Returns (E, sigma)."""
+    from .core.expr import TermTable, build_term_table, qc_raw_terms
+    from .dmrg.mpo_builder import build_mpo
+    from .dmrg.mpo_algebra import mpo_scale, mpo_sum
+    from .dmrg.mps import MPS, MPSInfo
+    from .dmrg.sweep import DMRG
+
+    raw = qc_raw_terms(fd)
+    grouped = regroup_raw_terms(raw, groups)
+    specs = grouped_site_specs(groups, fd.orb_sym
+                               if fd.orb_sym is not None
+                               else np.zeros(fd.n_sites, dtype=np.int64),
+                               caps=caps)
+    L = len(groups)
+    tt = build_term_table(L, grouped, group=SZ_GROUP, spec=specs)
+    mpo_h = build_mpo(tt, site_pgs=[0] * L, const_e=fd.const_e, spec=specs)
+    # projector on the excited space: diag(n_ext > 0) on the big site
+    big = max(range(L), key=lambda s: len(groups[s]))
+    qb = specs[big].quanta(0)
+    P = np.diag([1.0 if q[0] > 0 else 0.0 for q in qb])
+    pid = tt.registry.register(P)
+    row = np.zeros(L, dtype=np.uint32)
+    row[:] = 0                      # identity
+    row[big] = pid
+    ttp = TermTable(SZ_GROUP, L, np.array([1.0]), row[None, :],
+                    tt.registry)
+    mpo_p = build_mpo(ttp, site_pgs=[0] * L, const_e=0.0, spec=specs)
+
+    sq = [specs[t].quanta(0) for t in range(L)]
+    target = (fd.n_elec, fd.twos, fd.ipg)
+    if e_ref is None:
+        # reference = solve in the P_ext = 0 subspace (big site frozen
+        # empty): cheap CASCI over the non-big sites
+        caps0 = dict(caps or {})
+        caps0[big] = (0, 0)
+        specs0 = grouped_site_specs(groups, fd.orb_sym
+                                    if fd.orb_sym is not None else
+                                    np.zeros(fd.n_sites, dtype=np.int64),
+                                    caps=caps0)
+        tt0 = build_term_table(L, grouped, group=SZ_GROUP, spec=specs0)
+        mpo0 = build_mpo(tt0, site_pgs=[0] * L, const_e=fd.const_e,
+                         spec=specs0)
+        sq0 = [specs0[t].quanta(0) for t in range(L)]
+        info0 = MPSInfo(SZ_GROUP, sq0, target, bond_dim)
+        e_ref = DMRG(mpo0, MPS.random(info0), iprint=0).solve(
+            [bond_dim], [1e-4, 1e-5, 0], [1e-10], n_sweeps=10, tol=1e-10)
+    g = _gfactor(method, fd.n_elec)
+    sigma = 0.0
+    e = e_ref
+    for it in range(n_outer):
+        mpo = mpo_sum(mpo_h, mpo_scale(mpo_p, sigma)) if sigma != 0.0 \
+            else mpo_h
+        info = MPSInfo(SZ_GROUP, sq, target, bond_dim)
+        dmrg = DMRG(mpo, MPS.random(info), iprint=0)
+        e_shift = dmrg.solve([bond_dim], [1e-4, 1e-5, 0], [1e-10],
+                             n_sweeps=10, tol=1e-11)
+        # <P_ext> for the shift bookkeeping: E = E_shifted - sigma * <P>
+        from .dmrg.expect import mpo_expectation
+        pexp = mpo_expectation(mpo_p, dmrg.mps)
+        e_new = e_shift - sigma * pexp
+        sigma_new = (1.0 - g) * (e_new - e_ref)
+        if iprint:
+            print(f"  {method} outer {it}: E = {e_new:.10f} "
+                  f"sigma = {sigma_new:.2e} <P> = {pexp:.4f}")
+        conv = abs(sigma_new - sigma) < tol
+        sigma, e = sigma_new, e_new
+        if conv and it > 0:
+            break
+    return e, sigma
