@@ -243,3 +243,45 @@ class FCIDUMP:
         return FCIDUMP(n_sites=n_sites, n_elec=n_elec or n_sites, twos=twos,
                        orb_sym=np.zeros(n_sites, dtype=np.int64),
                        h1e=h1e, g2e=g2e)
+
+
+class CompressedFCIDUMP(FCIDUMP):
+    """FCIDUMP whose two-electron integrals live in FP-codec-compressed
+    chunks, decompressed on access (reference integral_compressed.hpp
+    CompressedFCIDUMP; CLI `fp_cps_cutoff`): cuts host memory for large
+    basis sets at a bounded absolute error on each integral."""
+
+    @staticmethod
+    def compress(fd: FCIDUMP, tol: float = 1e-10) -> "CompressedFCIDUMP":
+        from ..utils.fp_codec import CompressedVector
+        assert not fd.uhf, "compressed storage: RHF/general integrals"
+        out = CompressedFCIDUMP(
+            n_sites=fd.n_sites, n_elec=fd.n_elec, twos=fd.twos,
+            ipg=fd.ipg,
+            orb_sym=None if fd.orb_sym is None else fd.orb_sym.copy(),
+            h1e=fd.h1e.copy(), g2e=None, const_e=fd.const_e)
+        out._cps_g2e = CompressedVector(fd.g2e, tol=tol)
+        return out
+
+    @property
+    def g2e(self):
+        cv = getattr(self, "_cps_g2e", None)
+        if cv is None:
+            return self._g2e_raw
+        cached = getattr(self, "_g2e_cache", None)
+        if cached is None:
+            cached = cv.to_array()
+            self._g2e_cache = cached
+        return cached
+
+    @g2e.setter
+    def g2e(self, v):
+        self._g2e_raw = v
+
+    def drop_cache(self):
+        self._g2e_cache = None
+
+    @property
+    def compressed_bytes(self) -> int:
+        cv = getattr(self, "_cps_g2e", None)
+        return 0 if cv is None else cv.nbytes_compressed
