@@ -139,7 +139,10 @@ class MovingEnvironment:
             pool = meta.pack(env, dtype=dt)
             pp = _np.zeros(_cap_class(len(pool)), dtype=dt)
             pp[:len(pool)] = pool
-            ent = (meta, jnp.asarray(pp))
+            # pools live in HOST memory between uses: a 40+-bond system
+            # would otherwise pin tens of GB of HBM (v5e crash); upload
+            # is transient per blocking/assembly step
+            ent = (meta, pp)
             store[src_bond] = ent
         meta_in, pool_in = ent
         key = (t, direction)
@@ -169,11 +172,13 @@ class MovingEnvironment:
             self._stk_plans[key] = (hash(sig), plan)
         if plan is None:
             return False
+        pool_dev = jnp.asarray(pool_in)
         if self.stk_engine == "tiled":
             from ..ops.tiled_blocking import execute_tiled_blocking
-            pool_out = execute_tiled_blocking(plan, pool_in, dtype=dt)
+            pool_out = execute_tiled_blocking(plan, pool_dev, dtype=dt)
         else:
-            pool_out = execute_stacked(plan, pool_in, dtype=dt)
+            pool_out = execute_stacked(plan, pool_dev, dtype=dt)
+        pool_out = _np.asarray(pool_out)
         dst = t + 1 if left else t
         if left:
             self._stk_l[dst] = (plan.meta_out, pool_out)

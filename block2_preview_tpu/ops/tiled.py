@@ -173,6 +173,9 @@ class TiledExecutor:
         assert np.array_equal(rb, struct["rbases"])
         self.lpool = jnp.asarray(lpool)
         self.rpool = jnp.asarray(rpool)
+        self._dev = {k: jnp.asarray(struct[k])
+                     for k in ("psi_idx", "sig_idx", "la", "pa", "s1",
+                               "ta", "ra", "s2")}
 
     # ------------------------------------------------------------------
     def _build_struct(self, eff, lw_ids, rw_ids, lw_shapes, rw_shapes,
@@ -310,19 +313,17 @@ class TiledExecutor:
             g_ra.append(np.full(B, rzero, dtype=np.int32))
             g_s2.append(np.full(B, nt2, dtype=np.int32))
 
+        # host-resident (uploaded per-executor): a cached device copy per
+        # site would pin GBs of HBM over a long sweep
         return {
             "T": T, "B": B, "nt1": nt1, "nt2": nt2,
             "size_p": size_p,
             "lbases": lbases, "rbases": rbases,
-            "psi_idx": jnp.asarray(psi_idx),
-            "sig_idx": jnp.asarray(
-                np.minimum(sig_idx, (nt2 + 1) * T * T - 1)),
-            "la": jnp.asarray(np.stack(g_la)),
-            "pa": jnp.asarray(np.stack(g_pa)),
-            "s1": jnp.asarray(np.stack(g_s1)),
-            "ta": jnp.asarray(np.stack(g_ta)),
-            "ra": jnp.asarray(np.stack(g_ra)),
-            "s2": jnp.asarray(np.stack(g_s2)),
+            "psi_idx": psi_idx,
+            "sig_idx": np.minimum(sig_idx, (nt2 + 1) * T * T - 1),
+            "la": np.stack(g_la), "pa": np.stack(g_pa),
+            "s1": np.stack(g_s1), "ta": np.stack(g_ta),
+            "ra": np.stack(g_ra), "s2": np.stack(g_s2),
         }
 
     # ------------------------------------------------------------------
@@ -332,11 +333,11 @@ class TiledExecutor:
         return xp
 
     def matvec_device(self, xp):
-        s = self.struct
+        s, d = self.struct, self._dev
         return _tiled_matvec_impl(xp, self.lpool, self.rpool,
-                                  s["psi_idx"], s["sig_idx"],
-                                  s["la"], s["pa"], s["s1"],
-                                  s["ta"], s["ra"], s["s2"],
+                                  d["psi_idx"], d["sig_idx"],
+                                  d["la"], d["pa"], d["s1"],
+                                  d["ta"], d["ra"], d["s2"],
                                   s["nt1"], s["nt2"], s["T"])
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
@@ -348,13 +349,13 @@ class TiledExecutor:
                            conv_thrd: float = 1e-8, max_iter: int = 100,
                            max_subspace: int = 20):
         """Fully on-device Davidson around the tiled matvec."""
-        s = self.struct
+        s, d = self.struct, self._dev
         dp = np.ones(s["size_p"] + 1, dtype=self.dtype)
         dp[:self.size] = diag
         th, xv, it = _tiled_dav(
             jnp.asarray(self.pad(x0)), jnp.asarray(dp),
-            self.lpool, self.rpool, s["psi_idx"], s["sig_idx"],
-            s["la"], s["pa"], s["s1"], s["ta"], s["ra"], s["s2"],
+            self.lpool, self.rpool, d["psi_idx"], d["sig_idx"],
+            d["la"], d["pa"], d["s1"], d["ta"], d["ra"], d["s2"],
             s["nt1"], s["nt2"], s["T"], s["size_p"],
             conv_thrd, max_iter, max_subspace)
         return (float(th), np.asarray(xv, dtype=np.float64)[:self.size],
