@@ -31,11 +31,15 @@ def ccsd_energy(f, v, t1, t2, occ, vir) -> float:
 
 
 def gccsd(fd: FCIDUMP, max_iter: int = 200, tol: float = 1e-10,
-          diis: bool = True, return_amplitudes: bool = False):
-    """Returns (E_HF, E_CCSD_correlation) [, t1, t2]."""
-    e_hf, f, v = hf_energy_and_fock(fd)
+          diis: bool = True, return_amplitudes: bool = False,
+          hf=None, n_elec: int = None):
+    """Returns (E_HF, E_CCSD_correlation) [, t1, t2].
+
+    hf: optional precomputed (e_hf, fock_so, v_antisym_so) — the UCCSD
+    entry point passes UHF-sectioned spin-orbital integrals here."""
+    e_hf, f, v = hf_energy_and_fock(fd) if hf is None else hf
     n = f.shape[0]
-    no = fd.n_elec
+    no = fd.n_elec if n_elec is None else n_elec
     occ = np.arange(no)
     vir = np.arange(no, n)
     o, vslice = occ, vir
