@@ -109,8 +109,13 @@ def run(config_path: str) -> float:
         mpo = drv.get_qc_mpo(fcidump=fd, algo_type=mpo_type)
     target = (drv.n_elec, drv.spin, drv.pg_irrep)
     mps = drv.get_random_mps(bond_dims[0], target=target)
+    # backend: numpy (host) | jax | jax_device | jax_stacked | jax_tiled
+    # (compile-once accelerator engine); dtype: f64 | f32
+    backend = str(dic.get("backend", "numpy")).lower()
+    cli_dtype = {"f32": np.float32, "f64": np.float64}[
+        str(dic.get("dtype", "f64")).lower()]
     solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0,
-                  n_roots=n_roots)
+                  n_roots=n_roots, backend=backend, dtype=cli_dtype)
     restart_dir = dic.get("restart_dir")
     e = solver.solve(bond_dims, noises, dav_thrds, n_sweeps=n_sweeps,
                      tol=sweep_tol, twodot_to_onedot=t2o,

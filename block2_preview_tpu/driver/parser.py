@@ -19,7 +19,7 @@ KNOWN_KEYS = {
     "spin_penalty", "threepdm", "restart_threepdm", "orbital_entropy",
     "extrapolation", "sample", "delta_t", "target_t",
     "fourpdm", "restart_fourpdm", "fp_cps_cutoff", "restart_dir",
-    "nevpt2", "mrrept", "qc_mpo_type",
+    "nevpt2", "mrrept", "qc_mpo_type", "backend", "dtype",
 }
 
 
