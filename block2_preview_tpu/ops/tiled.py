@@ -227,91 +227,97 @@ class TiledExecutor:
             psi_flat[tidx] = flat
         sig_idx[self.size:] = (nt2 + 1) * T * T - 1   # pad -> last (zero) slot
 
-        # tasks
-        g_la: List[np.ndarray] = []
-        g_pa: List[np.ndarray] = []
-        g_s1: List[np.ndarray] = []
-        g_ta: List[np.ndarray] = []
-        g_ra: List[np.ndarray] = []
-        g_s2: List[np.ndarray] = []
-        c_la, c_pa, c_s1 = [], [], []
-        c_t2 = []   # (sig tile, tmp tile, r tile)
-        tmp_used = 0
+        # tasks — vectorized expansion (the per-task Python loop was
+        # 8-15 s per first-visit Cr2 site)
         lzero = int(lbases[-1])
         rzero = int(rbases[-1])
-
-        def close_group():
-            nonlocal tmp_used
-            if not c_la and not c_t2:
-                return
-            la = np.full(B, lzero, dtype=np.int32)
-            pa = np.full(B, nt2, dtype=np.int32)
-            s1 = np.full(B, nt1, dtype=np.int32)
-            la[:len(c_la)] = c_la
-            pa[:len(c_pa)] = c_pa
-            s1[:len(c_s1)] = c_s1
-            t2 = np.asarray(sorted(c_t2), dtype=np.int64) if c_t2 else \
-                np.zeros((0, 3), dtype=np.int64)
-            ta = np.full(B, nt1, dtype=np.int32)
-            ra = np.full(B, rzero, dtype=np.int32)
-            s2 = np.full(B, nt2, dtype=np.int32)
-            s2[:len(t2)] = t2[:, 0]
-            ta[:len(t2)] = t2[:, 1]
-            ra[:len(t2)] = t2[:, 2]
-            g_la.append(la)
-            g_pa.append(pa)
-            g_s1.append(s1)
-            g_ta.append(ta)
-            g_ra.append(ra)
-            g_s2.append(s2)
-            c_la.clear()
-            c_pa.clear()
-            c_s1.clear()
-            c_t2.clear()
-            tmp_used = 0
-
-        for (m, lk, pk, rk, ok) in eff.triples:
-            lid = lw_ids[(m, lk)]
-            rid = rw_ids[(m, rk)]
-            a, kk = lw_shapes[lid]
-            p, n = rw_shapes[rid]
-            na, nk = _tile_grid(a, kk, T)
-            np_, nn = _tile_grid(p, n, T)
-            pbase, pnr, pnc = vb[pk]
-            obase, onr, onc = vb[ok]
-            assert pnr == nk and pnc == nn and onr == na and onc == np_
-            item_tmp = na * nn
-            item_s1 = na * nn * nk
-            item_s2 = na * nn * np_
-            if (tmp_used + item_tmp > nt1 or len(c_la) + item_s1 > B
-                    or len(c_t2) + item_s2 > B):
-                close_group()
-            if item_tmp > nt1 or item_s1 > B or item_s2 > B:
-                raise ValueError(
-                    f"block too large for tile cfg T={T}: "
-                    f"{(a, kk, n, p)}")
-            tb = tmp_used
-            for ai in range(na):
-                for ni in range(nn):
-                    tid = tb + ai * nn + ni
-                    for ki in range(nk):
-                        c_la.append(lbases[lid] + ai * nk + ki)
-                        c_pa.append(pbase + ki * pnc + ni)
-                        c_s1.append(tid)
-                    for pi in range(np_):
-                        c_t2.append((obase + ai * onc + pi, tid,
-                                     rbases[rid] + pi * nn + ni))
-            tmp_used += item_tmp
-        close_group()
-
-        G = _pow2(max(len(g_la), 1))
-        while len(g_la) < G:
-            g_la.append(np.full(B, lzero, dtype=np.int32))
-            g_pa.append(np.full(B, nt2, dtype=np.int32))
-            g_s1.append(np.full(B, nt1, dtype=np.int32))
-            g_ta.append(np.full(B, nt1, dtype=np.int32))
-            g_ra.append(np.full(B, rzero, dtype=np.int32))
-            g_s2.append(np.full(B, nt2, dtype=np.int32))
+        ntr = len(eff.triples)
+        lid_a = np.empty(ntr, dtype=np.int64)
+        rid_a = np.empty(ntr, dtype=np.int64)
+        pb_a = np.empty(ntr, dtype=np.int64)
+        ob_a = np.empty(ntr, dtype=np.int64)
+        for i, (m, lk, pk, rk, ok) in enumerate(eff.triples):
+            lid_a[i] = lw_ids[(m, lk)]
+            rid_a[i] = rw_ids[(m, rk)]
+            pb_a[i] = vb[pk][0]
+            ob_a[i] = vb[ok][0]
+        lsh = np.asarray(lw_shapes, dtype=np.int64)[lid_a] \
+            if ntr else np.zeros((0, 2), dtype=np.int64)
+        rsh = np.asarray(rw_shapes, dtype=np.int64)[rid_a] \
+            if ntr else np.zeros((0, 2), dtype=np.int64)
+        na_a = -(-lsh[:, 0] // T)
+        nk_a = -(-lsh[:, 1] // T)
+        np_a = -(-rsh[:, 0] // T)
+        nn_a = -(-rsh[:, 1] // T)
+        itmp = na_a * nn_a
+        is1 = itmp * nk_a
+        is2 = itmp * np_a
+        if ntr and (itmp.max() > nt1 or is1.max() > B or is2.max() > B):
+            raise ValueError(f"block too large for tile cfg T={T}")
+        # greedy grouping (sequential, per item)
+        grp = np.empty(ntr, dtype=np.int64)
+        tb_a = np.empty(ntr, dtype=np.int64)       # tmp base within group
+        o1_a = np.empty(ntr, dtype=np.int64)       # stage-1 offset in group
+        o2_a = np.empty(ntr, dtype=np.int64)       # stage-2 offset in group
+        g = t_used = u1 = u2 = 0
+        for i in range(ntr):
+            if (t_used + itmp[i] > nt1 or u1 + is1[i] > B
+                    or u2 + is2[i] > B):
+                g += 1
+                t_used = u1 = u2 = 0
+            grp[i] = g
+            tb_a[i] = t_used
+            o1_a[i] = u1
+            o2_a[i] = u2
+            t_used += itmp[i]
+            u1 += is1[i]
+            u2 += is2[i]
+        ng = (g + 1) if ntr else 0
+        G = _pow2(max(ng, 1))
+        la = np.full((G, B), lzero, dtype=np.int32)
+        pa = np.full((G, B), nt2, dtype=np.int32)
+        s1 = np.full((G, B), nt1, dtype=np.int32)
+        ta = np.full((G, B), nt1, dtype=np.int32)
+        ra = np.full((G, B), rzero, dtype=np.int32)
+        s2 = np.full((G, B), nt2, dtype=np.int32)
+        if ntr:
+            # stage 1: per item, tasks ordered (ai, ni, ki)
+            tot1 = int(is1.sum())
+            item1 = np.repeat(np.arange(ntr), is1)
+            cum1 = np.concatenate([[0], np.cumsum(is1)[:-1]])
+            o = np.arange(tot1) - np.repeat(cum1, is1)
+            nk1 = nk_a[item1]
+            nn1 = nn_a[item1]
+            ai = o // (nn1 * nk1)
+            ni = (o // nk1) % nn1
+            ki = o % nk1
+            pos = np.repeat(o1_a, is1) + o
+            gi = grp[item1]
+            la[gi, pos] = (lbases[lid_a] + 0)[item1] + ai * nk1 + ki
+            pa[gi, pos] = pb_a[item1] + ki * nn1 + ni
+            s1[gi, pos] = np.repeat(tb_a, is1) + ai * nn1 + ni
+            # stage 2: per item, tasks ordered (ai, ni, pi), then sorted
+            # per group by target sigma tile (segment-sum requirement)
+            tot2 = int(is2.sum())
+            item2 = np.repeat(np.arange(ntr), is2)
+            cum2 = np.concatenate([[0], np.cumsum(is2)[:-1]])
+            o = np.arange(tot2) - np.repeat(cum2, is2)
+            nn2 = nn_a[item2]
+            npp = np_a[item2]
+            ai = o // (nn2 * npp)
+            ni = (o // npp) % nn2
+            pi = o % npp
+            v_s2 = ob_a[item2] + ai * npp + pi
+            v_ta = np.repeat(tb_a, is2) + ai * nn2 + ni
+            v_ra = rbases[rid_a][item2] + pi * nn2 + ni
+            gi2 = grp[item2]
+            order = np.lexsort((v_ra, v_ta, v_s2, gi2))
+            gsz = np.bincount(gi2, minlength=ng)
+            gstart = np.concatenate([[0], np.cumsum(gsz)[:-1]])
+            pos2 = np.arange(tot2) - np.repeat(gstart, gsz)
+            s2[gi2[order], pos2] = v_s2[order]
+            ta[gi2[order], pos2] = v_ta[order]
+            ra[gi2[order], pos2] = v_ra[order]
 
         # host-resident (uploaded per-executor): a cached device copy per
         # site would pin GBs of HBM over a long sweep
@@ -321,9 +327,7 @@ class TiledExecutor:
             "lbases": lbases, "rbases": rbases,
             "psi_idx": psi_idx,
             "sig_idx": np.minimum(sig_idx, (nt2 + 1) * T * T - 1),
-            "la": np.stack(g_la), "pa": np.stack(g_pa),
-            "s1": np.stack(g_s1), "ta": np.stack(g_ta),
-            "ra": np.stack(g_ra), "s2": np.stack(g_s2),
+            "la": la, "pa": pa, "s1": s1, "ta": ta, "ra": ra, "s2": s2,
         }
 
     # ------------------------------------------------------------------
