@@ -300,6 +300,20 @@ class EffectiveHamiltonian2:
                                       dtype=np.result_type(self.dtype,
                                                            x.dtype))
 
+    def rmatvec_np(self, x: np.ndarray) -> np.ndarray:
+        """H^H matvec (for two-sided solvers on non-Hermitian MPOs,
+        e.g. the ST-DMRG Hbar): sig[pk] += LW^H y[ok] RW^*."""
+        y = self.bra_space.unflatten(x)
+        sig = {k: 0 for k in self.psi_keys}
+        for (m, lk, pk, rk, ok) in self.triples:
+            if ok in y:
+                sig[pk] = sig[pk] + self.LW[m][lk].conj().T @ y[ok] \
+                    @ self.RW[m][rk].conj()
+        sig = {k: v for k, v in sig.items() if not np.isscalar(v)}
+        return self.ket_space.flatten(sig,
+                                      dtype=np.result_type(self.dtype,
+                                                           x.dtype))
+
     def diagonal(self) -> np.ndarray:
         assert not self.mixed
         diag = {k: np.zeros(self.shapes[k]) for k in self.psi_keys}

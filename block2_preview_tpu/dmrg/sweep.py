@@ -242,7 +242,7 @@ class DMRG:
     def __init__(self, mpo: MPO, mps: MPS, backend: str = "numpy",
                  iprint: int = 1, dtype=np.float64, n_roots: int = 1,
                  weights: Optional[Sequence[float]] = None,
-                 dav_max_iter: int = 200):
+                 dav_max_iter: int = 200, hermitian: bool = True):
         self.mpo = mpo
         self.mps = mps
         if backend not in ("numpy", "jax", "jax_device", "jax_stacked",
@@ -255,6 +255,9 @@ class DMRG:
         self.iprint = iprint
         self.n_roots = n_roots
         self.dav_max_iter = dav_max_iter
+        # hermitian=False: two-sided (oblique) Davidson for non-Hermitian
+        # MPOs (the ST-DMRG path, reference SimilarityTransform)
+        self.hermitian = hermitian
         self.weights = list(weights) if weights is not None \
             else [1.0 / n_roots] * n_roots
         self.me = MovingEnvironment(mpo, mps)
@@ -302,6 +305,13 @@ class DMRG:
         return x0
 
     def _solve_eff(self, eff: EffectiveHamiltonian2, x0, diag, dav_thrd):
+        if not self.hermitian:
+            from ..ops.davidson import davidson_non_hermitian
+            w, v, nmv = davidson_non_hermitian(
+                eff.matvec_np, eff.rmatvec_np, diag, x0,
+                n_roots=self.n_roots, conv_thrd=dav_thrd,
+                max_iter=self.dav_max_iter)
+            return np.real(w), np.real_if_close(v), nmv
         # tiny centers: per-call device dispatch + transfers dominate; the
         # host reference matvec is faster below a few thousand unknowns
         if self.backend in ("jax", "jax_device", "jax_stacked",

@@ -359,3 +359,43 @@ def _eval_term(term, facs, find, cs, spaces, tensors, local_axes, loc_of,
     val = np.einsum(",".join(specs) + "->" + out_sub, *arrays,
                     optimize=True)
     return term.coeff * val
+
+
+# ---------------------------------------------------------------------------
+# end-to-end ST-DMRG solve
+# ---------------------------------------------------------------------------
+
+def st_dmrg(fd, bond_dim: int = 200, n_sweeps: int = 10,
+            iprint: int = 0):
+    """Full ST-DMRG workflow (reference SimilarityTransform driver):
+    CCSD amplitudes -> Hbar_12 integrals -> SGF general MPO ->
+    non-Hermitian (two-sided Davidson) DMRG sweep.
+    Returns (E_st, E_ccsd, e0) with energies including const_e."""
+    from ..cc.gccsd import gccsd
+    from ..core.fcidump import FCIDUMP
+    from ..driver.core import DMRGDriver, SymmetryTypes
+    from ..dmrg.sweep import DMRG
+    from ..uc.mp import hf_energy_and_fock
+
+    e_hf, f, v = hf_energy_and_fock(fd)
+    e_hf2, e_corr, t1, t2 = gccsd(fd, return_amplitudes=True)
+    nso = 2 * fd.n_sites
+    occ = np.arange(fd.n_elec)
+    vir = np.arange(fd.n_elec, nso)
+    e0, h1, v2 = hbar_integrals(nso, occ, vir, f, v, t1.T.copy(),
+                                t2.transpose(2, 3, 0, 1).copy(),
+                                e_ref=e_hf - fd.const_e)
+    # plain 1/4 v2 P+Q+SR (physicist antisym) -> chemist general (PQ|RS)
+    g_chem = 0.5 * v2.transpose(0, 2, 1, 3)
+    sfd = FCIDUMP(n_sites=nso, n_elec=fd.n_elec, twos=fd.twos,
+                  ipg=0, orb_sym=np.zeros(nso, dtype=np.int64),
+                  h1e=h1, g2e=g_chem, const_e=fd.const_e + e0,
+                  general=True, tgeneral=True)
+    drv = DMRGDriver(SymmetryTypes.SGF)
+    drv.initialize_system(nso, n_elec=fd.n_elec, spin=fd.twos)
+    mpo = drv.get_qc_mpo(fcidump=sfd)
+    mps = drv.get_random_mps(bond_dim)
+    d = DMRG(mpo, mps, iprint=iprint, hermitian=False)
+    e_st = d.solve([bond_dim] * n_sweeps, [1e-4, 1e-5] + [0] * 8,
+                   [1e-9], n_sweeps=n_sweeps, tol=1e-10)
+    return float(e_st), float(e_hf2 + e_corr), float(e0)

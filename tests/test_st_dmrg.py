@@ -109,3 +109,33 @@ def test_hbar_anchors():
     w = np.linalg.eigvals(Hd[np.ix_(rows, rows)])
     w = np.sort(w.real)
     assert abs(w[0] - e_ref) < 5e-2
+
+
+def test_st_dmrg_end_to_end():
+    """Full ST-DMRG vs dense right-eigenvalue of the same Hbar_12."""
+    import itertools as it
+
+    from block2_preview_tpu.cc.gccsd import gccsd
+    from block2_preview_tpu.ic.st_dmrg import hbar_integrals, st_dmrg
+    from block2_preview_tpu.uc.mp import hf_energy_and_fock
+
+    fd = FCIDUMP.hubbard(3, t=1.0, u=1.5)
+    fd.n_elec = 2
+    fd = canonicalize_fcidump(fd)
+    e_st, e_cc, e0 = st_dmrg(fd, bond_dim=100, n_sweeps=8)
+    # dense reference: right eigvalsh of Hbar_12 in the N sector
+    e_hf, f, v = hf_energy_and_fock(fd)
+    _eh, _ec, t1, t2 = gccsd(fd, return_amplitudes=True)
+    nso = 2 * fd.n_sites
+    occ = np.arange(2)
+    vir = np.arange(2, nso)
+    e0x, h1, v2 = hbar_integrals(nso, occ, vir, f, v, t1.T.copy(),
+                                 t2.transpose(2, 3, 0, 1).copy(),
+                                 e_ref=e_hf - fd.const_e)
+    Hd = _dense_fock_op(nso, e0x, h1, v2)
+    ns = np.array([bin(s).count("1") for s in range(1 << nso)])
+    rows = np.nonzero(ns == fd.n_elec)[0]
+    w = np.sort(np.linalg.eigvals(Hd[np.ix_(rows, rows)]).real)
+    assert abs(e_st - (w[0] + fd.const_e)) < 1e-6, (e_st, w[0])
+    # CCSD exact for 2 electrons: ST energy ~ E_CCSD
+    assert abs(e_st - e_cc) < 5e-2
