@@ -423,7 +423,7 @@ class DMRG:
             x0 = np.random.RandomState(42).standard_normal(eff.size)
         x0 = x0 / np.linalg.norm(x0)
         diag = eff.diagonal()
-        w, v, nmv = davidson(eff.matvec_np, diag, x0, conv_thrd=dav_thrd)
+        w, v, nmv = self._solve_eff(eff, x0[:, None], diag, dav_thrd)
         energy = np.array([float(w[0]) + self.mpo.const_e])
         psi = {}
         for k in eff.keys:

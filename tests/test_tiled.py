@@ -97,3 +97,18 @@ def test_tiled_device_davidson():
     w, v, _ = davidson(eff.matvec_np, diag, x0[:, None], n_roots=1,
                        conv_thrd=1e-12)
     assert abs(th - w[0]) < 1e-8
+
+
+def test_tiled_onedot_switch():
+    """twodot_to_onedot with the tiled backend (one-dot goes through the
+    pluggable solver path too)."""
+    fd, mpo, mps = _setup(nsite=6, bond=60)
+    from block2_preview_tpu.core.expr import qc_term_table
+    from block2_preview_tpu.utils.ed import ground_state_energy
+    dmrg = DMRG(mpo, mps, backend="jax_tiled", dtype=np.float64,
+                iprint=0)
+    e = dmrg.solve([60] * 8, [1e-4, 1e-5] + [0] * 6, [1e-10],
+                   n_sweeps=8, tol=1e-12, twodot_to_onedot=4)
+    eref = ground_state_energy(qc_term_table(fd), fd.n_elec,
+                               fd.twos)[0] + fd.const_e
+    assert abs(e - eref) < 1e-5
