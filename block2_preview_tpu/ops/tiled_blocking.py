@@ -202,92 +202,26 @@ def build_tiled_blocking_plan(meta_in: StackedMeta, entries, quanta,
     iscpx = any(np.iscomplexobj(m) for m in bra_mats + ket_mats) or \
         any(isinstance(cf, complex) for it in items for (_o, cf) in it[7])
 
-    g_s1: List[np.ndarray] = []
-    g_s2: List[np.ndarray] = []
-    g_s3: List[np.ndarray] = []
-    g_cf: List[np.ndarray] = []
-    c1, c2, c3, ccf = [], [], [], []
-    tmp_used = 0
-    prod_used = 0
-
-    def close():
-        nonlocal tmp_used, prod_used
-        if not c1 and not c2 and not c3:
-            return
-        s1 = np.zeros((9, B), dtype=np.int64)
-        s1[8, :] = nt1                      # sentinel tmp target
-        s1[:, :len(c1)] = np.asarray(c1, dtype=np.int64).T
-        if len(c1) < B:                     # sentinel gathers: rmax/cmax=0
-            s1[2, len(c1):] = 0
-        s2 = np.zeros((6, B), dtype=np.int64)
-        s2[4, len(c2):] = 0
-        s2[5, :] = ntp
-        s2[:, :len(c2)] = np.asarray(c2, dtype=np.int64).T
-        s3 = np.zeros((5, B), dtype=np.int64)
-        s3[1, :] = -1                       # sentinel out target
-        s3[:, :len(c3)] = np.asarray(c3, dtype=np.int64).T
-        cf = np.zeros(B, dtype=np.complex128 if iscpx else np.float64)
-        cf[:len(ccf)] = ccf
-        g_s1.append(s1)
-        g_s2.append(s2)
-        g_s3.append(s3)
-        g_cf.append(cf)
-        c1.clear()
-        c2.clear()
-        c3.clear()
-        ccf.clear()
-        tmp_used = 0
-        prod_used = 0
-
-    for (eoff, db, dk, mb_id, mk_id, dx, dy, ents, qrb) in items:
-        nl, nk = _grid(db, dk, T)
-        nx, ny = _grid(dx, dy, T)
-        item_tmp = nl * ny
-        item_prod = nx * ny
-        n1 = nl * ny * nk
-        n2 = nx * ny * nl
-        n3 = nx * ny * len(ents)
-        if (tmp_used + item_tmp > nt1 or prod_used + item_prod > ntp
-                or len(c1) + n1 > B or len(c2) + n2 > B
-                or len(c3) + n3 > B):
-            close()
-        if item_tmp > nt1 or item_prod > ntp or n1 > B or n2 > B \
-                or n3 > B:
-            raise ValueError(f"block too large for T={T}: "
-                             f"{(db, dk, dx, dy, len(ents))}")
-        tb, pb_ = tmp_used, prod_used
-        # stage 1: tmp(l, y) tiles
-        for li in range(nl):
-            for yi in range(ny):
-                tid = tb + li * ny + yi
-                for ki in range(nk):
-                    if left:
-                        # E (db x dk) tile (li, ki); mk (dk x dy) (ki, yi)
-                        kb = koffs[mk_id] + (ki * T) * dy + yi * T
-                        kst, krm, kcm = dy, dk - ki * T, dy - yi * T
-                    else:
-                        # mk stored (dy x dk): tile (yi, ki)
-                        kb = koffs[mk_id] + (yi * T) * dk + ki * T
-                        kst, krm, kcm = dk, dy - yi * T, dk - ki * T
-                    c1.append((eoff + (li * T) * dk + ki * T, dk,
-                               db - li * T, dk - ki * T,
-                               kb, kst, krm, kcm, tid))
-        # stage 2: prod(x, y) tiles
-        for xi in range(nx):
-            for yi in range(ny):
-                pid = pb_ + xi * ny + yi
-                for li in range(nl):
-                    if left:
-                        # mb (db x dx): tile (li, xi)
-                        bb = boffs[mb_id] + (li * T) * dx + xi * T
-                        bst, brm, bcm = dx, db - li * T, dx - xi * T
-                    else:
-                        # mb (dx x db): tile (xi, li)
-                        bb = boffs[mb_id] + (xi * T) * db + li * T
-                        bst, brm, bcm = db, dx - xi * T, db - li * T
-                    c2.append((bb, bst, brm, bcm, tb + li * ny + yi, pid))
-        # stage 3: scatter prod tiles into out slabs per entry
-        for (osym, cf) in ents:
+    # vectorized task construction (per-task Python loops dominate the
+    # Cr2 env-init otherwise)
+    nit = len(items)
+    eoff_a = np.fromiter((it[0] for it in items), np.int64, nit)
+    db_a = np.fromiter((it[1] for it in items), np.int64, nit)
+    dk_a = np.fromiter((it[2] for it in items), np.int64, nit)
+    mb_a = np.fromiter((it[3] for it in items), np.int64, nit)
+    mk_a = np.fromiter((it[4] for it in items), np.int64, nit)
+    dx_a = np.fromiter((it[5] for it in items), np.int64, nit)
+    dy_a = np.fromiter((it[6] for it in items), np.int64, nit)
+    nl_a = -(-db_a // T)
+    nk_a = -(-dk_a // T)
+    nx_a = -(-dx_a // T)
+    ny_a = -(-dy_a // T)
+    # valid flattened entries per item (stage 3)
+    e_item, e_base, e_odx, e_ody, e_cf = [], [], [], [], []
+    nval = np.zeros(nit, dtype=np.int64)
+    for i, it in enumerate(items):
+        qrb = it[8]
+        for (osym, cf) in it[7]:
             gp = meta_out.sym_pos.get(osym)
             if gp is None:
                 continue
@@ -296,30 +230,155 @@ def build_tiled_blocking_plan(meta_in: StackedMeta, entries, quanta,
             if ent is None:
                 continue
             ooff, odx, ody = ent
-            base = ooff + jo * odx * ody
-            for xi in range(nx):
-                for yi in range(ny):
-                    c3.append((pb_ + xi * ny + yi,
-                               base + (xi * T) * ody + yi * T, ody,
-                               odx - xi * T, ody - yi * T))
-                    ccf.append(cf)
-        tmp_used += item_tmp
-        prod_used += item_prod
-    close()
-
-    G = _pow2(max(len(g_s1), 1))
-    while len(g_s1) < G:
-        s1 = np.zeros((9, B), dtype=np.int64)
-        s1[8, :] = nt1
-        s2 = np.zeros((6, B), dtype=np.int64)
-        s2[5, :] = ntp
-        s3 = np.zeros((5, B), dtype=np.int64)
-        s3[1, :] = -1
-        g_s1.append(s1)
-        g_s2.append(s2)
-        g_s3.append(s3)
-        g_cf.append(np.zeros(B, dtype=np.complex128 if iscpx
-                             else np.float64))
+            e_item.append(i)
+            e_base.append(ooff + jo * odx * ody)
+            e_odx.append(odx)
+            e_ody.append(ody)
+            e_cf.append(cf)
+            nval[i] += 1
+    n_ents_alloc = np.fromiter((len(it[7]) for it in items), np.int64,
+                               nit)
+    itmp = nl_a * ny_a
+    iprod = nx_a * ny_a
+    n1_a = itmp * nk_a
+    n2_a = iprod * nl_a
+    n3_alloc = iprod * n_ents_alloc
+    n3_val = iprod * nval
+    if nit and (itmp.max() > nt1 or iprod.max() > ntp or n1_a.max() > B
+                or n2_a.max() > B or n3_alloc.max() > B):
+        raise ValueError(f"block too large for T={T}")
+    # greedy grouping (budget uses the conservative stage-3 count)
+    grp = np.empty(nit, dtype=np.int64)
+    tb_a = np.empty(nit, dtype=np.int64)
+    pb_a2 = np.empty(nit, dtype=np.int64)
+    o1_a = np.empty(nit, dtype=np.int64)
+    o2_a = np.empty(nit, dtype=np.int64)
+    o3_a = np.empty(nit, dtype=np.int64)
+    g = tu = pu = u1 = u2 = u3a = u3v = 0
+    for i in range(nit):
+        if (tu + itmp[i] > nt1 or pu + iprod[i] > ntp
+                or u1 + n1_a[i] > B or u2 + n2_a[i] > B
+                or u3a + n3_alloc[i] > B):
+            g += 1
+            tu = pu = u1 = u2 = u3a = u3v = 0
+        grp[i] = g
+        tb_a[i] = tu
+        pb_a2[i] = pu
+        o1_a[i] = u1
+        o2_a[i] = u2
+        o3_a[i] = u3v
+        tu += itmp[i]
+        pu += iprod[i]
+        u1 += n1_a[i]
+        u2 += n2_a[i]
+        u3a += n3_alloc[i]
+        u3v += n3_val[i]
+    ng = (g + 1) if nit else 0
+    G = _pow2(max(ng, 1))
+    s1A = np.zeros((G, 9, B), dtype=np.int64)
+    s1A[:, 8, :] = nt1
+    s2A = np.zeros((G, 6, B), dtype=np.int64)
+    s2A[:, 5, :] = ntp
+    s3A = np.zeros((G, 5, B), dtype=np.int64)
+    s3A[:, 1, :] = -1
+    cfA = np.zeros((G, B), dtype=np.complex128 if iscpx else np.float64)
+    if nit:
+        # stage 1: tasks ordered (li, yi, ki)
+        tot = int(n1_a.sum())
+        itm = np.repeat(np.arange(nit), n1_a)
+        cum = np.concatenate([[0], np.cumsum(n1_a)[:-1]])
+        o = np.arange(tot) - np.repeat(cum, n1_a)
+        nk1 = nk_a[itm]
+        ny1 = ny_a[itm]
+        li = o // (ny1 * nk1)
+        yi = (o // nk1) % ny1
+        ki = o % nk1
+        gi = grp[itm]
+        pos = np.repeat(o1_a, n1_a) + o
+        dkI = dk_a[itm]
+        dyI = dy_a[itm]
+        s1A[gi, 0, pos] = eoff_a[itm] + li * T * dkI + ki * T
+        s1A[gi, 1, pos] = dkI
+        s1A[gi, 2, pos] = db_a[itm] - li * T
+        s1A[gi, 3, pos] = dkI - ki * T
+        if left:
+            s1A[gi, 4, pos] = koffs[mk_a[itm]] + ki * T * dyI + yi * T
+            s1A[gi, 5, pos] = dyI
+            s1A[gi, 6, pos] = dkI - ki * T
+            s1A[gi, 7, pos] = dyI - yi * T
+        else:
+            s1A[gi, 4, pos] = koffs[mk_a[itm]] + yi * T * dkI + ki * T
+            s1A[gi, 5, pos] = dkI
+            s1A[gi, 6, pos] = dyI - yi * T
+            s1A[gi, 7, pos] = dkI - ki * T
+        s1A[gi, 8, pos] = np.repeat(tb_a, n1_a) + li * ny1 + yi
+        # stage 2: tasks ordered (xi, yi, li)
+        tot = int(n2_a.sum())
+        itm = np.repeat(np.arange(nit), n2_a)
+        cum = np.concatenate([[0], np.cumsum(n2_a)[:-1]])
+        o = np.arange(tot) - np.repeat(cum, n2_a)
+        nl2 = nl_a[itm]
+        ny2 = ny_a[itm]
+        xi = o // (ny2 * nl2)
+        yi = (o // nl2) % ny2
+        li = o % nl2
+        gi = grp[itm]
+        pos = np.repeat(o2_a, n2_a) + o
+        dbI = db_a[itm]
+        dxI = dx_a[itm]
+        if left:
+            s2A[gi, 0, pos] = boffs[mb_a[itm]] + li * T * dxI + xi * T
+            s2A[gi, 1, pos] = dxI
+            s2A[gi, 2, pos] = dbI - li * T
+            s2A[gi, 3, pos] = dxI - xi * T
+        else:
+            s2A[gi, 0, pos] = boffs[mb_a[itm]] + xi * T * dbI + li * T
+            s2A[gi, 1, pos] = dbI
+            s2A[gi, 2, pos] = dxI - xi * T
+            s2A[gi, 3, pos] = dbI - li * T
+        s2A[gi, 4, pos] = np.repeat(tb_a, n2_a) + li * ny2 + yi
+        s2A[gi, 5, pos] = np.repeat(pb_a2, n2_a) + xi * ny2 + yi
+        # stage 3: per valid entry, tiles ordered (xi, yi)
+        nve = len(e_item)
+        if nve:
+            e_item_a = np.asarray(e_item, dtype=np.int64)
+            per = iprod[e_item_a]
+            tot = int(per.sum())
+            ei = np.repeat(np.arange(nve), per)
+            cum = np.concatenate([[0], np.cumsum(per)[:-1]])
+            o = np.arange(tot) - np.repeat(cum, per)
+            it3 = e_item_a[ei]
+            ny3 = ny_a[it3]
+            xi = o // ny3
+            yi = o % ny3
+            gi = grp[it3]
+            # position: per-item stage-3 base + offset of this entry's
+            # tile block within the item
+            ent_rank = np.zeros(nve, dtype=np.int64)
+            r = 0
+            prev = -1
+            for k2 in range(nve):
+                if e_item[k2] != prev:
+                    r = 0
+                    prev = e_item[k2]
+                ent_rank[k2] = r
+                r += 1
+            pos = np.repeat(o3_a[e_item_a] + ent_rank * iprod[e_item_a],
+                            per) + o
+            odyI = np.asarray(e_ody, dtype=np.int64)[ei]
+            odxI = np.asarray(e_odx, dtype=np.int64)[ei]
+            s3A[gi, 0, pos] = np.repeat(pb_a2[e_item_a], per) \
+                + xi * ny3 + yi
+            s3A[gi, 1, pos] = np.asarray(e_base, dtype=np.int64)[ei] \
+                + xi * T * odyI + yi * T
+            s3A[gi, 2, pos] = odyI
+            s3A[gi, 3, pos] = odxI - xi * T
+            s3A[gi, 4, pos] = odyI - yi * T
+            cfA[gi, pos] = np.asarray(e_cf)[ei]
+    g_s1 = list(s1A)
+    g_s2 = list(s2A)
+    g_s3 = list(s3A)
+    g_cf = list(cfA)
 
     plan = TiledBlockingPlan()
     plan.meta_out = meta_out
