@@ -41,7 +41,7 @@ from .stacked import StackedMeta, _cap_class
 from .tiled import _pow2, pick_tile
 
 # per tile size: (task chunk B, tmp tiles, prod tiles)
-_CFG = {16: (16384, 32768, 32768), 32: (8192, 8192, 8192),
+_CFG = {16: (8192, 16384, 16384), 32: (8192, 8192, 8192),
         64: (4096, 4096, 4096), 128: (1024, 1024, 1024)}
 
 
