@@ -58,7 +58,35 @@ def true_flops(eff):
     return fl
 
 
+def _ensure_device_alive(timeout_s: float = 180.0):
+    """A wedged remote TPU would hang the whole bench; probe with a
+    timeout and fall back to CPU by re-execing under JAX_PLATFORMS=cpu."""
+    import os
+    import sys
+    import threading
+    if os.environ.get("B2TPU_BENCH_CPU"):
+        return
+    ok = []
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+            ok.append(True)
+        except Exception:
+            pass
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not ok:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["B2TPU_BENCH_CPU"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
+    _ensure_device_alive()
     from block2_preview_tpu.ops.exec_jax import FusedPlanExecutor
 
     import jax
