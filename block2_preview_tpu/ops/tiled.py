@@ -42,7 +42,7 @@ def _pow2(n: int) -> int:
 
 # per tile size: (task chunk B, tmp pool tiles)
 _TILE_CFG = {16: (8192, 16384), 32: (8192, 8192), 64: (4096, 4096),
-             128: (1024, 1024)}
+             128: (4096, 2048)}
 
 
 def pick_tile(dims: np.ndarray) -> int:

@@ -42,7 +42,7 @@ from .tiled import _pow2, pick_tile
 
 # per tile size: (task chunk B, tmp tiles, prod tiles)
 _CFG = {16: (8192, 16384, 16384), 32: (8192, 8192, 8192),
-        64: (4096, 4096, 4096), 128: (1024, 1024, 1024)}
+        64: (4096, 4096, 4096), 128: (4096, 2048, 2048)}
 
 
 def _grid(r: int, c: int, T: int) -> Tuple[int, int]:
