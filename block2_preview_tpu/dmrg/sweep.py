@@ -234,6 +234,19 @@ class SweepResults:
     energies: List[np.ndarray] = field(default_factory=list)
     discarded: List[float] = field(default_factory=list)
     n_matvec: int = 0
+    n_flop: float = 0.0      # true (unpadded) sigma-matvec FLOPs
+
+
+def _eff_flops(eff) -> float:
+    """True FLOPs of one sigma matvec (reference
+    BatchGEMMSeq::cumulative_nflop, printed as FLOP/SWP at
+    sweep_algorithm.hpp:3128)."""
+    fl = 0
+    for (m, lk, pk, rk, ok) in eff.triples:
+        a, k = eff.LW[m][lk].shape
+        p, n = eff.RW[m][rk].shape
+        fl += 2 * a * k * n + 2 * a * n * p
+    return float(fl)
 
 
 class DMRG:
@@ -392,6 +405,7 @@ class DMRG:
         w, v, nmv = self._solve_eff(eff, x0, diag, dav_thrd)
         t2 = time.time()
         tm.teig += t2 - t1
+        self._last_flop = _eff_flops(eff) * nmv
         energies = w[:self.n_roots] + self.mpo.const_e
         psis = [eff.unflatten(v[:, r]) for r in range(self.n_roots)]
         g, target = eff.g, eff.target
@@ -581,6 +595,8 @@ class DMRG:
             res.energies.append(e)
             res.discarded.append(dw)
             res.n_matvec += nmv
+            res.n_flop += getattr(self, "_last_flop", 0.0)
+            self._last_flop = 0.0
             if self.iprint >= 2:
                 estr = " ".join(f"{x:.12f}" for x in e)
                 print(f"   {'-->' if forward else '<--'} site {t:3d} "
@@ -612,10 +628,12 @@ class DMRG:
             self.discarded_weights.append(dw)
             if self.iprint >= 1:
                 estr = " ".join(f"{x:.12f}" for x in e)
+                gfs = res.n_flop / max(self.timings.teig, 1e-9) / 1e9
                 print(f"sweep {isw:3d} {'F' if forward else 'B'} D={bd:5d} "
                       f"noise={ns:.1e}  E = {estr}  "
                       f"dE = {np.max(np.abs(e - last_e)):+.3e} "
-                      f" dw = {dw:.2e}  nmv = {res.n_matvec}")
+                      f" dw = {dw:.2e}  nmv = {res.n_matvec}  "
+                      f"FLOP/SWP = {res.n_flop:.3e} ({gfs:.1f} GF/s)")
                 if self.iprint >= 2:
                     print("    " + self.timings.line(), flush=True)
                 self.timings.reset()
