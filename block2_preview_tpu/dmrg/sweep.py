@@ -359,13 +359,17 @@ class DMRG:
                 self._tiled_cache = {}
             ex = TiledExecutor(eff, dtype=self.dtype,
                                cache=self._tiled_cache, cache_key=eff.t)
-            if self.n_roots == 1:
-                th, xv, nmv = ex.solve_ground_state(
-                    x0[:, 0], diag, conv_thrd=dav_thrd,
-                    max_iter=self.dav_max_iter, max_subspace=20)
-                return np.array([th]), xv[:, None], nmv
-            return davidson(ex.matvec, diag, x0, n_roots=self.n_roots,
-                            conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
+            try:
+                if self.n_roots == 1:
+                    th, xv, nmv = ex.solve_ground_state(
+                        x0[:, 0], diag, conv_thrd=dav_thrd,
+                        max_iter=self.dav_max_iter, max_subspace=20)
+                    return np.array([th]), xv[:, None], nmv
+                return davidson(ex.matvec, diag, x0,
+                                n_roots=self.n_roots, conv_thrd=dav_thrd,
+                                max_iter=self.dav_max_iter)
+            finally:
+                ex.free()
         if self.backend == "jax_device" and self.n_roots == 1 \
                 and self.dtype == np.float32:
             # fully-fused on-device Davidson (f32 on the MXU); f64 runs

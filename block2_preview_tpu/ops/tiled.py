@@ -348,6 +348,15 @@ class TiledExecutor:
         out = self.matvec_device(jnp.asarray(self.pad(x)))
         return np.asarray(out, dtype=np.float64)[:self.size]
 
+    def free(self):
+        """Release device buffers deterministically (waiting for GC can
+        transiently double HBM across consecutive site steps)."""
+        for a in (self.lpool, self.rpool, *self._dev.values()):
+            try:
+                a.delete()
+            except Exception:
+                pass
+
     # ------------------------------------------------------------------
     def solve_ground_state(self, x0: np.ndarray, diag: np.ndarray,
                            conv_thrd: float = 1e-8, max_iter: int = 100,
