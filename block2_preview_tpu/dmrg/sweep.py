@@ -280,7 +280,9 @@ class DMRG:
             self.me.stacked = True
             self.me.device_dtype = dtype
             if backend == "jax_tiled":
-                self.me.stk_engine = "tiled"
+                import os
+                self.me.stk_engine = os.environ.get("B2TPU_STK_ENGINE",
+                                                    "tiled")
         self.me.init_environments()
         self.energies: List[np.ndarray] = []
         self.discarded_weights: List[float] = []
