@@ -163,6 +163,16 @@ class MovingEnvironment:
                     self.bra.tensors[t], self.ket.tensors[t], self.g,
                     direction, self.mpo.bond_dqs[src_bond],
                     self.mpo.bond_dqs[t + 1 if left else t])
+                # very large output pools crash the TPU worker inside the
+                # scan-carried scatter (observed at Cr2 mid-chain bonds);
+                # those bonds run on the per-shape bucket engine instead
+                if plan is not None and plan.ncap > (1 << 26):
+                    plan = build_stacked_plan(
+                        meta_in, self.mpo.tensors[t],
+                        self.mpo.site_quanta[t], self.bra.tensors[t],
+                        self.ket.tensors[t], self.g, direction,
+                        self.mpo.bond_dqs[src_bond],
+                        self.mpo.bond_dqs[t + 1 if left else t])
             else:
                 plan = build_stacked_plan(
                     meta_in, self.mpo.tensors[t], self.mpo.site_quanta[t],
@@ -173,8 +183,9 @@ class MovingEnvironment:
         if plan is None:
             return False
         pool_dev = jnp.asarray(pool_in)
-        if self.stk_engine == "tiled":
-            from ..ops.tiled_blocking import execute_tiled_blocking
+        from ..ops.tiled_blocking import (TiledBlockingPlan,
+                                          execute_tiled_blocking)
+        if isinstance(plan, TiledBlockingPlan):
             pool_out = execute_tiled_blocking(plan, pool_dev, dtype=dt)
         else:
             pool_out = execute_stacked(plan, pool_dev, dtype=dt)
