@@ -77,6 +77,43 @@ def hubbard_su2_entries(t_hop: float, u: float):
             (3, 3, "I", 1.0)], 4, {0: 0, 1: 1, 2: -1, 3: 0}
 
 
+class _SU2EffAdapter:
+    """Expose the SU(2) reduced-matrix sigma structure in the
+    EffectiveHamiltonian interface consumed by ops.tiled.TiledExecutor:
+    per-(m, Qb, Qk) scalar recoupling factors fold into the LW copies."""
+
+    def __init__(self, keys, dims, offsets, size, LW, RW, ranks, dn):
+        from .su2_spin import coupled_factor
+        self.size = size
+        self.offsets = offsets
+        self.shapes = dims
+        self.LW = {}
+        self.RW = {}
+        self.triples = []
+        kset = set(keys)
+        for m, lw in sorted(LW.items()):
+            rw = RW.get(m)
+            if rw is None:
+                continue
+            km = ranks[m]
+            p_m = abs(dn[m]) % 2
+            for (Qb, Qk), lb in sorted(lw.items()):
+                if Qk not in kset or Qb not in kset:
+                    continue
+                rb = rw.get((Qb, Qk))
+                if rb is None:
+                    continue
+                cross = coupled_factor(Qk[1], Qk[1], 0, km, km, 0,
+                                       Qb[1], Qb[1], 0)
+                if abs(cross) < 1e-14:
+                    continue
+                phase = -1.0 if (p_m and (Qk[0] & 1)) else 1.0
+                key2 = (m, Qb, Qk)
+                self.LW[key2] = {0: (phase * cross) * lb}
+                self.RW[key2] = {0: rb}
+                self.triples.append((key2, 0, Qk, 0, Qb))
+
+
 class SU2FermionDMRG:
     """Two-site spin-adapted DMRG over fermionic SU(2) sites.
 
@@ -96,7 +133,12 @@ class SU2FermionDMRG:
                  target: Tuple = None, bond_dim: int = 100,
                  seed: int = 7, iprint: int = 0, ops: Dict = None,
                  ranks: Dict[int, int] = None,
-                 site_pgs: Optional[Sequence[int]] = None):
+                 site_pgs: Optional[Sequence[int]] = None,
+                 backend: str = "numpy", exec_dtype=np.float64):
+        # backend="jax_tiled": the compile-once tiled accelerator executor
+        # for the reduced-matrix sigma matvec (spin-adapted TPU path)
+        self.backend = backend
+        self.exec_dtype = exec_dtype
         self.L = L
         # entries: either one list used at every site, or a per-site list
         # of lists (site-dependent coefficients, e.g. long-range t_ij)
@@ -488,6 +530,7 @@ class SU2FermionDMRG:
                 diag[o:o + dims[Q][0] * dims[Q][1]] += \
                     (phase * cross * np.diag(lb)[:, None]
                      * np.diag(rb)[None, :]).ravel()
+        self._last_ops = (LW, RW, ranks)
         return keys, dims, offsets, size, fl, fr, matvec, diag
 
     # -- sweeps ----------------------------------------------------------
@@ -510,8 +553,28 @@ class SU2FermionDMRG:
             keys, dims, offsets, size, fl, fr, matvec, diag = \
                 self._effective(t)
             x0 = self._guess(t, keys, dims, offsets, size, fl, fr)
-            w, v, nmv = davidson(matvec, diag, x0, conv_thrd=dav_thrd,
-                                 max_iter=400, max_subspace=40)
+            if self.backend == "jax_tiled" and \
+                    size >= getattr(self, "exec_threshold", 4096):
+                from ..ops.tiled import TiledExecutor
+                from .su2_spin import coupled_factor as _cfac
+                LW, RW, ranks2 = self._last_ops
+                ad = _SU2EffAdapter(keys, dims, offsets, size, LW, RW,
+                                    ranks2, self.dn)
+                if not hasattr(self, "_tiled_cache"):
+                    self._tiled_cache = {}
+                ex = TiledExecutor(ad, dtype=self.exec_dtype,
+                                   cache=self._tiled_cache, cache_key=t)
+                try:
+                    th, xv, nmv = ex.solve_ground_state(
+                        x0, diag, conv_thrd=dav_thrd, max_iter=400,
+                        max_subspace=40)
+                finally:
+                    ex.free()
+                w, v = np.array([th]), xv[:, None]
+            else:
+                w, v, nmv = davidson(matvec, diag, x0,
+                                     conv_thrd=dav_thrd,
+                                     max_iter=400, max_subspace=40)
             emin = min(emin, float(w[0]))
             psi = {Q: v[offsets[Q]:offsets[Q] + dims[Q][0] * dims[Q][1],
                         0].reshape(dims[Q]) for Q in keys}

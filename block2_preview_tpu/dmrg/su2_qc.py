@@ -545,7 +545,8 @@ def su2_qc_dmrg(h1e: np.ndarray, g2e: Optional[np.ndarray] = None,
                 ecore: float = 0.0, n_elec: Optional[int] = None,
                 twos: int = 0, orb_sym: Optional[Sequence[int]] = None,
                 ipg: int = 0, bond_dim: int = 200, seed: int = 7,
-                iprint: int = 0) -> SU2FermionDMRG:
+                iprint: int = 0, backend: str = "numpy",
+                exec_dtype=np.float64) -> SU2FermionDMRG:
     """Spin-adapted DMRG solver for an ab initio Hamiltonian (the SU2
     analog of driver.get_qc_mpo + dmrg; reference pyblock2 core.py:3282)."""
     K = h1e.shape[0]
@@ -555,4 +556,5 @@ def su2_qc_dmrg(h1e: np.ndarray, g2e: Optional[np.ndarray] = None,
         K, entries, n_sym, dn,
         target=(K if n_elec is None else n_elec, twos, ipg),
         bond_dim=bond_dim, seed=seed, iprint=iprint, ops=reg,
-        ranks=ranks, site_pgs=orb_sym)
+        ranks=ranks, site_pgs=orb_sym, backend=backend,
+        exec_dtype=exec_dtype)

@@ -109,13 +109,15 @@ def _blk_exec(flat, epool, bpool, kpool, eoff, boff, koff,
         E = gath(epool, eoff, Lp, Kp, dl_, dk_)
         MK = gath(kpool, koff, Kp, Yp, dk_, dy_)
         res = jnp.einsum("clx,clk,cky->cxy", MB, E, MK,
-                         preferred_element_type=flat.dtype)
+                         precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=flat.dtype)
     else:
         MB = gath(bpool, boff, Xp, Lp, dx_, dl_)
         E = gath(epool, eoff, Lp, Kp, dl_, dk_)
         MK = gath(kpool, koff, Yp, Kp, dy_, dk_)
         res = jnp.einsum("cxl,clk,cyk->cxy", MB, E, MK,
-                         preferred_element_type=flat.dtype)
+                         precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=flat.dtype)
     res = res * coef[:, None, None]
     r = jnp.arange(res.shape[1])[None, :, None]
     c = jnp.arange(res.shape[2])[None, None, :]

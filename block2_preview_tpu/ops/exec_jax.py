@@ -39,7 +39,8 @@ def _execute_impl(x, buckets):
     for (A, R, pidx, oidx) in buckets:
         P = xp[pidx]                                     # [B, k, n]
         out = jnp.einsum("bak,bkn,bpn->bap", A, P, R,
-                         preferred_element_type=x.dtype)
+                         precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=x.dtype)
         sigma = sigma.at[oidx].add(out, mode="drop")
     return sigma[:-1]
 
@@ -54,7 +55,8 @@ _execute = jax.jit(_execute_impl)
 def _bucket_exec(sigma, xp, A, R, pidx, oidx):
     P = xp[pidx]
     out = jnp.einsum("bak,bkn,bpn->bap", A, P, R,
-                     preferred_element_type=xp.dtype)
+                     precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=xp.dtype)
     return sigma.at[oidx].add(out, mode="drop")
 
 
@@ -136,7 +138,8 @@ def _fused_sigma_impl(xp, buckets, perm, seg_ids, mask, num_segments):
     for (A, R, pidx) in buckets:
         P = xp[pidx]
         out = jnp.einsum("bak,bkn,bpn->bap", A, P, R,
-                         preferred_element_type=xp.dtype)
+                         precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=xp.dtype)
         pieces.append(out.reshape(-1))
     vals = jnp.concatenate(pieces)[perm]
     sig = jax.ops.segment_sum(vals, seg_ids, num_segments=num_segments,

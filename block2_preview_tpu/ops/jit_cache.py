@@ -20,6 +20,10 @@ try:  # pragma: no cover - cache support depends on the backend
     # dominates, not local XLA time
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # TPU default lowers f32 matmuls to bf16 passes; chained blocking
+    # steps and Rayleigh-Ritz projections then drift ~1e-3 and DMRG
+    # energies can fall BELOW the variational bound.  True f32 everywhere.
+    jax.config.update("jax_default_matmul_precision", "highest")
 except Exception:
     try:
         from jax.experimental.compilation_cache import (

@@ -186,10 +186,12 @@ def _slab_exec(epool, bpool, kpool, eoff, boff, koff, dl, dk, dx, dy,
         MB = gath2(bpool, boff, Lp, Xp, dl_, dx_)
         MK = gath2(kpool, koff, Kp, Yp, dk_, dy_)
         return jnp.einsum("cslk,clx,cky->csxy", E, MB, MK,
-                          preferred_element_type=epool.dtype)
+                          precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=epool.dtype)
     MB = gath2(bpool, boff, Xp, Lp, dx_, dl_)
     MK = gath2(kpool, koff, Yp, Kp, dy_, dk_)
     return jnp.einsum("cslk,cxl,cyk->csxy", E, MB, MK,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=epool.dtype)
 
 
