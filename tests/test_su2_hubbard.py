@@ -114,3 +114,31 @@ def test_su2_long_range_one_electron():
         d = SU2FermionDMRG(Lx, ents, nsym, dn, target=(ne, tj), bond_dim=80)
         e = d.solve(n_sweeps=8)
         assert abs(e - e_ed) < 1e-9, (ne, tj, e, e_ed)
+
+
+def test_su2_tiled_backend_parity():
+    """SU(2) reduced-matrix sigma through the tiled accelerator executor
+    (adapter in su2_fermion) matches the host solve exactly."""
+    from block2_preview_tpu.dmrg.su2_fermion import (SU2FermionDMRG,
+                                                     hubbard_su2_entries)
+    e_ed = _ed(6, 2.0, 6, 0)
+    entries, n_sym, dn = hubbard_su2_entries(1.0, 2.0)
+    d = SU2FermionDMRG(6, entries, n_sym, dn, target=(6, 0),
+                       bond_dim=80, backend="jax_tiled",
+                       exec_dtype=np.float64)
+    d.exec_threshold = 64     # force the tiled path at toy sizes
+    import block2_preview_tpu.ops.tiled as tl
+    calls = [0]
+    orig = tl.TiledExecutor.__init__
+
+    def spy(self, *a, **k):
+        calls[0] += 1
+        orig(self, *a, **k)
+
+    tl.TiledExecutor.__init__ = spy
+    try:
+        e = d.solve(n_sweeps=6)
+    finally:
+        tl.TiledExecutor.__init__ = orig
+    assert calls[0] > 0, "tiled path never engaged"
+    assert abs(e - e_ed) < 1e-8, (e, e_ed)
