@@ -396,6 +396,23 @@ class DMRGDriver:
         return cas_fcidump(fcidump, n_inactive, n_active)
 
     @staticmethod
+    def ic_mrcisd(fcidump: FCIDUMP, n_inactive: int, n_active: int,
+                  iprint: int = 0):
+        """Fully internally contracted MRCISD (reference
+        pyblock2/icmr/icmrcisd_full.py); returns (E, E_casci, dim)."""
+        from ..icmr.icmrcisd import ic_mrcisd
+        return ic_mrcisd(fcidump, n_inactive, n_active, iprint=iprint)
+
+    @staticmethod
+    def st_dmrg(fcidump: FCIDUMP, bond_dim: int = 200,
+                n_sweeps: int = 10, iprint: int = 0):
+        """Similarity-transformed DMRG on the CCSD Hbar (reference
+        SimilarityTransform, core.py:9580); returns (E_st, E_ccsd, e0)."""
+        from ..ic.st_dmrg import st_dmrg
+        return st_dmrg(fcidump, bond_dim=bond_dim, n_sweeps=n_sweeps,
+                       iprint=iprint)
+
+    @staticmethod
     def get_normal_ordered_integrals(fcidump: FCIDUMP):
         """(E_HF, fock, <pq||rs>) of H normal-ordered w.r.t. the aufbau
         determinant (reference NormalOrder, pyblock2/driver/core.py:8353)."""
