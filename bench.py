@@ -119,11 +119,6 @@ def main():
     y.block_until_ready()
     t_dev = (time.time() - t0) / n_dev
     t_dev_bucket = t_dev
-    # with host roundtrip (as used by the host-Davidson hybrid)
-    t0 = time.time()
-    for _ in range(10):
-        ex.matvec(x)
-    t_rt = (time.time() - t0) / 10
 
     # compile-once tiled ragged-GEMM executor (ops/tiled.py)
     from block2_preview_tpu.ops.tiled import TiledExecutor
@@ -160,7 +155,6 @@ def main():
         "host_numpy_f64_gflops": round(gf_np, 2),
         "tiled_executor_gflops": round(gf_tiled, 2),
         "bucketed_executor_gflops": round(fl / t_dev_bucket / 1e9, 2),
-        "matvec_with_host_roundtrip_ms": round(t_rt * 1e3, 3),
         "n2_sto3g_d250_energy_f64": e_np,
         "n2_sto3g_abs_err_vs_block2_ha": abs(e_np - ref),
         "n2_sto3g_d250_solve_seconds": round(t_solve, 2),
