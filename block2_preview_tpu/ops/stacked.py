@@ -325,9 +325,15 @@ def build_stacked_plan(meta_in: StackedMeta, entries, quanta, bra_T, ket_T,
 
     buckets = []
     for (S_p, Lp, Kp, Xp, Yp), its in sorted(buckets_raw.items()):
-        for lo in range(0, len(its), chunk):
-            sel = its[lo:lo + chunk]
-            C = _pow2(len(sel)) if len(sel) < chunk else chunk
+        # bound every gathered/produced tensor ([C,S,Lp,Kp], [C,S,Xp,Yp])
+        # to ~2^24 elements: large-S slabs at mid-chain bonds otherwise
+        # request tens of GB in one launch (HBM compile OOM)
+        per_item = S_p * max(Lp * Kp, Xp * Yp, Lp * Xp, Kp * Yp)
+        ccap = max(1, (1 << 24) // max(per_item, 1))
+        bchunk = min(chunk, _pow2(ccap + 1) >> 1 or 1)
+        for lo in range(0, len(its), bchunk):
+            sel = its[lo:lo + bchunk]
+            C = _pow2(len(sel)) if len(sel) < bchunk else bchunk
             padc = C - len(sel)
 
             def col(idx, dt):
@@ -358,14 +364,28 @@ def build_stacked_plan(meta_in: StackedMeta, entries, quanta, bra_T, ket_T,
                     src.append(ci * S_p + j)
                     coef.append(cf)
                     tgt.append((ooff + jo * odx * ody, odx, ody))
-            M = _pow2(len(src))
-            padm = M - len(src)
-            src_a = np.asarray(src + [0] * padm, dtype=np.int64)
-            coef_a = np.concatenate([np.asarray(coef),
-                                     np.zeros(padm)]) if padm else \
-                np.asarray(coef)
-            tgt_a = np.asarray(tgt + [(0, 0, 0)] * padm,
-                               dtype=np.int64).reshape(-1, 3)
+            # chunk the mixing scatter: one [M, Xp, Yp] vals tensor per
+            # launch must stay bounded (a mid-chain Cr2 bond otherwise
+            # asks XLA for ~32 GB of HBO temp and the compile OOMs)
+            mix_cap = max(256, (1 << 24) // max(Xp * Yp, 1))
+            mix_chunks = []
+            for mlo in range(0, max(len(src), 1), mix_cap):
+                s_c = src[mlo:mlo + mix_cap]
+                c_c = coef[mlo:mlo + mix_cap]
+                t_c = tgt[mlo:mlo + mix_cap]
+                M = _pow2(max(len(s_c), 1))
+                padm = M - len(s_c)
+                src_a = np.asarray(list(s_c) + [0] * padm, dtype=np.int64)
+                coef_a = np.concatenate([np.asarray(c_c, dtype=np.complex128
+                                                    if any(isinstance(x, complex)
+                                                           for x in c_c)
+                                                    else np.float64),
+                                         np.zeros(padm)]) if padm else \
+                    np.asarray(c_c)
+                tgt_a = np.asarray(list(t_c) + [(0, 0, 0)] * padm,
+                                   dtype=np.int64).reshape(-1, 3)
+                mix_chunks.append((jnp.asarray(src_a), coef_a,
+                                   jnp.asarray(tgt_a)))
             buckets.append({
                 "eoff": jnp.asarray(eoff), "boff": jnp.asarray(boff),
                 "koff": jnp.asarray(koff),
@@ -374,9 +394,7 @@ def build_stacked_plan(meta_in: StackedMeta, entries, quanta, bra_T, ket_T,
                 "dx": jnp.asarray(col(8, np.int32)),
                 "dy": jnp.asarray(col(9, np.int32)),
                 "S": S_p, "Lp": Lp, "Kp": Kp, "Xp": Xp, "Yp": Yp,
-                "src": jnp.asarray(src_a),
-                "coef": coef_a,
-                "tgt": jnp.asarray(tgt_a),
+                "mix": mix_chunks,
             })
 
     plan = StackedPlan()
@@ -420,9 +438,11 @@ def _bucket_step(bk, epool_dev, bpool, kpool, out, left, dtype, out_cap):
                      bk["koff"], bk["dl"], bk["dk"], bk["dx"], bk["dy"],
                      bk["S"], bk["Lp"], bk["Kp"], bk["Xp"], bk["Yp"],
                      left)
-    return _mix_scatter(out, res, bk["src"],
-                        jnp.asarray(bk["coef"].real.astype(dtype)),
-                        bk["tgt"], out_cap)
+    for (src, coef, tgt) in bk["mix"]:
+        out = _mix_scatter(out, res, src,
+                           jnp.asarray(coef.real.astype(dtype)),
+                           tgt, out_cap)
+    return out
 
 
 def warm_stacked(plan: StackedPlan, epool_dev, dtype) -> None:
