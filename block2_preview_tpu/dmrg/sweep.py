@@ -334,28 +334,9 @@ class DMRG:
             return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,
                             conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
         if self.backend == "jax_tiled":
-            # hybrid routing: problems with FEW distinct block shapes run
-            # fastest on the shape-bucketed fused executor (large uniform
-            # blocks, e.g. Hubbard chains: ~7 TF/s); shape-diverse QC
-            # problems would compile thousands of bucket kernels and run
-            # on the compile-once tiled engine instead
-            from ..ops.exec_jax import _round_dim
-            shapes = set()
-            for (m, lk, pk, rk, ok) in eff.triples:
-                a, k = eff.LW[m][lk].shape
-                p, n = eff.RW[m][rk].shape
-                shapes.add((_round_dim(a), _round_dim(k),
-                            _round_dim(n), _round_dim(p)))
-                if len(shapes) > 24:
-                    break
-            if len(shapes) <= 24 and self.n_roots == 1 \
-                    and self.dtype == np.float32:
-                from ..ops.exec_jax import FusedPlanExecutor
-                ex = FusedPlanExecutor(eff, dtype=self.dtype)
-                th, xv, nmv = ex.solve_ground_state(
-                    x0[:, 0], diag, conv_thrd=dav_thrd,
-                    max_iter=self.dav_max_iter, max_subspace=20)
-                return np.array([th]), xv[:, None], nmv
+            # the tiled engine wins across regimes after the T=128 chunk
+            # fix (18.5 TF/s effective on Hubbard-L16 D~768 vs 4.7 TF/s
+            # bucketed), so no bucket-executor routing
             from ..ops.tiled import TiledExecutor
             if not hasattr(self, "_tiled_cache"):
                 self._tiled_cache = {}
