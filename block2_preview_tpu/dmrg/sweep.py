@@ -283,6 +283,13 @@ class DMRG:
                 import os
                 self.me.stk_engine = os.environ.get("B2TPU_STK_ENGINE",
                                                     "tiled")
+        # optional cross-process plan-cache persistence: structures are
+        # validated against content signatures at lookup, so stale
+        # entries are rebuilt safely (B2TPU_PLAN_CACHE=<dir>)
+        import os
+        self._plan_cache_dir = os.environ.get("B2TPU_PLAN_CACHE")
+        if self._plan_cache_dir:
+            self._load_plan_caches()
         self.me.init_environments()
         self.energies: List[np.ndarray] = []
         self.discarded_weights: List[float] = []
@@ -293,6 +300,49 @@ class DMRG:
         self._center_pos = -1
 
     # ------------------------------------------------------------------
+    def _cache_file(self):
+        import hashlib
+        import os
+        h = hashlib.sha1()
+        h.update(str((self.mpo.n_sites,
+                      len(self.mpo.bond_dqs[self.mpo.n_sites // 2]),
+                      self.mps.info.target,
+                      self.mps.info.bond_dim)).encode())
+        return os.path.join(self._plan_cache_dir,
+                            f"plans_{h.hexdigest()[:16]}.pkl")
+
+    def _load_plan_caches(self):
+        import os
+        import pickle
+        fn = self._cache_file()
+        if not os.path.exists(fn):
+            return
+        try:
+            with open(fn, "rb") as f:
+                data = pickle.load(f)
+            self._tiled_cache = data.get("tiled", {})
+            self.me._asm_cache = data.get("asm", {})
+        except Exception:
+            pass
+
+    def save_plan_caches(self):
+        """Persist host-side plan structures (tiled matvec structs +
+        assembly plans); call after a sweep to cut the next process's
+        warm-up.  Automatic at solve() end when B2TPU_PLAN_CACHE is
+        set."""
+        if not getattr(self, "_plan_cache_dir", None):
+            return
+        import os
+        import pickle
+        os.makedirs(self._plan_cache_dir, exist_ok=True)
+        data = {"tiled": getattr(self, "_tiled_cache", {}),
+                "asm": getattr(self.me, "_asm_cache", {})}
+        try:
+            with open(self._cache_file(), "wb") as f:
+                pickle.dump(data, f, protocol=4)
+        except Exception:
+            pass
+
     def _initial_guesses(self, eff: EffectiveHamiltonian2, t: int
                          ) -> np.ndarray:
         guesses = []
@@ -647,5 +697,7 @@ class DMRG:
                     pass
             last_e = e
             forward = not forward
+            if getattr(self, "_plan_cache_dir", None):
+                self.save_plan_caches()
         final = self.energies[-1] if self.energies else np.array([np.nan])
         return float(final[0]) if self.n_roots == 1 else final
