@@ -106,3 +106,43 @@ sample 50
     assert dets.shape == (50, 6)
     assert any(l.startswith("Extrapolated Energy")
                for l in out.stdout.splitlines()), out.stdout[-1500:]
+
+
+def test_cli_backend_dtype_keywords(tmp_path):
+    """backend/dtype keywords select the accelerator engine (here the
+    tiled engine on the CPU backend for determinism)."""
+    energies, _ = _run_conf(tmp_path, """
+orbitals /root/reference/data/HUBBARD-L8-U2.FCIDUMP
+nelec 8
+spin 0
+backend jax_tiled
+dtype f64
+schedule
+0 100 1e-8 1e-4
+2 100 1e-9 0.0
+end
+maxiter 6
+sweep_tol 1E-9
+""") if os.path.exists("/root/reference/data/HUBBARD-L8-U2.FCIDUMP") \
+        else (None, None)
+    if energies is None:
+        import numpy as np
+        from block2_preview_tpu.core.fcidump import FCIDUMP
+        fd = FCIDUMP.hubbard(6, t=1.0, u=2.0)
+        fn = tmp_path / "HUB.FCIDUMP"
+        fd.write(str(fn))
+        energies, _ = _run_conf(tmp_path, f"""
+orbitals {fn}
+nelec 6
+spin 0
+backend jax_tiled
+dtype f64
+noreorder
+schedule
+0 100 1e-8 1e-4
+2 100 1e-9 0.0
+end
+maxiter 6
+sweep_tol 1E-9
+""")
+    assert energies
