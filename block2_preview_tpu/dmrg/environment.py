@@ -120,7 +120,13 @@ class MovingEnvironment:
 
         from ..ops.stacked import (build_stacked_plan, execute_stacked,
                                    meta_from_env, _cap_class)
-        dt = self.device_dtype or self._dtype_of({}, t)
+        # honor the DMRG(dtype=...) override only for real data: a complex
+        # MPO (DHF/SOC FCIDUMP) must not be forced into real pools, where
+        # the stacked/tiled executors would silently drop imaginary parts
+        inf_dt = self._dtype_of({}, t)
+        dt = (self.device_dtype
+              if self.device_dtype is not None
+              and inf_dt in (np.float64, np.float32) else inf_dt)
         if dt not in (np.float64, np.float32):
             return False
         left = direction == "left"

@@ -308,6 +308,16 @@ class DMRG:
                       len(self.mpo.bond_dqs[self.mpo.n_sites // 2]),
                       self.mps.info.target,
                       self.mps.info.bond_dim)).encode())
+        # content digest of the MPO coefficients: plans bake integral
+        # values into coef_c, so runs with different integrals but
+        # identical structure (e.g. a PES scan sharing a cache dir) must
+        # hash to different files
+        h.update(np.float64(self.mpo.const_e).tobytes())
+        for t in range(self.mpo.n_sites):
+            ent = self.mpo.tensors[t]
+            for key in sorted(ent):
+                h.update(str(key).encode())
+                h.update(np.ascontiguousarray(ent[key]).tobytes())
         return os.path.join(self._plan_cache_dir,
                             f"plans_{h.hexdigest()[:16]}.pkl")
 
@@ -390,8 +400,13 @@ class DMRG:
             from ..ops.tiled import TiledExecutor
             if not hasattr(self, "_tiled_cache"):
                 self._tiled_cache = {}
+            # key on (kind, site): EffectiveHamiltonian1/1R/2 at the same
+            # site have different structures; a shared key would force a
+            # rebuild on every alternation (perf, not correctness — the
+            # signature check catches mismatches)
             ex = TiledExecutor(eff, dtype=self.dtype,
-                               cache=self._tiled_cache, cache_key=eff.t)
+                               cache=self._tiled_cache,
+                               cache_key=(type(eff).__name__, eff.t))
             try:
                 if self.n_roots == 1:
                     th, xv, nmv = ex.solve_ground_state(
@@ -420,7 +435,7 @@ class DMRG:
                 self._exec_cache = {}
             ex = FusedPlanExecutor(eff, dtype=self.dtype,
                                    cache=self._exec_cache,
-                                   cache_key=eff.t)
+                                   cache_key=(type(eff).__name__, eff.t))
             return davidson(ex.matvec, diag, x0, n_roots=self.n_roots,
                             conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
         return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,

@@ -112,8 +112,11 @@ def run(config_path: str) -> float:
     # backend: numpy (host) | jax | jax_device | jax_stacked | jax_tiled
     # (compile-once accelerator engine); dtype: f64 | f32
     backend = str(dic.get("backend", "numpy")).lower()
-    cli_dtype = {"f32": np.float32, "f64": np.float64}[
-        str(dic.get("dtype", "f64")).lower()]
+    dtype_key = str(dic.get("dtype", "f64")).lower()
+    if dtype_key not in ("f32", "f64"):
+        raise ValueError(
+            f"dtype must be one of f32 | f64, got {dtype_key!r}")
+    cli_dtype = {"f32": np.float32, "f64": np.float64}[dtype_key]
     solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0,
                   n_roots=n_roots, backend=backend, dtype=cli_dtype)
     restart_dir = dic.get("restart_dir")

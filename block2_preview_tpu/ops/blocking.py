@@ -448,18 +448,40 @@ def _fused_sig(fused):
     return h
 
 
-def _assembly_sig(env, n_entries, fused, fused_ket, active, active_ket,
-                  comp_target, comp_target_ket):
-    """Structure signature covering EVERYTHING the scatter plan depends on:
-    env block layout, the fused bra/ket bases (these are filtered against
-    the *other* bond, which can change while the env side stays put —
-    caching on env alone executes a stale plan), the active symbol sets,
-    and the complement targets."""
-    h = hash((n_entries, comp_target, comp_target_ket,
-              _fused_sig(fused),
-              _fused_sig(fused_ket) if fused_ket is not fused else 1,
-              tuple(sorted(active)) if active is not None else None,
-              tuple(sorted(active_ket)) if active_ket is not None else None))
+def _entries_sig(entries):
+    """Content digest of the MPO site tensor: (in, out) symbols AND matrix
+    values.  The scatter plan bakes w[pb, pk] into coef_c, so two MPOs with
+    identical structure but different integrals must never validate against
+    each other's cached plan.  hashlib (not hash()) so the value is stable
+    across processes (B2TPU_PLAN_CACHE persistence)."""
+    import hashlib
+    hs = hashlib.blake2b(digest_size=8)
+    for (i, o) in sorted(entries):
+        w = entries[(i, o)]
+        hs.update(int(i).to_bytes(8, "little", signed=True))
+        hs.update(int(o).to_bytes(8, "little", signed=True))
+        hs.update(np.ascontiguousarray(w).tobytes())
+    return int.from_bytes(hs.digest(), "little")
+
+
+def _plan_args_sig(entries, fused, fused_ket, active, active_ket,
+                   comp_target, comp_target_ket):
+    """Signature over every non-env input the scatter plan depends on:
+    MPO entry content (symbols + coefficient values), the fused bra/ket
+    bases (these are filtered against the *other* bond, which can change
+    while the env side stays put), active symbol sets, complement targets.
+    Process-stable (QNs are int tuples; entries digested via hashlib)."""
+    return hash((_entries_sig(entries), comp_target, comp_target_ket,
+                 _fused_sig(fused),
+                 _fused_sig(fused_ket) if fused_ket is not fused else 1,
+                 tuple(sorted(active)) if active is not None else None,
+                 tuple(sorted(active_ket)) if active_ket is not None
+                 else None))
+
+
+def _assembly_sig(env, args_sig):
+    """args_sig (_plan_args_sig) + the env block layout."""
+    h = args_sig
     for sym, bm in env.items():
         for k, blk in bm.blocks.items():
             h = hash((h, sym, k, blk.shape))
@@ -491,12 +513,19 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
     nphys = len(quanta)
     use_cache = (plan_cache is not None and plan_key is not None
                  and dtype == np.float64)
+    args_sig = _plan_args_sig(entries, fused, fused_ket, active,
+                              active_ket, comp_target,
+                              comp_target_ket) if use_cache else None
     # stacked-pool fast path: cached plan + gather ranges -> no env
-    # materialization at all (kills the device->host unpack cost)
+    # materialization at all (kills the device->host unpack cost).
+    # Validated on BOTH the env-pool layout (stk_sig) and the non-env plan
+    # inputs (args_sig: fused bases / active sets / MPO coefficients) —
+    # either changing invalidates the plan.
     if use_cache and env_pool is not None:
         ent = plan_cache.get(plan_key)
         if ent is not None and "stk_ranges" in ent[1] \
-                and ent[1].get("stk_sig") == env_pool[0].signature():
+                and ent[1].get("stk_sig") == env_pool[0].signature() \
+                and ent[1].get("args_sig") == args_sig:
             out = _exec_assembly_pooled(
                 ent[1], np.asarray(env_pool[1], dtype=np.float64))
             if out is not None:
@@ -504,9 +533,7 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
     if callable(env):
         env = env()
     if use_cache:
-        sig = _assembly_sig(env, len(entries), fused, fused_ket,
-                            active, active_ket, comp_target,
-                            comp_target_ket)
+        sig = _assembly_sig(env, args_sig)
         ent = plan_cache.get(plan_key)
         if ent is not None and ent[0] == sig:
             out = _exec_assembly_cached(ent[1], env, group)
@@ -703,7 +730,7 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
                     "eoff_c": eoff_c, "d1_c": d1_c, "d2_c": d2_c,
                     "coef_c": coef_c, "ooff_c": ooff_c, "rs_c": rs_c,
                     "cs_c": cs_c, "grp": grp, "total": int(offs[-1]),
-                    "out_meta": out_meta}
+                    "out_meta": out_meta, "args_sig": args_sig}
                 if env_pool is not None:
                     rng = _stk_gather_plan(env_order, env_pool[0])
                     if rng is not None:
