@@ -171,8 +171,12 @@ class MovingEnvironment:
                     self.mpo.bond_dqs[t + 1 if left else t])
                 # very large output pools crash the TPU worker inside the
                 # scan-carried scatter (observed at Cr2 mid-chain bonds);
-                # those bonds run on the per-shape bucket engine instead
-                if plan is not None and plan.ncap > (1 << 26):
+                # those bonds run on the per-shape bucket engine instead.
+                # B2TPU_TILED_NCAP_MAX overrides the routing threshold.
+                import os as _os
+                _ncap_max = int(_os.environ.get("B2TPU_TILED_NCAP_MAX",
+                                                1 << 26))
+                if plan is not None and plan.ncap > _ncap_max:
                     plan = build_stacked_plan(
                         meta_in, self.mpo.tensors[t],
                         self.mpo.site_quanta[t], self.bra.tensors[t],

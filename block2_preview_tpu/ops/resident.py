@@ -1,0 +1,708 @@
+"""Device-resident site pipeline: mix (assembly) + slab matvec + diag.
+
+The host<->device link on the target system is slow (~10 MB/s tunnel,
+80 ms round trip), so the per-site pipeline must never move environment
+pools or effective operators through the host.  This module provides the
+device-side stages that, together with the tiled blocking kernel
+(ops/tiled_blocking.py), keep the whole two-site step on the accelerator:
+
+  blocking (tiled_blocking)  : env pool  -> env pool          [device]
+  mix (this module)          : env pool  -> LW/RW slab pools  [device]
+  matvec/diag (this module)  : LW/RW     -> sigma / diag      [device]
+  davidson (device_davidson) : jitted lax.while_loop          [device]
+
+Only the center wavefunction (a few MB) and scalars cross the link.
+
+LW/RW layout: StackedMeta over the center-bond MPO symbols — groups by
+center delta quantum dq_m, sectors keyed by the fused bra quantum qLb with
+dims (DLb, DLk); slab for (group, qLb) holds the group's symbols
+contiguously, row-major.  This is the same layout family as the
+environment pools, so the mix stage is a pure gather-scale-scatter and the
+matvec gathers L/R tiles with strided _gtile reads (no host tile packing,
+no per-site pool uploads).
+
+Reference analog: the DelayedOperatorTensor contraction
+(src/core/operator_tensor.hpp:209) + EffectiveHamiltonian::operator()
+(src/dmrg/effective_hamiltonian.hpp:449) + tensor_product_diagonal.
+All task arrays are int32 (pools < 2^31 elements) and every launch is
+bounded; jit signatures depend only on (T, capacity classes, scan depth).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import jit_cache  # noqa: F401
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.symmetry import QN
+from .stacked import StackedMeta, _cap_class, _pow2
+from .tiled import pick_tile, _TILE_CFG
+
+# scan depth per mix launch (groups of B tasks per jit call)
+_MIX_SCAN = 8
+_MIX_B = 4096
+
+
+def _gtile_i32(pool, base, stride, rmax, cmax, T):
+    """[B, T, T] tiles from a flat pool at (base + r*stride + c), masked
+    to the sentinel (last) slot outside (rmax, cmax) or when base < 0."""
+    r = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    c = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    idx = base[:, None, None] + r * stride[:, None, None] + c
+    ok = (r < rmax[:, None, None]) & (c < cmax[:, None, None]) \
+        & (base[:, None, None] >= 0)
+    return pool[jnp.where(ok, idx, pool.shape[0] - 1)]
+
+
+@partial(jax.jit, static_argnames=("T", "ncap", "nscan"), donate_argnums=0)
+def _mix_exec(out, epool, s, coef, T, ncap, nscan):
+    """out[obase + r*orstr + c*ocstr] += coef * epool[ebase + r*estr + c]
+    for every task; s [nscan, 7, B] int32 rows: ebase, estr, ermax, ecmax,
+    obase, orstr, ocstr.  obase < 0 rows are dropped."""
+    r = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    c = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+
+    def body(out, g):
+        sg, cf = g
+        E = _gtile_i32(epool, sg[0], sg[1], sg[2], sg[3], T)
+        vals = E * cf[:, None, None]
+        idx = sg[4][:, None, None] + r * sg[5][:, None, None] \
+            + c * sg[6][:, None, None]
+        ok = (r < sg[2][:, None, None]) & (c < sg[3][:, None, None]) \
+            & (sg[4][:, None, None] >= 0)
+        return out.at[jnp.where(ok, idx, ncap)].add(vals, mode="drop"), 0
+
+    out, _ = lax.scan(body, out, (s, coef))
+    return out
+
+
+class MixPlan:
+    __slots__ = ("meta_out", "T", "ncap_out", "s", "coef", "n_launch",
+                 "dims_hint")
+
+
+def build_mix_plan(meta_env: StackedMeta, entries, quanta,
+                   fused, bond_is_first: bool, join_on_input: bool,
+                   group, out_bond_dqs, comp_target=None,
+                   active=None, fused_ket=None, comp_target_ket=None,
+                   active_ket=None, T: Optional[int] = None
+                   ) -> Optional[MixPlan]:
+    """Plan the LW (join_on_input) or RW assembly from a stacked env pool.
+
+    Mirrors ops.blocking.assemble_fused_ops (reference
+    src/core/operator_tensor.hpp:209 DelayedOperatorTensor) but emits
+    device gather/scatter tile tasks instead of host scatter plans.
+    """
+    g = group
+    nphys = len(quanta)
+    fused_k = fused if fused_ket is None else fused_ket
+    ct_k = comp_target if comp_target_ket is None else comp_target_ket
+    act_k = active if active_ket is None else active_ket
+
+    # (bond sector code, phys) -> (fused q, sub offset, stride)
+    def build_tab(fb, ct, act):
+        tab: Dict[Tuple[QN, int], Tuple[QN, int, int]] = {}
+        for fq, runs in fb.maps.items():
+            if act is not None and fq not in act:
+                continue
+            for (qa, qb2, off, da, db) in runs:
+                if bond_is_first:
+                    qbond, p_qn = qa, qb2
+                else:
+                    p_qn, qbond = qa, qb2
+                qb_real = qbond if ct is None else g.sub(ct, qbond)
+                idx_within = 0
+                for p, q in enumerate(quanta):
+                    if q == p_qn:
+                        if bond_is_first:
+                            tab[(qb_real, p)] = (fq, off + idx_within, db)
+                        else:
+                            tab[(qb_real, p)] = (fq, off + idx_within * db,
+                                                 1)
+                        idx_within += 1
+        return tab
+
+    tab_b = build_tab(fused, comp_target, active)
+    tab_k = build_tab(fused_k, ct_k, act_k)
+
+    # entries keyed by joined symbol
+    ent_by: Dict[int, List[Tuple[int, int, int, float]]] = {}
+    iscpx = False
+    for (i, o), w in sorted(entries.items()):
+        jsym = i if join_on_input else o
+        osym = o if join_on_input else i
+        if np.iscomplexobj(w):
+            iscpx = True
+        for pb, pk in zip(*np.nonzero(w)):
+            ent_by.setdefault(jsym, []).append(
+                (osym, int(pb), int(pk), w[pb, pk]))
+    if not ent_by:
+        return None
+
+    # discover output sectors, collect contributions
+    out_sym_sectors: Dict[int, Dict[QN, Tuple[int, int]]] = {}
+    contribs = []  # (ebase, dk(estride), db, dk, osym, qLb, ob, sb, ok, sk, cf)
+    dims = []
+    for gi, (dq_g, syms) in enumerate(meta_env.groups):
+        sec = meta_env.sectors[gi]
+        for j, s in enumerate(syms):
+            ents = ent_by.get(int(s))
+            if ents is None:
+                continue
+            for qlb, (eoff, db, dk) in sec.items():
+                qlk = g.sub(qlb, dq_g)
+                ebase = eoff + j * db * dk
+                for (osym, pb, pk, cf) in ents:
+                    vb = tab_b.get((qlb, pb))
+                    vk = tab_k.get((qlk, pk))
+                    if vb is None or vk is None:
+                        continue
+                    qLb, ob, sb = vb
+                    qLk, ok, sk = vk
+                    d = out_sym_sectors.setdefault(osym, {})
+                    if qLb not in d:
+                        d[qLb] = (fused.info[qLb], fused_k.info[qLk])
+                    contribs.append((ebase, db, dk, osym, qLb, ob, sb,
+                                     ok, sk, cf))
+                    dims += [db, dk]
+    if not contribs:
+        return None
+    meta_out = StackedMeta.from_bond(out_bond_dqs, out_sym_sectors)
+    if T is None:
+        T = pick_tile(np.asarray(dims))
+
+    nc = len(contribs)
+    ebase_a = np.fromiter((c[0] for c in contribs), np.int64, nc)
+    db_a = np.fromiter((c[1] for c in contribs), np.int64, nc)
+    dk_a = np.fromiter((c[2] for c in contribs), np.int64, nc)
+    ob_a = np.fromiter((c[5] for c in contribs), np.int64, nc)
+    sb_a = np.fromiter((c[6] for c in contribs), np.int64, nc)
+    ok_a = np.fromiter((c[7] for c in contribs), np.int64, nc)
+    sk_a = np.fromiter((c[8] for c in contribs), np.int64, nc)
+    cf_a = np.fromiter((c[9] for c in contribs),
+                       np.complex128 if iscpx else np.float64, nc)
+    # output slab base: ooff + jo*DLb*DLk + ob*DLk + ok (row stride DLk)
+    obase_a = np.empty(nc, dtype=np.int64)
+    dlk_a = np.empty(nc, dtype=np.int64)
+    for idx, c in enumerate(contribs):
+        osym, qLb = c[3], c[4]
+        go, jo = meta_out.sym_pos[osym]
+        ooff, DLb, DLk = meta_out.sectors[go][qLb]
+        obase_a[idx] = ooff + jo * DLb * DLk + ob_a[idx] * DLk + ok_a[idx]
+        dlk_a[idx] = DLk
+
+    # tile expansion: (ri, ci) grid over (db, dk)
+    nr = -(-db_a // T)
+    ncc = -(-dk_a // T)
+    per = nr * ncc
+    tot = int(per.sum())
+    it = np.repeat(np.arange(nc), per)
+    cum = np.concatenate([[0], np.cumsum(per)[:-1]])
+    o = np.arange(tot) - np.repeat(cum, per)
+    ncc_i = ncc[it]
+    ri = o // ncc_i
+    ci = o % ncc_i
+    t_eb = ebase_a[it] + ri * T * dk_a[it] + ci * T
+    t_es = dk_a[it]
+    t_rm = db_a[it] - ri * T
+    t_cm = dk_a[it] - ci * T
+    t_ors = sb_a[it] * dlk_a[it]
+    t_ocs = sk_a[it]
+    t_ob = obase_a[it] + ri * T * t_ors + ci * T * t_ocs
+    t_cf = cf_a[it]
+
+    # sort by output base for scatter locality
+    order = np.argsort(t_ob, kind="stable")
+    B = _MIX_B
+    n_launch = -(-max(tot, 1) // (B * _MIX_SCAN))
+    cap = n_launch * B * _MIX_SCAN
+    s_arr = np.zeros((7, cap), dtype=np.int32)
+    s_arr[4, :] = -1
+    cf_arr = np.zeros(cap, dtype=np.complex128 if iscpx else np.float64)
+    s_arr[0, :tot] = t_eb[order]
+    s_arr[1, :tot] = t_es[order]
+    s_arr[2, :tot] = t_rm[order]
+    s_arr[3, :tot] = t_cm[order]
+    s_arr[4, :tot] = t_ob[order]
+    s_arr[5, :tot] = t_ors[order]
+    s_arr[6, :tot] = t_ocs[order]
+    cf_arr[:tot] = t_cf[order]
+
+    plan = MixPlan()
+    plan.meta_out = meta_out
+    plan.T = T
+    plan.ncap_out = _cap_class(meta_out.total + 1)
+    plan.s = s_arr.reshape(7, n_launch, _MIX_SCAN, B).transpose(1, 2, 0, 3)
+    plan.coef = cf_arr.reshape(n_launch, _MIX_SCAN, B)
+    plan.n_launch = n_launch
+    plan.dims_hint = dims
+    return plan
+
+
+def execute_mix(plan: MixPlan, epool_dev, dtype=np.float32):
+    """Run the mix plan; returns the LW/RW slab pool on device [ncap+1]
+    (sentinel zero slot at index ncap)."""
+    out = jnp.zeros(plan.ncap_out + 1, dtype=dtype)
+    cf = plan.coef
+    if not np.iscomplexobj(np.zeros(1, dtype)):
+        cf = cf.real
+    for li in range(plan.n_launch):
+        out = _mix_exec(out, epool_dev, jnp.asarray(plan.s[li]),
+                        jnp.asarray(cf[li].astype(dtype)),
+                        plan.T, plan.ncap_out, _MIX_SCAN)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# slab matvec: sigma[ok] += LW[m][lk] @ psi[pk] @ RW[m][rk]^T with L/R tiles
+# gathered from row-major slab pools
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T"))
+def _slab_matvec_impl(xp, lpool, rpool, psi_idx, sig_idx,
+                      l4, pa, s1, ta, r4, s2, nt1, nt2, T):
+    """l4 [G, 4, B1] int32: lbase, lstride, lrmax, lcmax; r4 likewise.
+    pa/ta tile-pool ids (psi / tmp); s1/s2 sorted segment ids."""
+    pp = xp[psi_idx]
+    hi = lax.Precision.HIGHEST
+
+    def body(sig, g):
+        l4G, paG, s1G, taG, r4G, s2G = g
+        L = _gtile_i32(lpool, l4G[0], l4G[1], l4G[2], l4G[3], T)
+        prod1 = jnp.einsum("bak,bkn->ban", L, pp[paG], precision=hi,
+                           preferred_element_type=xp.dtype)
+        tmp = jax.ops.segment_sum(prod1, s1G, num_segments=nt1 + 1,
+                                  indices_are_sorted=True)
+        R = _gtile_i32(rpool, r4G[0], r4G[1], r4G[2], r4G[3], T)
+        prod2 = jnp.einsum("ban,bpn->bap", tmp[taG], R, precision=hi,
+                           preferred_element_type=xp.dtype)
+        sig = sig + jax.ops.segment_sum(prod2, s2G,
+                                        num_segments=nt2 + 1,
+                                        indices_are_sorted=True)
+        return sig, 0
+
+    sig0 = jnp.zeros((nt2 + 1, T, T), dtype=xp.dtype)
+    sig, _ = lax.scan(body, sig0, (l4, pa, s1, ta, r4, s2))
+    return sig.reshape(-1)[sig_idx]
+
+
+@partial(jax.jit, static_argnames=("nt2", "T"))
+def _slab_diag_impl(lpool, rpool, a4, b4, sD, sig_idx, nt2, T):
+    """diag tiles: per task, A = DL tiles [m, a], Bt = DR tiles [m, b],
+    prod[a, b] = sum_m A[m, a] * Bt[m, b]; segment-sum over target diag
+    tile id (sorted), then flatten through sig_idx."""
+    hi = lax.Precision.HIGHEST
+    A = _gtile_i32(lpool, a4[0], a4[1], a4[2], a4[3], T)
+    Bt = _gtile_i32(rpool, b4[0], b4[1], b4[2], b4[3], T)
+    prod = jnp.einsum("tma,tmb->tab", A, Bt, precision=hi,
+                      preferred_element_type=lpool.dtype)
+    dtl = jax.ops.segment_sum(prod, sD, num_segments=nt2 + 1,
+                              indices_are_sorted=True)
+    return dtl.reshape(-1)[sig_idx]
+
+
+@partial(jax.jit, static_argnames=("cap", "T"))
+def _dl_build(pool, g4, cap, T):
+    """Build a DL/DR pool: strided diagonal rows gathered from a slab
+    pool (g4 rows: base, stride, imax, outoff) and written contiguously;
+    out[outoff + i] = pool[base + i*stride] for i < imax."""
+    i = jnp.arange(T, dtype=jnp.int32)[None, :]
+    idx = g4[0][:, None] + i * g4[1][:, None]
+    ok = (i < g4[2][:, None]) & (g4[0][:, None] >= 0)
+    rows = pool[jnp.where(ok, idx, pool.shape[0] - 1)]
+    rows = jnp.where(ok, rows, 0)
+    out = jnp.zeros(cap, dtype=pool.dtype)
+    oidx = g4[3][:, None] + i
+    oidx = jnp.where(g4[0][:, None] >= 0, oidx, cap - 1)
+    return out.at[oidx].set(rows, mode="drop")
+
+
+class SlabMatvec:
+    """Compile-once sigma-vector executor reading LW/RW directly from
+    device slab pools (the StackedMeta layout produced by execute_mix).
+
+    The task structure depends only on (meta_lw, meta_rw, psi space) and
+    is cached across sweeps via cache/cache_key.  Nothing is packed or
+    transferred per step except the task arrays themselves (int32).
+    """
+
+    def __init__(self, space, meta_lw: StackedMeta, meta_rw: StackedMeta,
+                 group, target_b, target_k, dtype=np.float32,
+                 T: Optional[int] = None, cache: dict = None,
+                 cache_key=None, bra_space=None):
+        self.dtype = dtype
+        self.space = space
+        self.bra_space = bra_space if bra_space is not None else space
+        self.size = space.size
+        sig = None
+        struct = None
+        if cache is not None and cache_key is not None:
+            sig = hash((meta_lw.signature(), meta_rw.signature(),
+                        tuple(space.keys),
+                        tuple(sorted(space.shapes.items())),
+                        tuple(self.bra_space.keys), T))
+            ent = cache.get(cache_key)
+            if ent is not None and ent[0] == sig:
+                struct = ent[1]
+        if struct is None:
+            struct = self._build(space, self.bra_space, meta_lw, meta_rw,
+                                 group, target_b, target_k, T)
+            if cache is not None and cache_key is not None:
+                cache[cache_key] = (sig, struct)
+        self.struct = struct
+        self._dev = None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _build(space, bra_space, meta_lw, meta_rw, g, tb, tk, T):
+        # map center symbol -> (lw slab position, rw slab position, dq)
+        lw_dq = {}
+        for gi, (dq, syms) in enumerate(meta_lw.groups):
+            for s in syms:
+                lw_dq[int(s)] = dq
+        # triples: for m, psi key (qLk, qRk): qLb = qLk + dq_m; out key
+        # (qLb, tb - qLb); need lw sector qLb and rw sector qRb.
+        dims = []
+        for k in space.keys:
+            dims += list(space.shapes[k])
+        for k in bra_space.keys:
+            dims += list(bra_space.shapes[k])
+        trip = []   # (lbase, lstr, DLb, DLk, rbase, rstr, DRb, DRk, pk, ok)
+        bkeys = set(bra_space.keys)
+        for m, (gl, jl) in meta_lw.sym_pos.items():
+            gr_jr = meta_rw.sym_pos.get(m)
+            if gr_jr is None:
+                continue
+            gr, jr = gr_jr
+            dq = lw_dq[m]
+            sec_l = meta_lw.sectors[gl]
+            sec_r = meta_rw.sectors[gr]
+            for (qLk, qRk) in space.keys:
+                qLb = g.add(qLk, dq)
+                qRb = g.sub(tb, qLb)
+                if (qLb, qRb) not in bkeys:
+                    continue
+                el = sec_l.get(qLb)
+                er = sec_r.get(qRb)
+                if el is None or er is None:
+                    continue
+                loff, DLb, DLk = el
+                roff, DRb, DRk = er
+                if DLk != space.shapes[(qLk, qRk)][0] or \
+                        DRk != space.shapes[(qLk, qRk)][1]:
+                    continue
+                trip.append((loff + jl * DLb * DLk, DLk, DLb,
+                             roff + jr * DRb * DRk, DRk, DRb,
+                             (qLk, qRk), (qLb, qRb)))
+        if T is None:
+            T = pick_tile(np.asarray(dims if dims else [16]))
+        B, nt1 = _TILE_CFG[T]
+
+        # tiled layout of flat psi (ket space) and sigma (bra space)
+        def vec_layout(sp):
+            vb = {}
+            nv = 0
+            for k in sp.keys:
+                r, c = sp.shapes[k]
+                nr, ncc = -(-r // T), -(-c // T)
+                vb[k] = (nv, nr, ncc)
+                nv += nr * ncc
+            return vb, nv
+
+        vbk, nvk = vec_layout(space)
+        vbb, nvb = vec_layout(bra_space)
+        nt2 = _pow2(nvb + 1)
+        size_p = _pow2(space.size + 1)
+        sizb_p = _pow2(bra_space.size + 1)
+
+        psi_idx = np.full((_pow2(nvk + 1), T, T), size_p, dtype=np.int32)
+        for k in space.keys:
+            off = space.offsets[k]
+            r, c = space.shapes[k]
+            base, nr, ncc = vbk[k]
+            fr, fc = np.divmod(np.arange(r * c), c)
+            tidx = ((base + (fr // T) * ncc + (fc // T)) * (T * T)
+                    + (fr % T) * T + (fc % T))
+            psi_idx.reshape(-1)[tidx] = off + np.arange(r * c)
+        sig_idx = np.full(sizb_p, (nt2 + 1) * T * T - 1, dtype=np.int32)
+        for k in bra_space.keys:
+            off = bra_space.offsets[k]
+            r, c = bra_space.shapes[k]
+            base, nr, ncc = vbb[k]
+            fr, fc = np.divmod(np.arange(r * c), c)
+            tidx = ((base + (fr // T) * ncc + (fc // T)) * (T * T)
+                    + (fr % T) * T + (fc % T))
+            sig_idx[off + np.arange(r * c)] = tidx
+
+        ntr = len(trip)
+        if ntr == 0:
+            raise ValueError("no matvec triples")
+        lbase_a = np.fromiter((x[0] for x in trip), np.int64, ntr)
+        DLk_a = np.fromiter((x[1] for x in trip), np.int64, ntr)
+        DLb_a = np.fromiter((x[2] for x in trip), np.int64, ntr)
+        rbase_a = np.fromiter((x[3] for x in trip), np.int64, ntr)
+        DRk_a = np.fromiter((x[4] for x in trip), np.int64, ntr)
+        DRb_a = np.fromiter((x[5] for x in trip), np.int64, ntr)
+        pb_a = np.fromiter((vbk[x[6]][0] for x in trip), np.int64, ntr)
+        ob_a = np.fromiter((vbb[x[7]][0] for x in trip), np.int64, ntr)
+        # tile grids: a over DLb, k over DLk, p over DRb, n over DRk
+        na_a = -(-DLb_a // T)
+        nk_a = -(-DLk_a // T)
+        np_a = -(-DRb_a // T)
+        nn_a = -(-DRk_a // T)
+        itmp = na_a * nn_a
+        is1 = itmp * nk_a
+        is2 = itmp * np_a
+        if (itmp.max() > nt1 or is1.max() > B or is2.max() > B):
+            raise ValueError(f"block too large for tile cfg T={T}")
+        grp = np.empty(ntr, dtype=np.int64)
+        tb_a = np.empty(ntr, dtype=np.int64)
+        o1_a = np.empty(ntr, dtype=np.int64)
+        o2_a = np.empty(ntr, dtype=np.int64)
+        gidx = t_used = u1 = u2 = 0
+        for i in range(ntr):
+            if (t_used + itmp[i] > nt1 or u1 + is1[i] > B
+                    or u2 + is2[i] > B):
+                gidx += 1
+                t_used = u1 = u2 = 0
+            grp[i] = gidx
+            tb_a[i] = t_used
+            o1_a[i] = u1
+            o2_a[i] = u2
+            t_used += itmp[i]
+            u1 += is1[i]
+            u2 += is2[i]
+        ng = gidx + 1
+        G = _pow2(ng)
+        l4 = np.zeros((G, 4, B), dtype=np.int32)
+        l4[:, 0, :] = -1
+        pa = np.full((G, B), _pow2(nvk + 1), dtype=np.int32)
+        s1 = np.full((G, B), nt1, dtype=np.int32)
+        ta = np.full((G, B), nt1, dtype=np.int32)
+        r4 = np.zeros((G, 4, B), dtype=np.int32)
+        r4[:, 0, :] = -1
+        s2 = np.full((G, B), nt2, dtype=np.int32)
+        # stage 1 tasks (ai, ni, ki)
+        tot1 = int(is1.sum())
+        item1 = np.repeat(np.arange(ntr), is1)
+        cum1 = np.concatenate([[0], np.cumsum(is1)[:-1]])
+        o = np.arange(tot1) - np.repeat(cum1, is1)
+        nk1 = nk_a[item1]
+        nn1 = nn_a[item1]
+        ai = o // (nn1 * nk1)
+        ni = (o // nk1) % nn1
+        ki = o % nk1
+        pos = np.repeat(o1_a, is1) + o
+        gi = grp[item1]
+        l4[gi, 0, pos] = lbase_a[item1] + ai * T * DLk_a[item1] + ki * T
+        l4[gi, 1, pos] = DLk_a[item1]
+        l4[gi, 2, pos] = DLb_a[item1] - ai * T
+        l4[gi, 3, pos] = DLk_a[item1] - ki * T
+        pa[gi, pos] = pb_a[item1] + ki * nn1 + ni
+        s1[gi, pos] = np.repeat(tb_a, is1) + ai * nn1 + ni
+        # stage 2 tasks (ai, ni, pi), sorted per group by target tile
+        tot2 = int(is2.sum())
+        item2 = np.repeat(np.arange(ntr), is2)
+        cum2 = np.concatenate([[0], np.cumsum(is2)[:-1]])
+        o = np.arange(tot2) - np.repeat(cum2, is2)
+        nn2 = nn_a[item2]
+        npp = np_a[item2]
+        ai = o // (nn2 * npp)
+        ni = (o // npp) % nn2
+        pi = o % npp
+        v_s2 = ob_a[item2] + ai * npp + pi
+        v_ta = np.repeat(tb_a, is2) + ai * nn2 + ni
+        v_rb = rbase_a[item2] + pi * T * DRk_a[item2] + ni * T
+        gi2 = grp[item2]
+        order = np.lexsort((v_rb, v_ta, v_s2, gi2))
+        gsz = np.bincount(gi2, minlength=ng)
+        gstart = np.concatenate([[0], np.cumsum(gsz)[:-1]])
+        pos2 = np.arange(tot2) - np.repeat(gstart, gsz)
+        go = gi2[order]
+        s2[go, pos2] = v_s2[order]
+        ta[go, pos2] = v_ta[order]
+        r4[go, 0, pos2] = v_rb[order]
+        r4[go, 1, pos2] = DRk_a[item2][order]
+        r4[go, 2, pos2] = (DRb_a[item2] - pi * T)[order]
+        r4[go, 3, pos2] = (DRk_a[item2] - ni * T)[order]
+
+        return {"T": T, "nt1": nt1, "nt2": nt2, "size_p": size_p,
+                "sizb_p": sizb_p,
+                "psi_idx": psi_idx, "sig_idx": sig_idx,
+                "l4": l4, "pa": pa, "s1": s1, "ta": ta, "r4": r4,
+                "s2": s2}
+
+    # ------------------------------------------------------------------
+    def to_device(self):
+        if self._dev is None:
+            s = self.struct
+            self._dev = {k: jnp.asarray(s[k])
+                         for k in ("psi_idx", "sig_idx", "l4", "pa", "s1",
+                                   "ta", "r4", "s2")}
+        return self._dev
+
+    def pad(self, x: np.ndarray) -> np.ndarray:
+        xp = np.zeros(self.struct["size_p"] + 1, dtype=self.dtype)
+        xp[:self.size] = x
+        return xp
+
+    def matvec_device(self, xp, lpool, rpool):
+        s = self.struct
+        d = self.to_device()
+        return _slab_matvec_impl(xp, lpool, rpool, d["psi_idx"],
+                                 d["sig_idx"], d["l4"], d["pa"], d["s1"],
+                                 d["ta"], d["r4"], d["s2"],
+                                 s["nt1"], s["nt2"], s["T"])
+
+    def free(self):
+        if self._dev is not None:
+            for a in self._dev.values():
+                try:
+                    a.delete()
+                except Exception:
+                    pass
+            self._dev = None
+
+
+def build_diag_struct(space, meta_lw: StackedMeta, meta_rw: StackedMeta,
+                      T: int, nt2: int, sig_idx: np.ndarray):
+    """Diag tasks: only center symbols with dq = 0 contribute
+    (LW[m][(qL,qL)] x RW[m][(qR,qR)] diagonals).  Emits (1) strided
+    diag-gather tasks building DL/DR row-major [M0p, Dpad] per sector and
+    (2) GEMM tile tasks contracting over m.  Returns a struct executable
+    by execute_diag."""
+    g0l = g0r = None
+    zero = None
+    for gi, (dq, syms) in enumerate(meta_lw.groups):
+        if all(x == 0 for x in dq):
+            g0l = gi
+            zero = dq
+            break
+    for gi, (dq, syms) in enumerate(meta_rw.groups):
+        if all(x == 0 for x in dq):
+            g0r = gi
+            break
+    if g0l is None or g0r is None:
+        return None
+    dql, syml = meta_lw.groups[g0l]
+    dqr, symr = meta_rw.groups[g0r]
+    # common symbols, positions in each slab
+    posl = {int(s): j for j, s in enumerate(syml)}
+    posr = {int(s): j for j, s in enumerate(symr)}
+    common = sorted(set(posl) & set(posr))
+    if not common:
+        return None
+    M0 = len(common)
+    M0p = -(-M0 // T) * T
+
+    # DL/DR pool layout: per psi sector (qL, qR): [M0p rows x DLpad cols]
+    gtasks_l = []   # (base, stride, imax, outrow)
+    gtasks_r = []
+    gemm = []       # (abase, astr, armax, acmax, bbase, ..., out tile)
+    dl_off = dr_off = 0
+    dl_secoff = {}
+    dr_secoff = {}
+    for (qL, qR) in space.keys:
+        el = meta_lw.sectors[g0l].get(qL)
+        er = meta_rw.sectors[g0r].get(qR)
+        DL, DR = space.shapes[(qL, qR)]
+        if el is None or er is None:
+            continue
+        loff, DLb, DLk = el
+        roff, DRb, DRk = er
+        if DLb != DL or DLk != DL or DRb != DR or DRk != DR:
+            continue
+        DLpad = -(-DL // T) * T
+        DRpad = -(-DR // T) * T
+        dl_secoff[(qL, qR)] = (dl_off, DLpad)
+        dr_secoff[(qL, qR)] = (dr_off, DRpad)
+        for mi, m in enumerate(common):
+            jl, jr = posl[m], posr[m]
+            for tile in range(DLpad // T):
+                gtasks_l.append((loff + jl * DL * DL + tile * T * (DL + 1),
+                                 DL + 1, DL - tile * T,
+                                 dl_off + mi * DLpad + tile * T))
+            for tile in range(DRpad // T):
+                gtasks_r.append((roff + jr * DR * DR + tile * T * (DR + 1),
+                                 DR + 1, DR - tile * T,
+                                 dr_off + mi * DRpad + tile * T))
+        dl_off += M0p * DLpad
+        dr_off += M0p * DRpad
+    if not gtasks_l:
+        return None
+
+    # GEMM tile tasks: diag_sec[a, b] = sum_m DL[m, a] * DR[m, b]
+    vbb = {}
+    nv = 0
+    for k in space.keys:
+        r, c = space.shapes[k]
+        vbb[k] = (nv, -(-r // T), -(-c // T))
+        nv += (-(-r // T)) * (-(-c // T))
+    a4t, b4t, sDt = [], [], []
+    for (qL, qR) in space.keys:
+        if (qL, qR) not in dl_secoff:
+            continue
+        doff, DLpad = dl_secoff[(qL, qR)]
+        roff2, DRpad = dr_secoff[(qL, qR)]
+        DL, DR = space.shapes[(qL, qR)]
+        base, nr, ncc = vbb[(qL, qR)]
+        for ai in range(nr):
+            for bi in range(ncc):
+                for mi in range(M0p // T):
+                    a4t.append((doff + mi * T * DLpad + ai * T, DLpad,
+                                M0 - mi * T, DL - ai * T))
+                    b4t.append((roff2 + mi * T * DRpad + bi * T, DRpad,
+                                M0 - mi * T, DR - bi * T))
+                    sDt.append(base + ai * ncc + bi)
+    order = np.argsort(np.asarray(sDt), kind="stable")
+    nB = _pow2(len(a4t))
+    a4 = np.zeros((4, nB), dtype=np.int32)
+    a4[0, :] = -1
+    b4 = np.zeros((4, nB), dtype=np.int32)
+    b4[0, :] = -1
+    sD = np.full(nB, nt2, dtype=np.int32)
+    a4[:, :len(a4t)] = np.asarray(a4t, dtype=np.int32)[order].T
+    b4[:, :len(b4t)] = np.asarray(b4t, dtype=np.int32)[order].T
+    sD[:len(sDt)] = np.asarray(sDt, dtype=np.int32)[order]
+
+    def exp_g(tasks, total):
+        """Expand strided-row gather tasks to int32 arrays + out dims."""
+        t = np.asarray(tasks, dtype=np.int64)
+        nBg = _pow2(len(t))
+        arr = np.zeros((4, nBg), dtype=np.int32)
+        arr[0, :] = -1
+        arr[0, :len(t)] = t[:, 0]
+        arr[1, :len(t)] = t[:, 1]
+        arr[2, :len(t)] = t[:, 2]
+        arr[3, :len(t)] = t[:, 3]
+        return arr, _pow2(total + 1)
+
+    gl, dl_cap = exp_g(gtasks_l, dl_off)
+    gr, dr_cap = exp_g(gtasks_r, dr_off)
+    return {"gl": gl, "gr": gr, "dl_cap": dl_cap, "dr_cap": dr_cap,
+            "a4": a4, "b4": b4, "sD": sD, "T": T, "nt2": nt2,
+            "sig_idx": sig_idx}
+
+
+def execute_diag(dstruct, lpool, rpool, dev_cache=None):
+    """Device diagonal of the effective Hamiltonian from LW/RW slab
+    pools; returns the flat diag [sizb_p] on device (tiled layout
+    flattened through sig_idx)."""
+    if dev_cache is None:
+        dev_cache = {}
+    for k in ("gl", "gr", "a4", "b4", "sD", "sig_idx"):
+        if k not in dev_cache:
+            dev_cache[k] = jnp.asarray(dstruct[k])
+    dl = _dl_build(lpool, dev_cache["gl"], dstruct["dl_cap"],
+                   dstruct["T"])
+    dr = _dl_build(rpool, dev_cache["gr"], dstruct["dr_cap"],
+                   dstruct["T"])
+    return _slab_diag_impl(dl, dr, dev_cache["a4"], dev_cache["b4"],
+                           dev_cache["sD"], dev_cache["sig_idx"],
+                           dstruct["nt2"], dstruct["T"])

@@ -44,9 +44,14 @@ def _pow2(n: int) -> int:
 
 
 def _cap_class(n: int) -> int:
+    """Quantized pool capacity.  pow4 steps while small (few compile
+    signatures), pow2 above 4M elements: a pow4 class wastes up to 4x —
+    at Cr2-scale pools that is GBs of HBM per bond."""
     c = 1 << 16
-    while c < n:
+    while c < n and c < (1 << 22):
         c <<= 2
+    while c < n:
+        c <<= 1
     return c
 
 

@@ -1,0 +1,347 @@
+"""Compile-once tile kernels with in-kernel task derivation (v2 engine).
+
+The v1 tiled engine (ops/tiled.py, ops/tiled_blocking.py) precomputes one
+descriptor row per T x T tile task on the host.  At quantum-chemistry
+scale that is 10^6-10^7 tasks per site — hundreds of MB of task arrays —
+which (a) crashes the TPU worker when carried through one giant
+`lax.scan` and (b) takes minutes to push through the slow host<->device
+link every site step.
+
+v2 uploads only per-ITEM descriptors (one row per GEMM triple /
+blocking item / mix contribution, ~10^4-10^5 per site, a few MB) and
+derives the per-tile task fields *inside the kernel* from the task index:
+
+    item  = searchsorted(cum_tasks, tau) - 1
+    o     = tau - cum_tasks[item]
+    tile coordinates = divmod(o, per-item tile grid)
+    bases/strides/masks = affine in the item fields
+
+Item arrays live on the device across sweeps (cached per site
+structure); per-launch signatures depend only on (T, B, capacity
+classes), so a full run compiles a handful of kernels.
+
+Reference analog: the BatchGEMMSeq schedule (src/core/batch_gemm.hpp)
+with the schedule itself computed on the accelerator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import jit_cache  # noqa: F401
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .stacked import StackedMeta, _cap_class, _pow2
+from .tiled import pick_tile
+
+# per tile size: stage task capacity B and tmp-pool tiles per group
+_CFG = {16: (8192, 8192), 32: (8192, 8192), 64: (4096, 4096),
+        128: (2048, 2048)}
+
+
+def _grid(n, T):
+    return -(-n // T)
+
+
+def _quant(n: int, keep_bits: int = 2) -> int:
+    """Round n up keeping `keep_bits` significant bits (1.25x-style size
+    classes): bounds the number of distinct jit signatures while wasting
+    at most ~25% padding."""
+    n = max(int(n), 1)
+    if n <= (1 << keep_bits):
+        return n
+    shift = n.bit_length() - 1 - keep_bits
+    step = 1 << shift
+    return -(-n // step) * step
+
+
+def _gtile(pool, base, stride, rmax, cmax, T):
+    r = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    c = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    idx = base[:, None, None] + r * stride[:, None, None] + c
+    ok = (r < rmax[:, None, None]) & (c < cmax[:, None, None]) \
+        & (base[:, None, None] >= 0)
+    return pool[jnp.where(ok, idx, pool.shape[0] - 1)]
+
+
+def _locate(cum, g0, B):
+    """tau -> (item, o, valid) for tasks g0 + [0, B) against item task
+    prefix sums cum [n_items + 1]."""
+    tau = g0 + jnp.arange(B, dtype=jnp.int32)
+    item = jnp.searchsorted(cum, tau, side="right").astype(jnp.int32) - 1
+    item = jnp.clip(item, 0, cum.shape[0] - 2)
+    o = tau - cum[item]
+    valid = tau < cum[-1]
+    return item, o, valid
+
+
+# ---------------------------------------------------------------------------
+# matvec: sigma[ok] += LW[m][lk] @ psi[pk] @ RW[m][rk]^T
+# item fields it [n, 14]: lbase, DLk, DLb, rbase, DRk, DRb, pb, ob,
+#                         na, nk, np, nn, tb, (pad)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan"))
+def _mv_exec(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
+             g1, g2, nt1, nt2, T, B, nscan):
+    """it [n, 13] int32 item fields; cum1/cum2 [n+1] stage task prefix
+    sums; g1/g2 [nscan] first stage-1/2 task ids per scan step."""
+    pp = xp[psi_idx]
+    hi = lax.Precision.HIGHEST
+
+    def body(sig, g):
+        g1s, g2s = g
+        # stage 1: tasks (ai, ni, ki) -> tmp tiles
+        i1, o1, v1 = _locate(cum1, g1s, B)
+        f = it[i1]
+        nn, nk = f[:, 11], f[:, 9]
+        ai = o1 // (nn * nk)
+        rem = o1 % (nn * nk)
+        ni = rem // nk
+        ki = rem % nk
+        lb = jnp.where(v1, f[:, 0] + ai * T * f[:, 1] + ki * T, -1)
+        L = _gtile(lpool, lb, f[:, 1], f[:, 2] - ai * T,
+                   f[:, 1] - ki * T, T)
+        pa = jnp.where(v1, f[:, 6] + ki * nn + ni, pp.shape[0] - 1)
+        prod1 = jnp.einsum("bak,bkn->ban", L, pp[pa], precision=hi,
+                           preferred_element_type=xp.dtype)
+        s1 = jnp.where(v1, f[:, 12] + ai * nn + ni, nt1)
+        tmp = jax.ops.segment_sum(prod1, s1, num_segments=nt1 + 1,
+                                  indices_are_sorted=True)
+        # stage 2: tasks (ai, pi, ni) -> sigma tiles
+        i2, o2, v2 = _locate(cum2, g2s, B)
+        f = it[i2]
+        nn, npp = f[:, 11], f[:, 10]
+        ai = o2 // (npp * nn)
+        rem = o2 % (npp * nn)
+        pi = rem // nn
+        ni = rem % nn
+        ta = jnp.where(v2, f[:, 12] + ai * nn + ni, nt1)
+        rb = jnp.where(v2, f[:, 3] + pi * T * f[:, 4] + ni * T, -1)
+        R = _gtile(rpool, rb, f[:, 4], f[:, 5] - pi * T,
+                   f[:, 4] - ni * T, T)
+        prod2 = jnp.einsum("ban,bpn->bap", tmp[ta], R, precision=hi,
+                           preferred_element_type=xp.dtype)
+        s2 = jnp.where(v2, f[:, 7] + ai * npp + pi, nt2)
+        sig = sig + jax.ops.segment_sum(prod2, s2, num_segments=nt2 + 1,
+                                        indices_are_sorted=False)
+        return sig, 0
+
+    sig0 = jnp.zeros((nt2 + 1, T, T), dtype=xp.dtype)
+    sig, _ = lax.scan(body, sig0, (g1, g2))
+    return sig.reshape(-1)[sig_idx]
+
+
+class MatvecV2:
+    """Sigma-vector executor over LW/RW slab pools, v2 task derivation.
+
+    space/bra_space: _Space objects (sector keys/shapes/offsets);
+    meta_lw/meta_rw: StackedMeta layouts of the assembled center
+    operators (from ops.resident.execute_mix).
+    """
+
+    def __init__(self, space, meta_lw: StackedMeta, meta_rw: StackedMeta,
+                 group, target_b, dtype=np.float32,
+                 T: Optional[int] = None, cache: dict = None,
+                 cache_key=None, bra_space=None):
+        self.dtype = dtype
+        self.space = space
+        self.bra_space = bra_space if bra_space is not None else space
+        self.size = space.size
+        self.out_size = self.bra_space.size
+        struct = None
+        sig = None
+        if cache is not None and cache_key is not None:
+            sig = hash((meta_lw.signature(), meta_rw.signature(),
+                        tuple(space.keys),
+                        tuple(sorted(space.shapes.items())),
+                        tuple(self.bra_space.keys), T))
+            ent = cache.get(cache_key)
+            if ent is not None and ent[0] == sig:
+                struct = ent[1]
+        if struct is None:
+            struct = self._build(space, self.bra_space, meta_lw, meta_rw,
+                                 group, target_b, T)
+            if cache is not None and cache_key is not None:
+                cache[cache_key] = (sig, struct)
+        self.struct = struct
+        self._dev = None
+
+    @staticmethod
+    def _build(space, bra_space, meta_lw, meta_rw, g, tb_t, T):
+        lw_dq = {}
+        for gi, (dq, syms) in enumerate(meta_lw.groups):
+            for s in syms:
+                lw_dq[int(s)] = dq
+        dims = []
+        for k in space.keys:
+            dims += list(space.shapes[k])
+        for k in bra_space.keys:
+            dims += list(bra_space.shapes[k])
+        if T is None:
+            T = pick_tile(np.asarray(dims if dims else [16]))
+        B, nt1 = _CFG[T]
+
+        def vec_layout(sp):
+            vb = {}
+            nv = 0
+            for k in sp.keys:
+                r, c = sp.shapes[k]
+                vb[k] = (nv, _grid(r, T), _grid(c, T))
+                nv += _grid(r, T) * _grid(c, T)
+            return vb, nv
+
+        vbk, nvk = vec_layout(space)
+        vbb, nvb = vec_layout(bra_space)
+        nt2 = _pow2(nvb + 1)
+        size_p = _pow2(space.size + 1)
+        sizb_p = _pow2(bra_space.size + 1)
+
+        npsit = _pow2(nvk + 1)
+        psi_idx = np.full((npsit, T, T), size_p, dtype=np.int32)
+        for k in space.keys:
+            off = space.offsets[k]
+            r, c = space.shapes[k]
+            base, nr, ncc = vbk[k]
+            fr, fc = np.divmod(np.arange(r * c), c)
+            tidx = ((base + (fr // T) * ncc + (fc // T)) * (T * T)
+                    + (fr % T) * T + (fc % T))
+            psi_idx.reshape(-1)[tidx] = off + np.arange(r * c)
+        sig_idx = np.full(sizb_p, (nt2 + 1) * T * T - 1, dtype=np.int32)
+        for k in bra_space.keys:
+            off = bra_space.offsets[k]
+            r, c = bra_space.shapes[k]
+            base, nr, ncc = vbb[k]
+            fr, fc = np.divmod(np.arange(r * c), c)
+            tidx = ((base + (fr // T) * ncc + (fc // T)) * (T * T)
+                    + (fr % T) * T + (fc % T))
+            sig_idx[off + np.arange(r * c)] = tidx
+
+        bkeys = set(bra_space.keys)
+        rows = []   # lbase, DLk, DLb, rbase, DRk, DRb, pb, ob
+        for m, (gl, jl) in sorted(meta_lw.sym_pos.items()):
+            gr_jr = meta_rw.sym_pos.get(m)
+            if gr_jr is None:
+                continue
+            gr, jr = gr_jr
+            dq = lw_dq[m]
+            sec_l = meta_lw.sectors[gl]
+            sec_r = meta_rw.sectors[gr]
+            for (qLk, qRk) in space.keys:
+                qLb = g.add(qLk, dq)
+                qRb = g.sub(tb_t, qLb)
+                if (qLb, qRb) not in bkeys:
+                    continue
+                el = sec_l.get(qLb)
+                er = sec_r.get(qRb)
+                if el is None or er is None:
+                    continue
+                loff, DLb, DLk = el
+                roff, DRb, DRk = er
+                if DLk != space.shapes[(qLk, qRk)][0] or \
+                        DRk != space.shapes[(qLk, qRk)][1] or \
+                        DLb != bra_space.shapes[(qLb, qRb)][0] or \
+                        DRb != bra_space.shapes[(qLb, qRb)][1]:
+                    continue
+                rows.append((loff + jl * DLb * DLk, DLk, DLb,
+                             roff + jr * DRb * DRk, DRk, DRb,
+                             vbk[(qLk, qRk)][0], vbb[(qLb, qRb)][0]))
+        if not rows:
+            raise ValueError("no matvec triples")
+        it = np.asarray(rows, dtype=np.int64)
+        # sort items by output tile base for near-sorted stage-2 segments
+        order = np.argsort(it[:, 7], kind="stable")
+        it = it[order]
+        n = len(it)
+        na = _grid_a(it[:, 2], T)
+        nk = _grid_a(it[:, 1], T)
+        npp = _grid_a(it[:, 5], T)
+        nn = _grid_a(it[:, 4], T)
+        itmp = na * nn
+        is1 = itmp * nk
+        is2 = itmp * npp
+        if int(max(is1.max(), is2.max())) > B or int(itmp.max()) > nt1:
+            raise ValueError(f"item too large for T={T}")
+        # greedy grouping: budgets nt1 (tmp tiles) and B (tasks/stage)
+        tb = np.empty(n, dtype=np.int64)
+        gfirst1 = [0]
+        gfirst2 = [0]
+        t_used = u1 = u2 = 0
+        c1 = np.concatenate([[0], np.cumsum(is1)])
+        c2 = np.concatenate([[0], np.cumsum(is2)])
+        for i in range(n):
+            if (t_used + itmp[i] > nt1 or u1 + is1[i] > B
+                    or u2 + is2[i] > B):
+                gfirst1.append(int(c1[i]))
+                gfirst2.append(int(c2[i]))
+                t_used = u1 = u2 = 0
+            tb[i] = t_used
+            t_used += itmp[i]
+            u1 += is1[i]
+            u2 += is2[i]
+        itf = np.zeros((n, 13), dtype=np.int32)
+        itf[:, :8] = it[:, :8]
+        itf[:, 8] = na
+        itf[:, 9] = nk
+        itf[:, 10] = npp
+        itf[:, 11] = nn
+        itf[:, 12] = tb
+        # quantize group count (jit signature depends on scan length):
+        # padded groups start past cum[-1] -> all-invalid -> no-ops
+        ng = _quant(len(gfirst1))
+        gfirst1 += [int(c1[-1])] * (ng - len(gfirst1))
+        gfirst2 += [int(c2[-1])] * (ng - len(gfirst2))
+        return {"T": T, "B": B, "nt1": nt1, "nt2": nt2,
+                "size_p": size_p, "sizb_p": sizb_p,
+                "psi_idx": psi_idx, "sig_idx": sig_idx,
+                "it": itf,
+                "cum1": c1.astype(np.int32), "cum2": c2.astype(np.int32),
+                "g1": np.asarray(gfirst1, dtype=np.int32),
+                "g2": np.asarray(gfirst2, dtype=np.int32),
+                "flops": int(2 * (it[:, 2] * it[:, 1] * it[:, 4]
+                                  + it[:, 2] * it[:, 4] * it[:, 5]).sum())}
+
+    # ------------------------------------------------------------------
+    def to_device(self):
+        if self._dev is None:
+            s = self.struct
+            self._dev = {k: jnp.asarray(s[k])
+                         for k in ("psi_idx", "sig_idx", "it", "cum1",
+                                   "cum2", "g1", "g2")}
+        return self._dev
+
+    def device_bytes(self):
+        return sum(int(np.asarray(self.struct[k]).nbytes)
+                   for k in ("psi_idx", "sig_idx", "it", "cum1", "cum2",
+                             "g1", "g2"))
+
+    def pad(self, x):
+        xp = np.zeros(self.struct["size_p"] + 1, dtype=self.dtype)
+        xp[:self.size] = x
+        return xp
+
+    def matvec_device(self, xp, lpool, rpool):
+        s = self.struct
+        d = self.to_device()
+        return _mv_exec(xp, lpool, rpool, d["psi_idx"], d["sig_idx"],
+                        d["it"], d["cum1"], d["cum2"], d["g1"], d["g2"],
+                        s["nt1"], s["nt2"], s["T"], s["B"],
+                        len(s["g1"]))
+
+    def free(self):
+        if self._dev is not None:
+            for a in self._dev.values():
+                try:
+                    a.delete()
+                except Exception:
+                    pass
+            self._dev = None
+
+
+def _grid_a(x, T):
+    return -(-np.asarray(x, dtype=np.int64) // T)
