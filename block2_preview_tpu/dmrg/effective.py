@@ -100,7 +100,8 @@ class _Space:
 
 
 class EffectiveHamiltonian2:
-    def __init__(self, me: MovingEnvironment, t: int, key_filter=None):
+    def __init__(self, me: MovingEnvironment, t: int, key_filter=None,
+                 assemble: bool = True):
         self.me = me
         self.t = t
         mpo, ket, bra = me.mpo, me.ket, me.bra
@@ -153,8 +154,22 @@ class EffectiveHamiltonian2:
         self.offsets = self.ket_space.offsets
         self.size = self.ket_space.size
 
-        self._assemble(t)
-        self._build_triples()
+        if assemble:
+            self._assemble(t)
+            self._build_triples()
+        else:
+            # spaces-only mode: the device-resident pipeline
+            # (ops/resident.ResidentSite) assembles LW/RW on the
+            # accelerator; host LW/RW stay unmaterialized
+            self.LW = self.RW = None
+            self.triples = None
+
+    def ensure_assembled(self) -> None:
+        """Materialize host LW/RW/triples on demand (noise term, host
+        fallbacks) when built with assemble=False."""
+        if self.LW is None:
+            self._assemble(self.t)
+            self._build_triples()
 
     # ------------------------------------------------------------------
     def _assemble(self, t: int) -> None:

@@ -84,9 +84,13 @@ class MovingEnvironment:
     # ------------------------------------------------------------------
     def init_environments(self) -> None:
         """Build all right environments down to bond 2 (for a forward sweep
-        starting at center 0; reference moving_environment.hpp:1245)."""
+        starting at center 0; reference moving_environment.hpp:1245).  In
+        stacked mode the chain runs on the accelerator (the host blocking
+        loop was minutes/site at Cr2 scale)."""
         L = self.mpo.n_sites
         for t in range(L - 1, 1, -1):
+            if self.stacked and self._stk_contract(t, "right"):
+                continue
             self.right_envs[t] = self._right_contract(t)
 
     fast = True   # vectorized join-based blocking (ops/blocking_plan.py)
@@ -102,6 +106,10 @@ class MovingEnvironment:
     # (ops/stacked.py), "tiled" = compile-once fixed-tile kernels
     # (ops/tiled_blocking.py)
     stk_engine = "bucket"
+    # device-resident pools: keep environment pools on the accelerator
+    # between steps (no per-step host round trips); host mirrors only on
+    # materialization.  Set by DMRG(backend='jax_resident').
+    resident = False
 
     # ------------------------------------------------------------------
     def _materialize(self, side: str, t: int) -> EnvMap:
@@ -131,25 +139,9 @@ class MovingEnvironment:
             return False
         left = direction == "left"
         src_bond = t if left else t + 1
-        store = self._stk_l if left else self._stk_r
-        ent = store.get(src_bond)
+        ent = self._ensure_stk("l" if left else "r", src_bond, dt)
         if ent is None:
-            env = (list.__getitem__(self.left_envs, src_bond) if left
-                   else list.__getitem__(self.right_envs, src_bond))
-            if env is _STK or env is None:
-                env = (self.left_envs[src_bond] if left
-                       else self.right_envs[src_bond])
-            if env is None:
-                return False
-            meta = meta_from_env(env, self.mpo.bond_dqs[src_bond])
-            pool = meta.pack(env, dtype=dt)
-            pp = _np.zeros(_cap_class(len(pool)), dtype=dt)
-            pp[:len(pool)] = pool
-            # pools live in HOST memory between uses: a 40+-bond system
-            # would otherwise pin tens of GB of HBM (v5e crash); upload
-            # is transient per blocking/assembly step
-            ent = (meta, pp)
-            store[src_bond] = ent
+            return False
         meta_in, pool_in = ent
         key = (t, direction)
         sig = (tuple((dq, tuple(ss)) for dq, ss in meta_in.groups),
@@ -199,7 +191,10 @@ class MovingEnvironment:
             pool_out = execute_tiled_blocking(plan, pool_dev, dtype=dt)
         else:
             pool_out = execute_stacked(plan, pool_dev, dtype=dt)
-        pool_out = _np.asarray(pool_out)
+        if not self.resident:
+            # non-resident: pools live in HOST memory between uses (a
+            # 40+-bond system would otherwise pin tens of GB of HBM)
+            pool_out = _np.asarray(pool_out)
         dst = t + 1 if left else t
         if left:
             self._stk_l[dst] = (plan.meta_out, pool_out)
@@ -208,6 +203,70 @@ class MovingEnvironment:
             self._stk_r[dst] = (plan.meta_out, pool_out)
             list.__setitem__(self.right_envs, dst, _STK)
         return True
+
+    # ------------------------------------------------------------------
+    def _ensure_stk(self, side: str, bond: int, dt):
+        """Stacked (meta, pool) entry for a bond, packing from the host
+        env map on first access.  Pool may be host (numpy) or device."""
+        import numpy as _np
+        from ..ops.stacked import meta_from_env, _cap_class
+        store = self._stk_l if side == "l" else self._stk_r
+        ent = store.get(bond)
+        if ent is not None:
+            return ent
+        envs = self.left_envs if side == "l" else self.right_envs
+        env = list.__getitem__(envs, bond)
+        if env is _STK or env is None:
+            env = envs[bond]
+        if env is None:
+            return None
+        meta = meta_from_env(env, self.mpo.bond_dqs[bond])
+        pool = meta.pack(env, dtype=dt)
+        # strictly > len: the last slot is the zero sentinel that masked
+        # tile gathers read — it must never hold real data
+        pp = _np.zeros(_cap_class(len(pool) + 1), dtype=dt)
+        pp[:len(pool)] = pool
+        ent = (meta, pp)
+        store[bond] = ent
+        return ent
+
+    def device_pool(self, side: str, bond: int):
+        """(meta, device pool) for a bond, uploading if host-side; in
+        resident mode the device handle replaces the stored host copy."""
+        import jax.numpy as jnp
+        dt = self.device_dtype or np.float64
+        ent = self._ensure_stk(side, bond, dt)
+        if ent is None:
+            raise ValueError(f"no environment at bond {bond} ({side})")
+        meta, pool = ent
+        if isinstance(pool, np.ndarray):
+            pool = jnp.asarray(pool)
+            if self.resident:
+                store = self._stk_l if side == "l" else self._stk_r
+                store[bond] = (meta, pool)
+        return meta, pool
+
+    def free_stk_device(self, side: str, bond: int,
+                        keep_host: bool = False) -> None:
+        """Release a bond's device pool (after consumption).  With
+        keep_host, a host mirror is kept so the bond stays available."""
+        store = self._stk_l if side == "l" else self._stk_r
+        ent = store.get(bond)
+        if ent is None:
+            return
+        meta, pool = ent
+        if not isinstance(pool, np.ndarray):
+            if keep_host:
+                store[bond] = (meta, np.asarray(pool))
+            else:
+                store.pop(bond, None)
+                envs = self.left_envs if side == "l" else self.right_envs
+                if list.__getitem__(envs, bond) is _STK:
+                    list.__setitem__(envs, bond, None)
+            try:
+                pool.delete()
+            except Exception:
+                pass
 
     def _dtype_of(self, env, t):
         dt = np.float64

@@ -16,6 +16,7 @@ host Davidson), "jax_device" (everything on device).
 
 from __future__ import annotations
 
+import os
 import time
 
 from dataclasses import dataclass, field
@@ -259,10 +260,10 @@ class DMRG:
         self.mpo = mpo
         self.mps = mps
         if backend not in ("numpy", "jax", "jax_device", "jax_stacked",
-                           "jax_tiled"):
+                           "jax_tiled", "jax_resident"):
             raise ValueError(f"unknown backend '{backend}' "
                              "(numpy | jax | jax_device | jax_stacked |"
-                             " jax_tiled)")
+                             " jax_tiled | jax_resident)")
         self.backend = backend
         self.dtype = dtype
         self.iprint = iprint
@@ -276,13 +277,18 @@ class DMRG:
         self.me = MovingEnvironment(mpo, mps)
         if backend == "jax_device":
             self.me.device = True
-        elif backend in ("jax_stacked", "jax_tiled"):
+        elif backend in ("jax_stacked", "jax_tiled", "jax_resident"):
             self.me.stacked = True
             self.me.device_dtype = dtype
-            if backend == "jax_tiled":
+            if backend in ("jax_tiled", "jax_resident"):
                 import os
                 self.me.stk_engine = os.environ.get("B2TPU_STK_ENGINE",
                                                     "tiled")
+            if backend == "jax_resident":
+                # environment pools stay on the accelerator between
+                # steps; mix/matvec/diag/Davidson all device-side
+                self.me.resident = True
+                self._res_caches = {}
         # optional cross-process plan-cache persistence: structures are
         # validated against content signatures at lookup, so stale
         # entries are rebuilt safely (B2TPU_PLAN_CACHE=<dir>)
@@ -448,16 +454,52 @@ class DMRG:
         t0 = time.time()
         # particle-window restriction (CASCI/MRCI MPSInfo): the middle
         # bond of the two-dot space is the fused-left quantum
+        use_res = (self.backend == "jax_resident" and self.n_roots == 1
+                   and self.hermitian)
         eff = EffectiveHamiltonian2(
-            self.me, t, key_filter=_bond_window(self.mps.info, t + 1))
-        x0 = self._initial_guesses(eff, t)
-        diag = eff.diagonal()
-        t1 = time.time()
-        tm.teff += t1 - t0
-        w, v, nmv = self._solve_eff(eff, x0, diag, dav_thrd)
-        t2 = time.time()
-        tm.teig += t2 - t1
-        self._last_flop = _eff_flops(eff) * nmv
+            self.me, t, key_filter=_bond_window(self.mps.info, t + 1),
+            assemble=not use_res)
+        rs = None
+        min_size = int(os.environ.get("B2TPU_RES_MIN_SIZE", "4096"))
+        if use_res and eff.size >= min_size \
+                and eff.dtype in (np.float64, np.float32):
+            from ..ops.resident import ResidentSite
+            try:
+                rs = ResidentSite(self.me, eff, dtype=self.dtype,
+                                  caches=self._res_caches)
+                x0 = self._initial_guesses(eff, t)
+                t1 = time.time()
+                tm.teff += t1 - t0
+                th, xv, nmv = rs.solve_ground_state(
+                    x0[:, 0], conv_thrd=dav_thrd,
+                    max_iter=self.dav_max_iter)
+                w, v = np.array([th]), xv[:, None]
+                t2 = time.time()
+                tm.teig += t2 - t1
+                self._last_flop = float(rs.ex.struct["flops"]) * nmv
+                if noise > 0:
+                    # host noise term needs one side's assembled
+                    # operators; unpack them from the device slab pool
+                    if forward:
+                        eff.LW = rs.host_ops("lw")
+                    else:
+                        eff.RW = rs.host_ops("rw")
+            except ValueError:
+                if rs is not None:
+                    rs.free()
+                rs = None
+            else:
+                rs.free()
+        if rs is None:
+            eff.ensure_assembled()
+            x0 = self._initial_guesses(eff, t)
+            diag = eff.diagonal()
+            t1 = time.time()
+            tm.teff += t1 - t0
+            w, v, nmv = self._solve_eff(eff, x0, diag, dav_thrd)
+            t2 = time.time()
+            tm.teig += t2 - t1
+            self._last_flop = _eff_flops(eff) * nmv
         energies = w[:self.n_roots] + self.mpo.const_e
         psis = [eff.unflatten(v[:, r]) for r in range(self.n_roots)]
         g, target = eff.g, eff.target
@@ -474,6 +516,9 @@ class DMRG:
             self._center_pos = t + 1
             self.me.update_left(t)
             self.me.invalidate_right(t + 1)
+            if self.me.resident:
+                # the consumed right pool is dead for this sweep
+                self.me.free_stk_device("r", t + 2)
         else:
             b_tensor, centers, dw = split_backward_update(
                 eff, psis, self.weights, noise, bond_dim,
@@ -487,6 +532,8 @@ class DMRG:
             self._center_pos = t
             self.me.update_right(t + 1)
             self.me.invalidate_left(t)
+            if self.me.resident:
+                self.me.free_stk_device("l", t)
         tm.tblk += time.time() - t3
         return energies, dw, nmv
 

@@ -20,17 +20,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _masked_eigh(h, mask, M, dtype):
+    """eigh of the active block of h, with masked rows/cols pushed above
+    the spectrum by a Gershgorin-scaled sentinel.  A huge constant (1e30)
+    is NOT safe here: TPU eigh (QDWH) loses the small eigenvalues
+    entirely at that dynamic range (observed ~0.7 absolute error in the
+    ground Ritz value), so the sentinel must stay within a few orders of
+    magnitude of the real spectrum."""
+    mask2 = mask[:, None] & mask[None, :]
+    h = jnp.where(mask2, h, 0.0)
+    bound = jnp.max(jnp.sum(jnp.abs(h), axis=1)) + 1.0
+    h = jnp.where(mask2, h,
+                  jnp.where(jnp.eye(M, dtype=bool),
+                            bound * (1.0 + jnp.arange(M, dtype=dtype)),
+                            0.0))
+    return jnp.linalg.eigh(h)
+
+
 def device_davidson(matvec, diag, x0, conv_thrd=1e-8, max_iter=100,
-                    max_subspace=20):
+                    max_subspace=20, n_keep=4):
     """Smallest eigenpair of a symmetric operator, fully on device.
 
     matvec: jittable fn on padded vectors [n]
     diag:   [n] preconditioner diagonal (pad region = 1.0)
     x0:     [n] initial guess (pad region = 0)
+    n_keep: Ritz vectors retained at subspace compression (thick restart)
     Returns (theta, x, n_iter) as device values.
     """
     n = x0.shape[0]
     M = max_subspace
+    K = min(n_keep, M - 2)
     dtype = x0.dtype
 
     def body(state):
@@ -42,11 +61,7 @@ def device_davidson(matvec, diag, x0, conv_thrd=1e-8, max_iter=100,
         Sm = S * mask[:, None]
         h = Vm @ Sm.T
         h = 0.5 * (h + h.T)
-        big = jnp.asarray(1e30, dtype=dtype)
-        h = jnp.where(mask[:, None] & mask[None, :], h,
-                      jnp.where(jnp.eye(M, dtype=bool),
-                                big + jnp.arange(M, dtype=dtype), 0.0))
-        w, c = jnp.linalg.eigh(h)
+        w, c = _masked_eigh(h, mask, M, dtype)
         y = c[:, 0]
         theta = w[0]
         ritz = y @ Vm
@@ -71,12 +86,16 @@ def device_davidson(matvec, diag, x0, conv_thrd=1e-8, max_iter=100,
             return V.at[m].set(t), S, m + 1
 
         def restart(args):
+            # thick restart: keep the K lowest Ritz pairs (orthonormal by
+            # construction: columns of c are orthonormal, V orthonormal)
             V, S, m = args
-            nrm = jnp.linalg.norm(ritz)
-            V2 = jnp.zeros_like(V).at[0].set(ritz / nrm)
-            S2 = jnp.zeros_like(S).at[0].set(sig / nrm)
-            V2 = V2.at[1].set(t)
-            return V2, S2, jnp.asarray(2, m.dtype)
+            ck = c[:, :K]                      # [M, K]
+            Vk = ck.T @ Vm                     # [K, n]
+            Sk = ck.T @ Sm
+            V2 = jnp.zeros_like(V).at[:K].set(Vk)
+            S2 = jnp.zeros_like(S).at[:K].set(Sk)
+            V2 = V2.at[K].set(t)
+            return V2, S2, jnp.asarray(K + 1, m.dtype)
 
         V, S, m = jax.lax.cond(m + 1 > M, restart, grow, (V, S, m))
         return V, S, m, theta, rn2, it + 1
@@ -98,11 +117,7 @@ def device_davidson(matvec, diag, x0, conv_thrd=1e-8, max_iter=100,
     Sm = S * mask[:, None]
     h = Vm @ Sm.T
     h = 0.5 * (h + h.T)
-    big = jnp.asarray(1e30, dtype=V.dtype)
-    h = jnp.where(mask[:, None] & mask[None, :], h,
-                  jnp.where(jnp.eye(M, dtype=bool),
-                            big + jnp.arange(M, dtype=V.dtype), 0.0))
-    w, c = jnp.linalg.eigh(h)
+    w, c = _masked_eigh(h, mask, M, V.dtype)
     x = c[:, 0] @ Vm
     x = x / jnp.linalg.norm(x)
     return w[0], x, it

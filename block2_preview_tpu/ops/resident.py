@@ -43,6 +43,7 @@ from jax import lax
 from ..core.symmetry import QN
 from .stacked import StackedMeta, _cap_class, _pow2
 from .tiled import pick_tile, _TILE_CFG
+from .tilev2 import MatvecV2
 
 # scan depth per mix launch (groups of B tasks per jit call)
 _MIX_SCAN = 8
@@ -76,6 +77,10 @@ def _mix_exec(out, epool, s, coef, T, ncap, nscan):
             + c * sg[6][:, None, None]
         ok = (r < sg[2][:, None, None]) & (c < sg[3][:, None, None]) \
             & (sg[4][:, None, None] >= 0)
+        # value-mask: slot ncap doubles as the zero sentinel that later
+        # _gtile reads rely on — it must never accumulate junk, even when
+        # the input pool's own sentinel slot is nonzero
+        vals = jnp.where(ok, vals, 0)
         return out.at[jnp.where(ok, idx, ncap)].add(vals, mode="drop"), 0
 
     out, _ = lax.scan(body, out, (s, coef))
@@ -688,6 +693,191 @@ def build_diag_struct(space, meta_lw: StackedMeta, meta_rw: StackedMeta,
     return {"gl": gl, "gr": gr, "dl_cap": dl_cap, "dr_cap": dr_cap,
             "a4": a4, "b4": b4, "sD": sD, "T": T, "nt2": nt2,
             "sig_idx": sig_idx}
+
+
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan",
+                                   "conv_thrd", "max_iter",
+                                   "max_subspace"))
+def _v2_dav(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
+            g1, g2, nt1, nt2, T, B, nscan, conv_thrd, max_iter,
+            max_subspace):
+    """On-device Davidson around the v2 slab matvec (one jit whose
+    signature depends only on capacity classes; the task arrays are
+    data)."""
+    from .device_davidson import device_davidson
+    from .tilev2 import _mv_exec
+
+    def mv(v):
+        out = _mv_exec(v, lpool, rpool, psi_idx, sig_idx, it, cum1,
+                       cum2, g1, g2, nt1, nt2, T, B, nscan)
+        return jnp.concatenate([out, jnp.zeros(1, dtype=out.dtype)])
+
+    return device_davidson(mv, diag, x0, conv_thrd=conv_thrd,
+                           max_iter=max_iter, max_subspace=max_subspace)
+
+
+def _mix_sig(meta_env, entries, fused, fused_ket, active, active_ket,
+             comp_target, comp_target_ket, out_bond_dqs):
+    """Validation signature for a cached MixPlan: env pool layout + every
+    non-env input (MPO entry content, fused bases, active sets, targets,
+    output bond charges)."""
+    from .blocking import _plan_args_sig
+    return hash((meta_env.signature(),
+                 _plan_args_sig(entries, fused, fused_ket, active,
+                                active_ket, comp_target, comp_target_ket),
+                 tuple(out_bond_dqs)))
+
+
+class ResidentSite:
+    """Fully device-resident two-site effective-Hamiltonian step.
+
+    Orchestrates, per center site t:
+      env pools (device)  --execute_mix-->  LW/RW slab pools (device)
+      --MatvecV2/_v2_dav-->  ground state (device)  --> psi (host)
+
+    Only the center wavefunction, the initial guess, and scalars cross
+    the host<->device link.  All host-side structures (mix plans, v2
+    matvec structs, diag structs) are cached across sweeps in `caches`
+    (dict with sub-dicts 'mix', 'v2', 'diag'), keyed by site and
+    validated against content signatures.
+
+    Reference analog: MovingEnvironment::eff_ham
+    (src/dmrg/moving_environment.hpp:2063) + EffectiveHamiltonian::eigs
+    (src/dmrg/effective_hamiltonian.hpp:471) with the whole pipeline kept
+    on the accelerator.
+    """
+
+    def __init__(self, me, eff, dtype=np.float32, caches=None):
+        self.me = me
+        self.eff = eff
+        self.dtype = dtype
+        t = eff.t
+        mpo, g = me.mpo, me.mpo.group
+        if caches is None:
+            caches = {}
+        caches.setdefault("mix", {})
+        caches.setdefault("v2", {})
+        caches.setdefault("diag", {})
+        self.caches = caches
+
+        tk = eff.target
+        tb = me.bra.info.target if eff.mixed else tk
+        flb, frb = eff.bra_space.fl, eff.bra_space.fr
+        flk, frk = eff.ket_space.fl, eff.ket_space.fr
+        active_lb = {qL for (qL, _) in eff.bra_space.keys}
+        active_rb = {qR for (_, qR) in eff.bra_space.keys}
+        active_lk = {qL for (qL, _) in eff.ket_space.keys}
+        active_rk = {qR for (_, qR) in eff.ket_space.keys}
+
+        meta_l, pool_l = me.device_pool("l", t)
+        meta_r, pool_r = me.device_pool("r", t + 2)
+
+        def plan(key, build, sig):
+            ent = caches["mix"].get(key)
+            if ent is not None and ent[0] == sig:
+                return ent[1]
+            p = build()
+            caches["mix"][key] = (sig, p)
+            return p
+
+        sig_l = _mix_sig(meta_l, mpo.tensors[t], flb, flk, active_lb,
+                         active_lk, None, None, mpo.bond_dqs[t + 1])
+        pl = plan((t, "lw"), lambda: build_mix_plan(
+            meta_l, mpo.tensors[t], mpo.site_quanta[t], flb,
+            bond_is_first=True, join_on_input=True, group=g,
+            out_bond_dqs=mpo.bond_dqs[t + 1], active=active_lb,
+            fused_ket=flk, active_ket=active_lk), sig_l)
+        sig_r = _mix_sig(meta_r, mpo.tensors[t + 1], frb, frk, active_rb,
+                         active_rk, tb, tk, mpo.bond_dqs[t + 1])
+        pr = plan((t, "rw"), lambda: build_mix_plan(
+            meta_r, mpo.tensors[t + 1], mpo.site_quanta[t + 1], frb,
+            bond_is_first=False, join_on_input=False, group=g,
+            out_bond_dqs=mpo.bond_dqs[t + 1], comp_target=tb,
+            active=active_rb, fused_ket=frk, comp_target_ket=tk,
+            active_ket=active_rk), sig_r)
+        if pl is None or pr is None:
+            raise ValueError("empty mix plan (no effective operators)")
+        self.pl, self.pr = pl, pr
+        self.lw_pool = execute_mix(pl, pool_l, dtype=dtype)
+        self.rw_pool = execute_mix(pr, pool_r, dtype=dtype)
+
+        self.ex = MatvecV2(eff.ket_space, pl.meta_out, pr.meta_out, g,
+                           tb, dtype=dtype, cache=caches["v2"],
+                           cache_key=(type(eff).__name__, t),
+                           bra_space=eff.bra_space)
+        self.size = eff.size
+        self._diag_dev = None
+
+    # -- LW/RW materialization (noise / host fallbacks) ----------------
+    def host_ops(self, which: str):
+        """Download + unpack one side's assembled operators as
+        {sym -> {(qb, qk) -> ndarray}} (host) — used by the noise term
+        until the device noise kernel covers it."""
+        meta, pool = ((self.pl.meta_out, self.lw_pool) if which == "lw"
+                      else (self.pr.meta_out, self.rw_pool))
+        flat = np.asarray(pool)
+        g = self.me.mpo.group
+        out: Dict[int, Dict] = {}
+        for gi, (dq, syms) in enumerate(meta.groups):
+            for qb, (off, db, dk) in meta.sectors[gi].items():
+                # LW: qLb = qLk + dq; RW (complemented right half):
+                # qRk = qRb + dq (group dq is the left-cumulative MPO
+                # bond charge in both metas)
+                qk = g.sub(qb, dq) if which == "lw" else g.add(qb, dq)
+                for j, s in enumerate(syms):
+                    blk = flat[off + j * db * dk:off + (j + 1) * db * dk]
+                    if not blk.any():
+                        continue
+                    out.setdefault(int(s), {})[(qb, qk)] = \
+                        blk.reshape(db, dk)
+        return out
+
+    # ------------------------------------------------------------------
+    def diagonal_device(self):
+        if self._diag_dev is None:
+            key = ("diag", self.eff.t)
+            s = self.ex.struct
+            sig = hash((self.pl.meta_out.signature(),
+                        self.pr.meta_out.signature(), s["T"], s["nt2"]))
+            ent = self.caches["diag"].get(key)
+            if ent is not None and ent[0] == sig:
+                ds = ent[1]
+            else:
+                ds = build_diag_struct(self.eff.ket_space,
+                                       self.pl.meta_out, self.pr.meta_out,
+                                       s["T"], s["nt2"], s["sig_idx"])
+                self.caches["diag"][key] = (sig, ds)
+            if ds is None:
+                raise ValueError("no diagonal contributions")
+            self._diag_dev = execute_diag(ds, self.lw_pool, self.rw_pool)
+        return self._diag_dev
+
+    def solve_ground_state(self, x0: np.ndarray, conv_thrd: float = 1e-8,
+                           max_iter: int = 100, max_subspace: int = 20):
+        """On-device Davidson; returns (theta, x[host], n_iter)."""
+        s = self.ex.struct
+        d = self.ex.to_device()
+        dg = self.diagonal_device()
+        # diag [sizb_p] -> [size_p + 1]; pad slots are exact zeros (the
+        # kernels' dump tiles only ever accumulate zero-valued products)
+        diag_p = jnp.concatenate(
+            [dg, jnp.zeros(s["size_p"] + 1 - dg.shape[0], dtype=dg.dtype)])
+        th, xv, it = _v2_dav(
+            jnp.asarray(self.ex.pad(x0)), diag_p, self.lw_pool,
+            self.rw_pool, d["psi_idx"], d["sig_idx"], d["it"], d["cum1"],
+            d["cum2"], d["g1"], d["g2"], s["nt1"], s["nt2"], s["T"],
+            s["B"], len(s["g1"]), conv_thrd, max_iter, max_subspace)
+        return (float(th), np.asarray(xv, dtype=np.float64)[:self.size],
+                int(it))
+
+    def free(self):
+        for a in (self.lw_pool, self.rw_pool, self._diag_dev):
+            try:
+                if a is not None:
+                    a.delete()
+            except Exception:
+                pass
+        self.ex.free()
 
 
 def execute_diag(dstruct, lpool, rpool, dev_cache=None):

@@ -105,6 +105,52 @@ def test_matvec_v2_parity():
         assert err < 1e-10, err
 
 
+def test_device_davidson_thick_restart():
+    """Convergence THROUGH the subspace-compression restart (m > M).
+    Regression: the masked Rayleigh-Ritz used a 1e30 sentinel that TPU
+    eigh (QDWH) cannot handle — ~0.7 absolute error in the ground Ritz
+    value and stalls at the first restart."""
+    import jax.numpy as jnp
+    from block2_preview_tpu.ops.device_davidson import device_davidson
+    rng = np.random.RandomState(0)
+    n = 64
+    A = rng.standard_normal((n, n))
+    A = 0.5 * (A + A.T) - 120 * np.eye(n) \
+        + np.diag(rng.standard_normal(n) * 5)
+    w_true = np.linalg.eigvalsh(A)[0]
+    x0 = rng.standard_normal(n)
+    x0 /= np.linalg.norm(x0)
+    Aj = jnp.asarray(A)
+    th, x, it = device_davidson(lambda v: Aj @ v,
+                                jnp.asarray(np.diag(A).copy()),
+                                jnp.asarray(x0), conv_thrd=1e-12,
+                                max_iter=200, max_subspace=12)
+    assert int(it) > 12          # must pass at least one restart
+    assert abs(float(th) - w_true) < 1e-9
+
+
+def test_resident_backend_end_to_end(monkeypatch):
+    """Full DMRG solve on the jax_resident backend (device-resident
+    env pools -> mix -> v2 matvec -> on-device Davidson) matches the
+    host reference energy, with noise enabled (exercises host_ops)."""
+    monkeypatch.setenv("B2TPU_RES_MIN_SIZE", "1")
+    deck = f"{DATA}/HUBBARD-L8.FCIDUMP"
+    D, ns = 80, 6
+    drv = DMRGDriver(symm_type=SymmetryTypes.SZ)
+    fd = drv.read_fcidump(deck)
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    mps_a = drv.get_random_mps(D, target=drv.target, seed=7)
+    mps_b = drv.get_random_mps(D, target=drv.target, seed=7)
+    s_ref = DMRG(mpo, mps_a, backend="numpy", iprint=0)
+    e_ref = s_ref.solve([D] * ns, [1e-5] * ns + [0], [1e-10],
+                        n_sweeps=ns, tol=0)
+    s_res = DMRG(mpo, mps_b, backend="jax_resident", dtype=np.float64,
+                 iprint=0)
+    e_res = s_res.solve([D] * ns, [1e-5] * ns + [0], [1e-10],
+                        n_sweeps=ns, tol=0)
+    assert abs(e_res - e_ref) < 1e-8, (e_res, e_ref)
+
+
 def test_diag_v2_parity():
     mpo, mps = _setup()
     t = mpo.n_sites // 2 - 1
