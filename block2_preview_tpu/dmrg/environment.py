@@ -153,8 +153,27 @@ class MovingEnvironment:
         cached = self._stk_plans.get(key)
         if cached is not None and cached[0] == hash(sig):
             plan = cached[1]
+            if plan is not None:
+                # a signature hit guarantees the structure still matches,
+                # but the plan captured site-tensor VALUES at build time;
+                # converged-in-shape sweeps would otherwise contract
+                # stale rotation matrices (settles ~1e-6 off)
+                from ..ops.stacked import refresh_plan_sites
+                refresh_plan_sites(plan, self.bra.tensors[t],
+                                   self.ket.tensors[t],
+                                   self.mpo.site_quanta[t])
         else:
             if self.stk_engine == "tiled":
+                # v2: per-item descriptors, tile tasks derived in-kernel
+                # (the v1 engine's expanded task arrays crashed the TPU
+                # worker when carried through lax.scan at Cr2-scale bonds)
+                from ..ops.blockv2 import build_blocking_v2
+                plan = build_blocking_v2(
+                    meta_in, self.mpo.tensors[t], self.mpo.site_quanta[t],
+                    self.bra.tensors[t], self.ket.tensors[t], self.g,
+                    direction, self.mpo.bond_dqs[src_bond],
+                    self.mpo.bond_dqs[t + 1 if left else t])
+            elif self.stk_engine == "tiled_v1":
                 from ..ops.tiled_blocking import build_tiled_blocking_plan
                 plan = build_tiled_blocking_plan(
                     meta_in, self.mpo.tensors[t], self.mpo.site_quanta[t],
@@ -185,9 +204,12 @@ class MovingEnvironment:
         if plan is None:
             return False
         pool_dev = jnp.asarray(pool_in)
+        from ..ops.blockv2 import BlockingV2Plan, execute_blocking_v2
         from ..ops.tiled_blocking import (TiledBlockingPlan,
                                           execute_tiled_blocking)
-        if isinstance(plan, TiledBlockingPlan):
+        if isinstance(plan, BlockingV2Plan):
+            pool_out = execute_blocking_v2(plan, pool_dev, dtype=dt)
+        elif isinstance(plan, TiledBlockingPlan):
             pool_out = execute_tiled_blocking(plan, pool_dev, dtype=dt)
         else:
             pool_out = execute_stacked(plan, pool_dev, dtype=dt)

@@ -266,6 +266,13 @@ class DMRG:
                              " jax_tiled | jax_resident)")
         self.backend = backend
         self.dtype = dtype
+        if backend != "numpy" and np.dtype(dtype).itemsize >= 8 \
+                and np.dtype(dtype).kind in "fc":
+            # without x64, jnp.zeros(..., float64) silently truncates to
+            # f32 and a dtype=np.float64 device run returns f32 energies
+            import jax
+            if not jax.config.jax_enable_x64:
+                jax.config.update("jax_enable_x64", True)
         self.iprint = iprint
         self.n_roots = n_roots
         self.dav_max_iter = dav_max_iter

@@ -110,7 +110,7 @@ def _tiled_blocking_exec(epool, bpool, kpool, s1, s2, s3, coef,
 class TiledBlockingPlan:
     __slots__ = ("meta_out", "T", "nt1", "ntp", "ncap", "left",
                  "s1", "s2", "s3", "coef", "bra_pool", "ket_pool",
-                 "_dev")
+                 "_dev", "_src")
 
 
 def build_tiled_blocking_plan(meta_in: StackedMeta, entries, quanta,
@@ -394,6 +394,7 @@ def build_tiled_blocking_plan(meta_in: StackedMeta, entries, quanta,
     plan.bra_pool = (bra_mats, boffs)
     plan.ket_pool = (ket_mats, koffs)
     plan._dev = None
+    plan._src = (bra_T, ket_T)
     return plan
 
 

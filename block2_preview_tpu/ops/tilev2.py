@@ -69,14 +69,17 @@ def _gtile(pool, base, stride, rmax, cmax, T):
     return pool[jnp.where(ok, idx, pool.shape[0] - 1)]
 
 
-def _locate(cum, g0, B):
+def _locate(cum, g0, g1, B):
     """tau -> (item, o, valid) for tasks g0 + [0, B) against item task
-    prefix sums cum [n_items + 1]."""
+    prefix sums cum [n_items + 1].  g1 is the NEXT group's first task id:
+    tasks at or past it belong to a later scan step and must be masked
+    here, or short groups would double-count their successors' tasks
+    (and collide tmp-tile bases, which restart at 0 per group)."""
     tau = g0 + jnp.arange(B, dtype=jnp.int32)
     item = jnp.searchsorted(cum, tau, side="right").astype(jnp.int32) - 1
     item = jnp.clip(item, 0, cum.shape[0] - 2)
     o = tau - cum[item]
-    valid = tau < cum[-1]
+    valid = tau < jnp.minimum(g1, cum[-1])
     return item, o, valid
 
 
@@ -93,11 +96,13 @@ def _mv_exec(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
     sums; g1/g2 [nscan] first stage-1/2 task ids per scan step."""
     pp = xp[psi_idx]
     hi = lax.Precision.HIGHEST
+    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
+    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
 
     def body(sig, g):
-        g1s, g2s = g
+        g1s, g2s, e1s, e2s = g
         # stage 1: tasks (ai, ni, ki) -> tmp tiles
-        i1, o1, v1 = _locate(cum1, g1s, B)
+        i1, o1, v1 = _locate(cum1, g1s, e1s, B)
         f = it[i1]
         nn, nk = f[:, 11], f[:, 9]
         ai = o1 // (nn * nk)
@@ -114,7 +119,7 @@ def _mv_exec(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
         tmp = jax.ops.segment_sum(prod1, s1, num_segments=nt1 + 1,
                                   indices_are_sorted=True)
         # stage 2: tasks (ai, pi, ni) -> sigma tiles
-        i2, o2, v2 = _locate(cum2, g2s, B)
+        i2, o2, v2 = _locate(cum2, g2s, e2s, B)
         f = it[i2]
         nn, npp = f[:, 11], f[:, 10]
         ai = o2 // (npp * nn)
@@ -133,7 +138,7 @@ def _mv_exec(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
         return sig, 0
 
     sig0 = jnp.zeros((nt2 + 1, T, T), dtype=xp.dtype)
-    sig, _ = lax.scan(body, sig0, (g1, g2))
+    sig, _ = lax.scan(body, sig0, (g1, g2, e1, e2))
     return sig.reshape(-1)[sig_idx]
 
 

@@ -151,6 +151,39 @@ def test_resident_backend_end_to_end(monkeypatch):
     assert abs(e_res - e_ref) < 1e-8, (e_res, e_ref)
 
 
+def test_matvec_v2_multigroup_parity(monkeypatch):
+    """Regression: a scan step must only process its own group's task
+    range.  Groups shorter than B used to read on into the next group's
+    tasks — double-counting them and colliding tmp-tile bases (which
+    restart at 0 per group).  Forcing tiny stage budgets makes every
+    group short and multiplies groups."""
+    import jax.numpy as jnp
+    import block2_preview_tpu.ops.tilev2 as tv2
+    mpo, mps = _setup(D=24)
+    t = mpo.n_sites // 2 - 1
+    eff, pl, pr, lw_pool, rw_pool = _mix_pools(mpo, mps, t)
+    # budget = the largest single item's task count -> (almost) every
+    # item lands in its own group, all of them shorter than B
+    ex0 = MatvecV2(eff.ket_space, pl.meta_out, pr.meta_out, mpo.group,
+                   eff.target, dtype=np.float64, T=16)
+    f = ex0.struct["it"].astype(np.int64)
+    na, nk, npp, nn = f[:, 8], f[:, 9], f[:, 10], f[:, 11]
+    need = int(max((na * nn * nk).max(), (na * nn * npp).max()))
+    monkeypatch.setitem(tv2._CFG, 16, (need, max(int((na * nn).max()), 1)))
+    ex = MatvecV2(eff.ket_space, pl.meta_out, pr.meta_out, mpo.group,
+                  eff.target, dtype=np.float64, T=16)
+    assert len(ex.struct["g1"]) > 2, "budgets did not force multiple groups"
+    lw_dev = jnp.asarray(lw_pool)
+    rw_dev = jnp.asarray(rw_pool)
+    rng = np.random.RandomState(11)
+    x = rng.standard_normal(eff.size)
+    ref = eff.matvec_np(x)
+    got = np.asarray(ex.matvec_device(jnp.asarray(ex.pad(x)),
+                                      lw_dev, rw_dev))[:eff.size]
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-30)
+    assert err < 1e-10, err
+
+
 def test_diag_v2_parity():
     mpo, mps = _setup()
     t = mpo.n_sites // 2 - 1
