@@ -110,6 +110,10 @@ class MovingEnvironment:
     # between steps (no per-step host round trips); host mirrors only on
     # materialization.  Set by DMRG(backend='jax_resident').
     resident = False
+    # multi-chip: jax.sharding.Mesh over which blocking task groups and
+    # sigma matvecs shard (psum of partials).  Set by DMRG(mesh=...).
+    mesh = None
+    mesh_axis = "op"
 
     # ------------------------------------------------------------------
     def _materialize(self, side: str, t: int) -> EnvMap:
@@ -208,7 +212,9 @@ class MovingEnvironment:
         from ..ops.tiled_blocking import (TiledBlockingPlan,
                                           execute_tiled_blocking)
         if isinstance(plan, BlockingV2Plan):
-            pool_out = execute_blocking_v2(plan, pool_dev, dtype=dt)
+            pool_out = execute_blocking_v2(plan, pool_dev, dtype=dt,
+                                           mesh=self.mesh,
+                                           axis=self.mesh_axis)
         elif isinstance(plan, TiledBlockingPlan):
             pool_out = execute_tiled_blocking(plan, pool_dev, dtype=dt)
         else:

@@ -256,7 +256,8 @@ class DMRG:
     def __init__(self, mpo: MPO, mps: MPS, backend: str = "numpy",
                  iprint: int = 1, dtype=np.float64, n_roots: int = 1,
                  weights: Optional[Sequence[float]] = None,
-                 dav_max_iter: int = 200, hermitian: bool = True):
+                 dav_max_iter: int = 200, hermitian: bool = True,
+                 mesh=None, mesh_axis: str = "op"):
         self.mpo = mpo
         self.mps = mps
         if backend not in ("numpy", "jax", "jax_device", "jax_stacked",
@@ -296,6 +297,12 @@ class DMRG:
                 # steps; mix/matvec/diag/Davidson all device-side
                 self.me.resident = True
                 self._res_caches = {}
+            if mesh is not None:
+                # multi-chip operator sharding (SURVEY 2.6 axis 1):
+                # blocking task groups and the resident sigma matvec
+                # split over the mesh axis with psum of partials
+                self.me.mesh = mesh
+                self.me.mesh_axis = mesh_axis
         # optional cross-process plan-cache persistence: structures are
         # validated against content signatures at lookup, so stale
         # entries are rebuilt safely (B2TPU_PLAN_CACHE=<dir>)

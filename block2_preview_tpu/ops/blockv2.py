@@ -55,19 +55,17 @@ _CFG = {16: (8192, 16384, 16384), 32: (8192, 8192, 8192),
         64: (4096, 4096, 4096), 128: (4096, 2048, 2048)}
 
 
-@partial(jax.jit, static_argnames=("nt1", "ntp", "T", "B", "left",
-                                   "ncap", "nscan"))
-def _blk_exec(epool, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
-              g1, g2, g3, nt1, ntp, T, B, left, ncap, nscan):
-    """it [n, 13] int32 item fields: ebase, dk, db, kbase, dy, bbase, dx,
-    nl, nk, nx, ny, tb(tmp base), pb(prod base); ef [ne, 4]: item, obase,
-    odx, ody; coef [ne]; cum1/cum2 [n+1] stage-1/2 task prefix sums;
-    cum3 [ne+1] stage-3 tile prefix sums; g1/g2/g3 [nscan] first task ids
-    per scan step."""
+def _blk_scan(epool, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
+              g1, g2, g3, e1, e2, e3, nt1, ntp, T, B, left, ncap,
+              vary_axis=None):
+    """Scan over task groups; returns the accumulated output pool
+    [ncap] (index ncap scatters are dropped).  it [n, 13] int32 item
+    fields: ebase, dk, db, kbase, dy, bbase, dx, nl, nk, nx, ny,
+    tb(tmp base), pb(prod base); ef [ne, 4]: item, obase, odx, ody;
+    coef [ne]; cum1/cum2 [n+1] stage-1/2 task prefix sums; cum3 [ne+1]
+    stage-3 tile prefix sums; g1/g2/g3 [nscan] first task ids per scan
+    step, e1/e2/e3 the matching end ids."""
     hi = lax.Precision.HIGHEST
-    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
-    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
-    e3 = jnp.concatenate([g3[1:], cum3[-1:]])
     r = jnp.arange(T, dtype=jnp.int32)[None, :, None]
     c = jnp.arange(T, dtype=jnp.int32)[None, None, :]
 
@@ -141,8 +139,51 @@ def _blk_exec(epool, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
         return out, 0
 
     out0 = jnp.zeros(ncap, dtype=epool.dtype)
+    if vary_axis is not None:
+        out0 = lax.pvary(out0, (vary_axis,))
     out, _ = lax.scan(body, out0, (g1, g2, g3, e1, e2, e3))
     return out
+
+
+@partial(jax.jit, static_argnames=("nt1", "ntp", "T", "B", "left",
+                                   "ncap", "nscan"))
+def _blk_exec(epool, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
+              g1, g2, g3, nt1, ntp, T, B, left, ncap, nscan):
+    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
+    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
+    e3 = jnp.concatenate([g3[1:], cum3[-1:]])
+    return _blk_scan(epool, bpool, kpool, it, ef, coef, cum1, cum2,
+                     cum3, g1, g2, g3, e1, e2, e3, nt1, ntp, T, B,
+                     left, ncap)
+
+
+@partial(jax.jit, static_argnames=("nt1", "ntp", "T", "B", "left",
+                                   "ncap", "nscan", "mesh", "axis"))
+def _blk_exec_sharded(epool, bpool, kpool, it, ef, coef, cum1, cum2,
+                      cum3, g1, g2, g3, nt1, ntp, T, B, left, ncap,
+                      nscan, mesh, axis):
+    """Blocking with the task-group axis sharded over the mesh axis and
+    partial output pools psum'd — block2's distributed left_contract
+    (owner-computes per operator, reduce of partials,
+    src/core/parallel_tensor_functions.hpp)."""
+    from jax.sharding import PartitionSpec as P
+    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
+    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
+    e3 = jnp.concatenate([g3[1:], cum3[-1:]])
+
+    def local(g1s, g2s, g3s, e1s, e2s, e3s, ep, bp, kp, itl, efl, cf,
+              c1, c2, c3):
+        out = _blk_scan(ep, bp, kp, itl, efl, cf, c1, c2, c3,
+                        g1s, g2s, g3s, e1s, e2s, e3s, nt1, ntp, T, B,
+                        left, ncap, vary_axis=axis)
+        return lax.psum(out, axis)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P())(g1, g2, g3, e1, e2, e3, epool, bpool, kpool,
+                       it, ef, coef, cum1, cum2, cum3)
 
 
 class BlockingV2Plan:
@@ -359,10 +400,12 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
 
 
 def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
-                        dtype=np.float32):
+                        dtype=np.float32, mesh=None, axis: str = "op"):
     """Run the plan on a device input pool; returns the output pool
     [ncap] on device (slot >= meta_out.total stay zero: the sentinel
-    convention downstream tile gathers rely on)."""
+    convention downstream tile gathers rely on).  With `mesh`, the
+    task-group axis is sharded over the mesh axis and partial output
+    pools are psum'd."""
     dev = plan._dev
     if dev is None or dev[0] != dtype:
         def pack(mats, offs):
@@ -385,6 +428,21 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
         plan._dev = dev
     (_dt, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
      g1, g2, g3) = dev
+    if mesh is not None:
+        nd = mesh.shape[axis]
+        ng = -(-len(plan.g1) // nd) * nd
+        pad = ng - len(plan.g1)
+        if pad:
+            g1 = jnp.concatenate(
+                [g1, jnp.full(pad, plan.cum1[-1], g1.dtype)])
+            g2 = jnp.concatenate(
+                [g2, jnp.full(pad, plan.cum2[-1], g2.dtype)])
+            g3 = jnp.concatenate(
+                [g3, jnp.full(pad, plan.cum3[-1], g3.dtype)])
+        return _blk_exec_sharded(
+            epool_dev, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
+            g1, g2, g3, plan.nt1, plan.ntp, plan.T, plan.B, plan.left,
+            plan.ncap, ng, mesh, axis)
     return _blk_exec(epool_dev, bpool, kpool, it, ef, coef, cum1, cum2,
                      cum3, g1, g2, g3, plan.nt1, plan.ntp, plan.T,
                      plan.B, plan.left, plan.ncap, len(plan.g1))

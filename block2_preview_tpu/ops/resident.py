@@ -716,6 +716,42 @@ def _v2_dav(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
                            max_iter=max_iter, max_subspace=max_subspace)
 
 
+def _v2_dav_sharded(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
+                    cum2, g1, g2, nt1, nt2, T, B, nscan, conv_thrd,
+                    max_iter, max_subspace, mesh, axis="op"):
+    """Sharded on-device Davidson: the subspace iteration runs
+    replicated on every device (the reference's rank-redundant Davidson,
+    src/core/iterative_matrix_functions.hpp:1181 pcomm semantics) while
+    every matvec splits the task groups over the mesh axis and psums the
+    partial sigma tile pools (parallel_tensor_functions.hpp:219)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .device_davidson import device_davidson
+    from .tilev2 import _mv_scan
+    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
+    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
+
+    def local(g1s, g2s, e1s, e2s, x0l, dgl, lp, rp, pidx, sidx, itl,
+              c1, c2):
+        def mv(v):
+            sig = _mv_scan(v, lp, rp, pidx, itl, c1, c2, g1s, g2s,
+                           e1s, e2s, nt1, nt2, T, B, vary_axis=axis)
+            sig = jax.lax.psum(sig, axis)
+            out = sig.reshape(-1)[sidx]
+            return jnp.concatenate([out, jnp.zeros(1, dtype=out.dtype)])
+
+        return device_davidson(mv, dgl, x0l, conv_thrd=conv_thrd,
+                               max_iter=max_iter,
+                               max_subspace=max_subspace)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * 4 + (P(),) * 9,
+        out_specs=(P(), P(), P()))
+    return fn(g1, g2, e1, e2, x0, diag, lpool, rpool, psi_idx, sig_idx,
+              it, cum1, cum2)
+
+
 def _mix_sig(meta_env, entries, fused, fused_ket, active, active_ket,
              comp_target, comp_target_ket, out_bond_dqs):
     """Validation signature for a cached MixPlan: env pool layout + every
@@ -751,6 +787,8 @@ class ResidentSite:
         self.me = me
         self.eff = eff
         self.dtype = dtype
+        self.mesh = getattr(me, "mesh", None)
+        self.mesh_axis = getattr(me, "mesh_axis", "op")
         t = eff.t
         mpo, g = me.mpo, me.mpo.group
         if caches is None:
@@ -862,11 +900,27 @@ class ResidentSite:
         # kernels' dump tiles only ever accumulate zero-valued products)
         diag_p = jnp.concatenate(
             [dg, jnp.zeros(s["size_p"] + 1 - dg.shape[0], dtype=dg.dtype)])
-        th, xv, it = _v2_dav(
-            jnp.asarray(self.ex.pad(x0)), diag_p, self.lw_pool,
-            self.rw_pool, d["psi_idx"], d["sig_idx"], d["it"], d["cum1"],
-            d["cum2"], d["g1"], d["g2"], s["nt1"], s["nt2"], s["T"],
-            s["B"], len(s["g1"]), conv_thrd, max_iter, max_subspace)
+        if self.mesh is not None:
+            nd = self.mesh.shape[self.mesh_axis]
+            ng = -(-len(s["g1"]) // nd) * nd
+            pad = ng - len(s["g1"])
+            g1 = jnp.concatenate(
+                [d["g1"], jnp.full(pad, s["cum1"][-1], d["g1"].dtype)])
+            g2 = jnp.concatenate(
+                [d["g2"], jnp.full(pad, s["cum2"][-1], d["g2"].dtype)])
+            th, xv, it = _v2_dav_sharded(
+                jnp.asarray(self.ex.pad(x0)), diag_p, self.lw_pool,
+                self.rw_pool, d["psi_idx"], d["sig_idx"], d["it"],
+                d["cum1"], d["cum2"], g1, g2, s["nt1"], s["nt2"],
+                s["T"], s["B"], ng, conv_thrd, max_iter, max_subspace,
+                self.mesh, self.mesh_axis)
+        else:
+            th, xv, it = _v2_dav(
+                jnp.asarray(self.ex.pad(x0)), diag_p, self.lw_pool,
+                self.rw_pool, d["psi_idx"], d["sig_idx"], d["it"],
+                d["cum1"], d["cum2"], d["g1"], d["g2"], s["nt1"],
+                s["nt2"], s["T"], s["B"], len(s["g1"]), conv_thrd,
+                max_iter, max_subspace)
         return (float(th), np.asarray(xv, dtype=np.float64)[:self.size],
                 int(it))
 

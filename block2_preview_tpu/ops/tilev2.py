@@ -89,15 +89,14 @@ def _locate(cum, g0, g1, B):
 #                         na, nk, np, nn, tb, (pad)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan"))
-def _mv_exec(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
-             g1, g2, nt1, nt2, T, B, nscan):
-    """it [n, 13] int32 item fields; cum1/cum2 [n+1] stage task prefix
-    sums; g1/g2 [nscan] first stage-1/2 task ids per scan step."""
+def _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
+             g1, g2, e1, e2, nt1, nt2, T, B, vary_axis=None):
+    """Scan over task groups; returns the pre-gather sigma tile pool
+    [(nt2 + 1), T, T].  it [n, 13] int32 item fields; cum1/cum2 [n+1]
+    stage task prefix sums; g1/g2 [nscan] first stage-1/2 task ids per
+    scan step; e1/e2 the matching end ids (next group's first)."""
     pp = xp[psi_idx]
     hi = lax.Precision.HIGHEST
-    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
-    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
 
     def body(sig, g):
         g1s, g2s, e1s, e2s = g
@@ -138,7 +137,49 @@ def _mv_exec(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
         return sig, 0
 
     sig0 = jnp.zeros((nt2 + 1, T, T), dtype=xp.dtype)
+    if vary_axis is not None:
+        # under shard_map the carry must be marked varying over the
+        # sharded mesh axis or the scan in/out types disagree
+        sig0 = lax.pvary(sig0, (vary_axis,))
     sig, _ = lax.scan(body, sig0, (g1, g2, e1, e2))
+    return sig
+
+
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan"))
+def _mv_exec(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
+             g1, g2, nt1, nt2, T, B, nscan):
+    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
+    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
+    sig = _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
+                   g1, g2, e1, e2, nt1, nt2, T, B)
+    return sig.reshape(-1)[sig_idx]
+
+
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan",
+                                   "mesh", "axis"))
+def _mv_exec_sharded(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
+                     g1, g2, nt1, nt2, T, B, nscan, mesh, axis):
+    """Operator-sharded sigma matvec: the scan-group axis is split over
+    the mesh axis (each device runs its slice of task groups over the
+    full replicated pools) and the partial sigma tile pools are summed
+    with a psum — the TPU-native form of block2's owner-computes +
+    allreduce_sum(vmats) (src/core/parallel_tensor_functions.hpp:219)."""
+    from jax.sharding import PartitionSpec as P
+    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
+    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
+
+    def local(g1s, g2s, e1s, e2s, xpl, lp, rp, pidx, itl, c1, c2):
+        sig = _mv_scan(xpl, lp, rp, pidx, itl, c1, c2,
+                       g1s, g2s, e1s, e2s, nt1, nt2, T, B,
+                       vary_axis=axis)
+        return lax.psum(sig, axis)
+
+    sig = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P())(g1, g2, e1, e2, xp, lpool, rpool, psi_idx,
+                       it, cum1, cum2)
     return sig.reshape(-1)[sig_idx]
 
 
@@ -337,6 +378,30 @@ class MatvecV2:
                         d["it"], d["cum1"], d["cum2"], d["g1"], d["g2"],
                         s["nt1"], s["nt2"], s["T"], s["B"],
                         len(s["g1"]))
+
+    def matvec_device_sharded(self, xp, lpool, rpool, mesh,
+                              axis: str = "op"):
+        """Sigma matvec with the task-group axis sharded over `mesh`'s
+        `axis` and partial sigma pools psum'd (exact, loss-free)."""
+        s = self.struct
+        d = self.to_device()
+        nd = mesh.shape[axis]
+        sh = getattr(self, "_sh", None)
+        if sh is None or sh[0] != (id(mesh), axis):
+            g1, g2 = s["g1"], s["g2"]
+            ng = -(-len(g1) // nd) * nd
+            pad = ng - len(g1)
+            g1p = np.concatenate(
+                [g1, np.full(pad, s["cum1"][-1], g1.dtype)])
+            g2p = np.concatenate(
+                [g2, np.full(pad, s["cum2"][-1], g2.dtype)])
+            sh = ((id(mesh), axis), jnp.asarray(g1p), jnp.asarray(g2p))
+            self._sh = sh
+        _k, g1p, g2p = sh
+        return _mv_exec_sharded(
+            xp, lpool, rpool, d["psi_idx"], d["sig_idx"], d["it"],
+            d["cum1"], d["cum2"], g1p, g2p, s["nt1"], s["nt2"],
+            s["T"], s["B"], int(g1p.shape[0]), mesh, axis)
 
     def free(self):
         if self._dev is not None:
