@@ -230,6 +230,16 @@ class MovingEnvironment:
         else:
             self._stk_r[dst] = (plan.meta_out, pool_out)
             list.__setitem__(self.right_envs, dst, _STK)
+        if self.resident:
+            # HBM policy: only the freshly-produced pool stays device-
+            # resident; the just-consumed source pool spills to a host
+            # mirror (re-uploaded on demand).  Keeping every bond's pool
+            # on device crashes the TPU worker at Cr2 scale (42 bonds x
+            # 0.5-1.5 GB pools vs 16 GB HBM).  Reference analog: disk-
+            # backed environment partitions loaded per site
+            # (src/dmrg/partition.hpp:93, moving_environment.hpp:194).
+            self.free_stk_device("l" if left else "r", src_bond,
+                                 keep_host=True)
         return True
 
     # ------------------------------------------------------------------

@@ -375,6 +375,23 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
 
     plan = BlockingV2Plan()
     plan.meta_out = meta_out
+    # quantize item/entry counts: the jit signature depends on the it /
+    # ef / cum shapes, so exact per-site sizes would compile one kernel
+    # per site per sweep-schedule change.  Padded items/entries span zero
+    # tasks (repeated cum tail) and are never selected by searchsorted.
+    nit_q = _quant(nit)
+    it = np.concatenate(
+        [it, np.zeros((nit_q - nit, 13), dtype=it.dtype)])
+    it[nit:, 7:11] = 1
+    c1 = np.concatenate([c1, np.full(nit_q - nit, c1[-1], c1.dtype)])
+    c2 = np.concatenate([c2, np.full(nit_q - nit, c2[-1], c2.dtype)])
+    ne_q = _quant(ne)
+    ef = np.concatenate([ef, np.zeros((ne_q - ne, 4), dtype=ef.dtype)])
+    ef[ne:, 3] = 1
+    coef = np.concatenate([coef, np.zeros(ne_q - ne, dtype=coef.dtype)])
+    cum3 = np.concatenate(
+        [cum3, np.full(ne_q - ne, cum3[-1], cum3.dtype)])
+
     plan.T = T
     plan.B = B
     plan.nt1 = nt1

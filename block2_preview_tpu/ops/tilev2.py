@@ -330,13 +330,22 @@ class MatvecV2:
             t_used += itmp[i]
             u1 += is1[i]
             u2 += is2[i]
-        itf = np.zeros((n, 13), dtype=np.int32)
-        itf[:, :8] = it[:, :8]
-        itf[:, 8] = na
-        itf[:, 9] = nk
-        itf[:, 10] = npp
-        itf[:, 11] = nn
-        itf[:, 12] = tb
+        # quantize the ITEM count too (jit signatures depend on the it /
+        # cum shapes): padded items contribute zero tasks -> the repeated
+        # cum tail is never selected by searchsorted
+        np_q = _quant(n)
+        itf = np.zeros((np_q, 13), dtype=np.int32)
+        itf[:n, :8] = it[:, :8]
+        itf[:n, 8] = na
+        itf[:n, 9] = nk
+        itf[:n, 10] = npp
+        itf[:n, 11] = nn
+        itf[:n, 12] = tb
+        # non-zero grids on pad rows keep the divmods well-defined (the
+        # rows are unreachable: their cum span is empty)
+        itf[n:, 8:12] = 1
+        c1 = np.concatenate([c1, np.full(np_q - n, c1[-1], c1.dtype)])
+        c2 = np.concatenate([c2, np.full(np_q - n, c2[-1], c2.dtype)])
         # quantize group count (jit signature depends on scan length):
         # padded groups start past cum[-1] -> all-invalid -> no-ops
         ng = _quant(len(gfirst1))
