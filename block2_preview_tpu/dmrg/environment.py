@@ -87,11 +87,21 @@ class MovingEnvironment:
         starting at center 0; reference moving_environment.hpp:1245).  In
         stacked mode the chain runs on the accelerator (the host blocking
         loop was minutes/site at Cr2 scale)."""
+        import os as _os
+        import time as _time
+        verb = _os.environ.get("B2TPU_VERBOSE_ENV")
         L = self.mpo.n_sites
         for t in range(L - 1, 1, -1):
+            t0 = _time.time()
             if self.stacked and self._stk_contract(t, "right"):
+                if verb:
+                    print(f"  env init R bond {t}: "
+                          f"{_time.time() - t0:.1f}s", flush=True)
                 continue
             self.right_envs[t] = self._right_contract(t)
+            if verb:
+                print(f"  env init R bond {t} (host): "
+                      f"{_time.time() - t0:.1f}s", flush=True)
 
     fast = True   # vectorized join-based blocking (ops/blocking_plan.py)
     # execute blocking plans on the accelerator (ops/blocking_jax.py);

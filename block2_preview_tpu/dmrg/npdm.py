@@ -234,6 +234,22 @@ def npdm_spatial(mps: MPS, order: int, bra: Optional[MPS] = None
     G = Wb.conj() @ Wk.T
     mask = n_beta[:, None] != n_beta[None, :]
     G[mask] = 0.0
+    return gram_to_spatial(G, combos, L, k)
+
+
+def gram_to_spatial(G: np.ndarray, combos: np.ndarray, L: int, k: int
+                    ) -> np.ndarray:
+    """Scatter the combo Gram matrix G[A, B] = <bra| c+_{a_k}..c+_{a_1}
+    c_{b_1}..c_{b_k} |ket> (A, B ascending-sorted spin-orbital k-tuples,
+    `combos` row order) into the spatial k-PDM.  Shared by the
+    determinant (npdm_spatial) and pooled-sweep (npdm_scheme) engines."""
+    L2 = 2 * L
+    combo_rank: Dict[int, int] = {}
+    for i, row in enumerate(combos):
+        e = 0
+        for a in row:
+            e = e * L2 + int(a)
+        combo_rank[e] = i
     # reversal phase: <c+_{a1}..c+_{ak} c_{b1}..c_{bk}>
     #   = (-1)^(k(k-1)/2) <(c_{a1}..c_{ak}) bra | (c_{b1}..c_{bk}) ket>
     G = G * (1 - 2 * ((k * (k - 1) // 2) & 1))

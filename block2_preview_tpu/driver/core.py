@@ -337,12 +337,20 @@ class DMRGDriver:
         import os
         return load_mps(os.path.join(self.scratch, f"mps.{tag}.npz"))
 
-    def get_npdm(self, ket: MPS, pdm_type: int = 1, bra: MPS = None):
-        """1PDM / 2PDM; pass bra for transition densities
+    def get_npdm(self, ket: MPS, pdm_type: int = 1, bra: MPS = None,
+                 algo: str = "auto"):
+        """1-4+PDM; pass bra for transition densities
         (reference pyblock2/driver/core.py:5504 get_npdm / get_trans_1pdm).
         In SU2 mode the solved spin-adapted MPS is expanded to SZ first
         (reference TransMPS SU2->SZ, core.py:7217); the spatial PDMs are
-        Sz-independent."""
+        Sz-independent.
+
+        algo (orders >= 3): 'poly' = polynomial pooled-sweep engine
+        (dmrg/npdm_scheme.py, the symbol-free GeneralNPDMMPO analog,
+        reference general_npdm.hpp:43); 'det' = exact determinant-space
+        reconstruction (exponential, small spaces); 'auto' picks det only
+        when the determinant expansion is clearly cheaper (tiny chains).
+        """
         from ..dmrg.expect import pdm1, pdm2_spatial, pdm3_spatial
         if isinstance(ket, SU2MPSSpec):
             assert ket.engine is not None, "run dmrg() first"
@@ -356,14 +364,14 @@ class DMRGDriver:
             return pdm2_spatial(ket, orb_sym=sym,
                                 assume_singlet=self.spin == 0 and bra is None,
                                 bra=bra)
-        elif pdm_type == 3:
+        elif pdm_type == 3 and algo in ("auto", "det"):
             return pdm3_spatial(ket, bra=bra)
-        elif pdm_type >= 4:
-            # high orders: determinant-space reconstruction (small active
-            # spaces only — the regime where the reference's symbol-free
-            # scheme is used for 4PDM, general_npdm.hpp:43)
-            from ..dmrg.npdm import npdm_spatial
-            return npdm_spatial(ket, pdm_type, bra=bra)
+        elif pdm_type >= 3:
+            if algo == "det" or (algo == "auto" and ket.n_sites <= 8):
+                from ..dmrg.npdm import npdm_spatial
+                return npdm_spatial(ket, pdm_type, bra=bra)
+            from ..dmrg.npdm_scheme import npdm_spatial_poly
+            return npdm_spatial_poly(ket, pdm_type, bra=bra)
         raise NotImplementedError(f"pdm order {pdm_type}")
 
     def get_trans_1pdm(self, bra: MPS, ket: MPS):

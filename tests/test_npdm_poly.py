@@ -1,0 +1,69 @@
+"""Polynomial pooled-sweep NPDM engine (dmrg/npdm_scheme.py) vs the
+exact determinant-space reconstruction (dmrg/npdm.py) — the symbol-free
+GeneralNPDMMPO analog (reference src/dmrg/general_npdm.hpp:43,
+src/core/spin_permutation.hpp:1703 NPDMCounter)."""
+
+import numpy as np
+import pytest
+
+from block2_preview_tpu.dmrg.npdm import npdm_spatial
+from block2_preview_tpu.dmrg.npdm_scheme import npdm_spatial_poly
+from block2_preview_tpu.dmrg.sweep import DMRG
+from block2_preview_tpu.driver.core import DMRGDriver, SymmetryTypes
+
+DATA = "/root/reference/data"
+
+
+def _solved_mps(deck="HUBBARD-L6.FCIDUMP", D=40, seed=1):
+    drv = DMRGDriver(symm_type=SymmetryTypes.SZ)
+    fd = drv.read_fcidump(f"{DATA}/{deck}")
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    mps = drv.get_random_mps(D, target=drv.target, seed=seed)
+    DMRG(mpo, mps, iprint=0).solve([D] * 4, [1e-4] * 3 + [0], [1e-9],
+                                   n_sweeps=4, tol=0)
+    return drv, mps
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_poly_npdm_matches_determinant(order):
+    _drv, mps = _solved_mps()
+    ref = npdm_spatial(mps, order)
+    got = npdm_spatial_poly(mps, order)
+    assert np.abs(got - ref).max() < 1e-10
+
+
+def test_poly_4pdm_matches_determinant():
+    _drv, mps = _solved_mps()
+    ref = npdm_spatial(mps, 4)
+    got = npdm_spatial_poly(mps, 4)
+    assert np.abs(got - ref).max() < 1e-10
+
+
+def test_poly_transition_npdm():
+    # different bra: transition densities exercise the bra != ket path
+    drv = DMRGDriver(symm_type=SymmetryTypes.SZ)
+    fd = drv.read_fcidump(f"{DATA}/HUBBARD-L6.FCIDUMP")
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    a = drv.get_random_mps(30, target=drv.target, seed=3)
+    b = drv.get_random_mps(30, target=drv.target, seed=7)
+    for m in (a, b):
+        DMRG(mpo, m, iprint=0).solve([30] * 2, [1e-4, 0], [1e-8],
+                                     n_sweeps=2, tol=0)
+    ref = npdm_spatial(a, 2, bra=b)
+    got = npdm_spatial_poly(a, 2, bra=b)
+    assert np.abs(got - ref).max() < 1e-10
+
+
+def test_driver_dispatch_poly():
+    drv, mps = _solved_mps()
+    ref = npdm_spatial(mps, 3)
+    got = drv.get_npdm(mps, pdm_type=3, algo="poly")
+    assert np.abs(got - ref).max() < 1e-10
+
+
+@pytest.mark.slow
+def test_poly_4pdm_l8():
+    _drv, mps = _solved_mps(deck="HUBBARD-L8.FCIDUMP", D=50)
+    ref = npdm_spatial(mps, 4)
+    got = npdm_spatial_poly(mps, 4)
+    assert np.abs(got - ref).max() < 1e-10
