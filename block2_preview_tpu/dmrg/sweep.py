@@ -257,7 +257,9 @@ class DMRG:
                  iprint: int = 1, dtype=np.float64, n_roots: int = 1,
                  weights: Optional[Sequence[float]] = None,
                  dav_max_iter: int = 200, hermitian: bool = True,
-                 mesh=None, mesh_axis: str = "op"):
+                 mesh=None, mesh_axis: str = "op",
+                 proj_mpss: Optional[Sequence[MPS]] = None,
+                 proj_weights: Optional[Sequence[float]] = None):
         self.mpo = mpo
         self.mps = mps
         if backend not in ("numpy", "jax", "jax_device", "jax_stacked",
@@ -280,6 +282,22 @@ class DMRG:
         # hermitian=False: two-sided (oblique) Davidson for non-Hermitian
         # MPOs (the ST-DMRG path, reference SimilarityTransform)
         self.hermitian = hermitian
+        # state-specific projection against previously converged MPSs
+        # (reference sweep_algorithm.hpp:81,110-111 ext_mpss /
+        # state_specific / projection_weights): without weights the
+        # external states are projected out of the Davidson space; with
+        # weights the local solve runs on H + sum_i w_i |phi_i><phi_i|
+        if proj_mpss:
+            from .projection import OverlapEnvs
+            self._proj = [OverlapEnvs(mps, phi, 1.0) for phi in proj_mpss]
+            self._proj_weights = list(proj_weights) if proj_weights \
+                else None
+            if self._proj_weights is not None:
+                assert len(self._proj_weights) == len(self._proj)
+            assert hermitian, "projection requires a Hermitian solve"
+        else:
+            self._proj = []
+            self._proj_weights = None
         self.weights = list(weights) if weights is not None \
             else [1.0 / n_roots] * n_roots
         self.me = MovingEnvironment(mpo, mps)
@@ -399,7 +417,27 @@ class DMRG:
             x0[:, r] /= nrm
         return x0
 
-    def _solve_eff(self, eff: EffectiveHamiltonian2, x0, diag, dav_thrd):
+    def _proj_vecs(self, eff) -> Optional[list]:
+        """Local compressions of the projector MPSs (normalized set is
+        NOT normalized — reference ors semantics)."""
+        if not self._proj:
+            return None
+        from .effective import (EffectiveHamiltonian1,
+                                EffectiveHamiltonian1R)
+        vecs = []
+        for p in self._proj:
+            if isinstance(eff, EffectiveHamiltonian1):
+                vecs.append(p.one_dot_vector(eff))
+            elif isinstance(eff, EffectiveHamiltonian1R):
+                vecs.append(p.one_dot_vector_r(eff))
+            else:
+                vecs.append(p.two_dot_vector(eff))
+        return vecs
+
+    def _solve_eff(self, eff: EffectiveHamiltonian2, x0, diag, dav_thrd,
+                   proj_vecs=None):
+        pv = dict(ortho=proj_vecs, proj_weights=self._proj_weights) \
+            if proj_vecs else {}
         if not self.hermitian:
             from ..ops.davidson import davidson_non_hermitian
             w, v, nmv = davidson_non_hermitian(
@@ -412,7 +450,8 @@ class DMRG:
         if self.backend in ("jax", "jax_device", "jax_stacked",
                             "jax_tiled") and eff.size < 4096:
             return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,
-                            conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
+                            conv_thrd=dav_thrd, max_iter=self.dav_max_iter,
+                            **pv)
         if self.backend == "jax_tiled":
             # the tiled engine wins across regimes after the T=128 chunk
             # fix (18.5 TF/s effective on Hubbard-L16 D~768 vs 4.7 TF/s
@@ -428,18 +467,18 @@ class DMRG:
                                cache=self._tiled_cache,
                                cache_key=(type(eff).__name__, eff.t))
             try:
-                if self.n_roots == 1:
+                if self.n_roots == 1 and not proj_vecs:
                     th, xv, nmv = ex.solve_ground_state(
                         x0[:, 0], diag, conv_thrd=dav_thrd,
                         max_iter=self.dav_max_iter, max_subspace=20)
                     return np.array([th]), xv[:, None], nmv
                 return davidson(ex.matvec, diag, x0,
                                 n_roots=self.n_roots, conv_thrd=dav_thrd,
-                                max_iter=self.dav_max_iter)
+                                max_iter=self.dav_max_iter, **pv)
             finally:
                 ex.free()
         if self.backend == "jax_device" and self.n_roots == 1 \
-                and self.dtype == np.float32:
+                and not proj_vecs and self.dtype == np.float32:
             # fully-fused on-device Davidson (f32 on the MXU); f64 runs
             # XLA-emulated and is better served by host Davidson around
             # the device matvec below
@@ -457,9 +496,11 @@ class DMRG:
                                    cache=self._exec_cache,
                                    cache_key=(type(eff).__name__, eff.t))
             return davidson(ex.matvec, diag, x0, n_roots=self.n_roots,
-                            conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
+                            conv_thrd=dav_thrd, max_iter=self.dav_max_iter,
+                            **pv)
         return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,
-                        conv_thrd=dav_thrd, max_iter=self.dav_max_iter)
+                        conv_thrd=dav_thrd, max_iter=self.dav_max_iter,
+                        **pv)
 
     def update_two_dot(self, t: int, forward: bool, bond_dim: int,
                        noise: float, dav_thrd: float
@@ -469,7 +510,7 @@ class DMRG:
         # particle-window restriction (CASCI/MRCI MPSInfo): the middle
         # bond of the two-dot space is the fused-left quantum
         use_res = (self.backend == "jax_resident" and self.n_roots == 1
-                   and self.hermitian)
+                   and self.hermitian and not self._proj)
         eff = EffectiveHamiltonian2(
             self.me, t, key_filter=_bond_window(self.mps.info, t + 1),
             assemble=not use_res)
@@ -510,7 +551,8 @@ class DMRG:
             diag = eff.diagonal()
             t1 = time.time()
             tm.teff += t1 - t0
-            w, v, nmv = self._solve_eff(eff, x0, diag, dav_thrd)
+            w, v, nmv = self._solve_eff(eff, x0, diag, dav_thrd,
+                                        proj_vecs=self._proj_vecs(eff))
             t2 = time.time()
             tm.teig += t2 - t1
             self._last_flop = _eff_flops(eff) * nmv
@@ -548,6 +590,8 @@ class DMRG:
             self.me.invalidate_left(t)
             if self.me.resident:
                 self.me.free_stk_device("l", t)
+        for p in self._proj:
+            p.dirty(t, t + 1)
         tm.tblk += time.time() - t3
         return energies, dw, nmv
 
@@ -572,7 +616,8 @@ class DMRG:
             x0 = np.random.RandomState(42).standard_normal(eff.size)
         x0 = x0 / np.linalg.norm(x0)
         diag = eff.diagonal()
-        w, v, nmv = self._solve_eff(eff, x0[:, None], diag, dav_thrd)
+        w, v, nmv = self._solve_eff(eff, x0[:, None], diag, dav_thrd,
+                                    proj_vecs=self._proj_vecs(eff))
         energy = np.array([float(w[0]) + self.mpo.const_e])
         psi = {}
         for k in eff.keys:
@@ -585,6 +630,8 @@ class DMRG:
             self.mps.tensors[t] = eff.vec_to_tensor(v[:, 0])
             self._center_tensors = [self.mps.tensors[t]]
             self._center_pos = t
+            for p in self._proj:
+                p.dirty(t, t)
             return energy, 0.0, nmv
 
         if forward:
@@ -686,6 +733,8 @@ class DMRG:
             self._center_pos = t - 1
             self.me.update_right(t)
             self.me.invalidate_left(t - 1)
+        for p in self._proj:
+            p.dirty(max(t - 1, 0), min(t + 1, L - 1))
         return energy, dw, nmv
 
     # ------------------------------------------------------------------

@@ -188,13 +188,17 @@ class DMRGDriver:
 
     # ------------------------------------------------------------------
     def get_random_mps(self, bond_dim: int = 250, target=None,
-                       seed: int = 1234) -> MPS:
-        """reference pyblock2/driver/core.py:7494"""
+                       seed: int = 1234, occs=None,
+                       bias: float = 1.0) -> MPS:
+        """reference pyblock2/driver/core.py:7494 (occs: occupancy-biased
+        warmup allocation, reference mps.hpp:356)."""
         if self.symm_type == SymmetryTypes.SU2:
             return SU2MPSSpec(target or self.target, bond_dim, seed=seed)
         site_quanta = [self.spec.quanta(int(p)) for p in self.orb_sym]
         info = MPSInfo(self.group, site_quanta, target or self.target,
                        bond_dim)
+        if occs is not None:
+            info.set_bond_dimension_using_occ(occs, bias=bias)
         return MPS.random(info, seed=seed)
 
     def dmrg(self, mpo: MPO, ket: MPS,
@@ -202,16 +206,36 @@ class DMRGDriver:
              noises: Sequence[float] = (1e-4, 1e-5, 0.0),
              thrds: Sequence[float] = (1e-10,),
              n_sweeps: int = 16, tol: float = 1e-9,
-             backend: str = "numpy", iprint: int = 1) -> float:
-        """Ground-state DMRG (reference pyblock2/driver/core.py:4437)."""
+             backend: str = "numpy", iprint: int = 1,
+             n_roots: int = 1,
+             proj_mpss: Optional[Sequence[MPS]] = None,
+             proj_weights: Optional[Sequence[float]] = None) -> float:
+        """Ground-state / state-averaged / state-specific DMRG
+        (reference pyblock2/driver/core.py:4437: proj_mpss/proj_weights
+        project against or penalize previously converged states)."""
         if self.symm_type == SymmetryTypes.SU2:
             return _su2_dmrg(self, mpo, ket, bond_dims, noises, thrds,
                              n_sweeps, tol, iprint)
-        solver = DMRG(mpo, ket, backend=backend, iprint=iprint)
+        solver = DMRG(mpo, ket, backend=backend, iprint=iprint,
+                      n_roots=n_roots, proj_mpss=proj_mpss,
+                      proj_weights=proj_weights)
         e = solver.solve(list(bond_dims), list(noises), list(thrds),
                          n_sweeps=n_sweeps, tol=tol)
         self._last_dmrg = solver
         return e
+
+    def extract_root(self, r: int) -> MPS:
+        """Single-root MPS from the last state-averaged solve (reference
+        MultiMPS::extract + make_single, state_averaged.hpp:157; used by
+        the statespecific workflow, block2main:2260)."""
+        import copy
+        s = self._last_dmrg
+        m = copy.copy(s.mps)
+        m.tensors = list(s.mps.tensors)
+        if s._center_tensors is not None and \
+                0 <= r < len(s._center_tensors):
+            m.tensors[s._center_pos] = s._center_tensors[r]
+        return m
 
     def get_dmrg_results(self):
         """reference pyblock2/driver/core.py:4988"""
@@ -270,10 +294,16 @@ class DMRGDriver:
 
     def greens_function(self, h_mpo: MPO, gs: MPS, e0: float, op: str,
                         site: int, omega: float, eta: float, bond_dim: int,
-                        n_sweeps: int = 6, iprint: int = 0) -> complex:
+                        n_sweeps: int = 6, iprint: int = 0,
+                        squared: bool = False,
+                        n_harmonic_projection: int = 0) -> complex:
         """G(omega) = <gs|op^dag (omega + E0 + i eta - H)^-1 op|gs>
-        (reference pyblock2/driver/core.py:6923; gfdmrg.py:490)."""
-        from ..dmrg.greens import GreensFunction
+        (reference pyblock2/driver/core.py:6923; gfdmrg.py:490).
+        squared=True: real-arithmetic squared-operator solve (reference
+        EquationTypes::GreensFunctionSquared,
+        effective_functions.hpp:292), optionally with harmonic-Davidson
+        deflation."""
+        from ..dmrg.greens import GreensFunction, GreensFunctionSquared
         from ..dmrg.linear import Linear
         from ..ops.local_ops import op_delta_quantum
         smpo = self.get_site_mpo(op, site)
@@ -282,7 +312,12 @@ class DMRGDriver:
         b = self.get_random_mps(bond_dim, target=tb, seed=11)
         Linear(b, [(smpo, gs)]).solve(bond_dim, n_sweeps=n_sweeps)
         x = self.get_random_mps(bond_dim, target=tb, seed=13)
-        gf = GreensFunction(h_mpo, b, x, iprint=iprint)
+        if squared:
+            gf = GreensFunctionSquared(
+                h_mpo, b, x, iprint=iprint,
+                n_harmonic_projection=n_harmonic_projection)
+        else:
+            gf = GreensFunction(h_mpo, b, x, iprint=iprint)
         return gf.solve(omega + e0, eta, bond_dim, n_sweeps=n_sweeps)
 
     def get_csf_coefficients(self, ket: MPS, cutoff: float = 0.05,

@@ -99,6 +99,30 @@ def run(config_path: str) -> float:
         print("DMRG Energy = %20.15f" % e)
         return float(e)
 
+    # spin-adapted decks (no `nonspinadapted`, reference block2main
+    # default SU2 mode) route through the SU(2) engine when the workflow
+    # is plain ground-state DMRG; workflows beyond it run in SZ mode,
+    # which reproduces the reference values whenever the targeted states
+    # are lowest in their (N, Sz, pg) sector
+    su2_extras = ("onepdm", "twopdm", "threepdm", "fourpdm",
+                  "restart_onepdm", "restart_twopdm", "restart_threepdm",
+                  "restart_fourpdm", "mps_tags", "proj_mps_tags",
+                  "statespecific", "delta_t", "orbital_entropy", "sample",
+                  "spin_penalty", "extrapolation", "fp_cps_cutoff",
+                  "nevpt2", "mrrept", "backend")
+    if "nonspinadapted" not in dic and n_roots == 1 \
+            and not any(k in dic for k in su2_extras):
+        drv2 = DMRGDriver(SymmetryTypes.SU2)
+        drv2.initialize_system(fd.n_sites, drv.n_elec, drv.spin,
+                               orb_sym=fd.orb_sym, pg_irrep=drv.pg_irrep)
+        mpo2 = drv2.get_qc_mpo(fcidump=fd)
+        ket2 = drv2.get_random_mps(bond_dims[0])
+        e = drv2.dmrg(mpo2, ket2, bond_dims, noises, dav_thrds,
+                      n_sweeps=n_sweeps, tol=sweep_tol,
+                      iprint=min(iprint, 1) if iprint else 0)
+        print("DMRG Energy = %20.15f" % e)
+        return float(e)
+
     penalty = dic.get("spin_penalty")
     mpo_type = str(dic.get("qc_mpo_type", "bipartite")).lower()
     if penalty not in (None, ""):
@@ -108,7 +132,17 @@ def run(config_path: str) -> float:
         # (reference block2main qc_mpo_type keyword / QCTypes)
         mpo = drv.get_qc_mpo(fcidump=fd, algo_type=mpo_type)
     target = (drv.n_elec, drv.spin, drv.pg_irrep)
-    mps = drv.get_random_mps(bond_dims[0], target=target)
+    # hf_occ with an explicit per-orbital list = occupancy-biased warmup
+    # (reference block2main:1362-1365 sets dic["occ"]; `hf_occ integral`
+    # only toggles StackBlock-compatible init and sets no occupancies)
+    occs = None
+    hf_occ = str(dic.get("hf_occ", ""))
+    if hf_occ and hf_occ != "integral" \
+            and len(hf_occ.split()) == fd.n_sites:
+        occs = np.array([float(x) for x in hf_occ.split()])
+        if "noreorder" not in dic:
+            occs = occs[order]
+    mps = drv.get_random_mps(bond_dims[0], target=target, occs=occs)
     # backend: numpy (host) | jax | jax_device | jax_stacked | jax_tiled
     # (compile-once accelerator engine); dtype: f64 | f32
     backend = str(dic.get("backend", "numpy")).lower()
@@ -117,15 +151,70 @@ def run(config_path: str) -> float:
         raise ValueError(
             f"dtype must be one of f32 | f64, got {dtype_key!r}")
     cli_dtype = {"f32": np.float32, "f64": np.float64}[dtype_key]
+
+    scratch = str(dic.get("prefix", "."))
+    from ..utils.io import load_mps, save_mps
+
+    # projection against previously converged tagged MPSs (reference
+    # block2main proj_mps_tags/proj_weights, main_test/005-006)
+    proj_tags = str(dic.get("proj_mps_tags", "")).split()
+    proj_mpss = [load_mps(os.path.join(scratch, "mps.%s.npz" % t))
+                 for t in proj_tags] or None
+    pw_key = dic.get("proj_weights")
+    proj_w = [float(x) for x in str(pw_key).split()] \
+        if pw_key not in (None, "") else None
+    if proj_mpss and proj_w is not None and len(proj_w) == 1:
+        proj_w = proj_w * len(proj_mpss)
+
     solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0,
-                  n_roots=n_roots, backend=backend, dtype=cli_dtype)
+                  n_roots=n_roots, backend=backend, dtype=cli_dtype,
+                  proj_mpss=proj_mpss,
+                  proj_weights=proj_w if proj_mpss else None)
     restart_dir = dic.get("restart_dir")
     e = solver.solve(bond_dims, noises, dav_thrds, n_sweeps=n_sweeps,
                      tol=sweep_tol, twodot_to_onedot=t2o,
                      restart_dir=str(restart_dir) if restart_dir else None)
     energies = np.atleast_1d(e)
-    for i, ei in enumerate(energies):
-        print("DMRG Energy = %20.15f" % ei)
+
+    # state-specific refinement of each state-averaged root (reference
+    # block2main:2247-2330 statespecific workflow: extract each root,
+    # re-optimize with lower roots projected out — or penalized when
+    # proj_weights is given)
+    if "statespecific" in dic and n_roots > 1:
+        import copy
+        roots: List = []
+        ss_energies = []
+        for r in range(n_roots):
+            mr = copy.copy(solver.mps)
+            mr.tensors = list(solver.mps.tensors)
+            if solver._center_tensors is not None:
+                mr.tensors[solver._center_pos] = solver._center_tensors[r]
+            wr = None
+            if proj_w is not None and roots:
+                wr = (proj_w * r)[:r] if len(proj_w) == 1 else proj_w[:r]
+            dr = DMRG(mpo, mr, iprint=min(iprint, 1) if iprint else 0,
+                      backend=backend, dtype=cli_dtype,
+                      proj_mpss=roots or None,
+                      proj_weights=wr)
+            er = dr.solve(bond_dims, noises, dav_thrds, n_sweeps=n_sweeps,
+                          tol=sweep_tol, twodot_to_onedot=t2o)
+            roots.append(dr.mps)
+            ss_energies.append(float(np.atleast_1d(er)[0]))
+            print("DMRG Energy for root %4d = %20.15f"
+                  % (r, ss_energies[r]))
+        mps = roots[0]
+    else:
+        for i in range(len(energies) - 1, 0, -1):
+            print("DMRG Energy for root %4d = %20.15f" % (i, energies[i]))
+        print("DMRG Energy = %20.15f" % energies[0])
+
+    # persist the solved MPS under its tag (reference block2main
+    # mps_tags; consumed by later proj_mps_tags / fullrestart decks)
+    if "mps_tags" in dic:
+        tag = str(dic.get("mps_tags", "KET")).split()[0] or "KET"
+        if scratch and not os.path.isdir(scratch):
+            os.makedirs(scratch, exist_ok=True)
+        save_mps(mps, os.path.join(scratch, "mps.%s.npz" % tag))
 
     if "onepdm" in dic or "restart_onepdm" in dic:
         from ..dmrg.expect import pdm1

@@ -20,6 +20,7 @@ KNOWN_KEYS = {
     "extrapolation", "sample", "delta_t", "target_t",
     "fourpdm", "restart_fourpdm", "fp_cps_cutoff", "restart_dir",
     "nevpt2", "mrrept", "qc_mpo_type", "backend", "dtype",
+    "statespecific", "proj_mps_tags", "proj_weights",
 }
 
 

@@ -25,11 +25,21 @@ def davidson(matvec: Callable[[np.ndarray], np.ndarray],
              max_subspace: int = 30,
              deflation_min_size: int = 2,
              iprint: bool = False,
+             ortho: Optional[List[np.ndarray]] = None,
+             proj_weights: Optional[List[float]] = None,
              ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Lowest eigenpairs of a symmetric operator.
 
     conv_thrd is on |r|^2, matching block2's davidson_conv_thrd semantics
     (reference src/dmrg/sweep_algorithm.hpp:96-133).
+
+    ortho: external states (state-specific DMRG: previously converged
+    roots compressed into the local space).  Without proj_weights they
+    are projected OUT of every basis vector; with proj_weights w_j the
+    operator gains level-shift penalties w_j |o_j><o_j| instead
+    (reference iterative_matrix_functions.hpp:519-630 `ors` +
+    `projection_weights` semantics: ors Gram-Schmidt'd among themselves,
+    unnormalized).
     Returns (eigenvalues [n_roots], eigenvectors [n, n_roots], n_matvec).
     """
     n = diag.shape[0]
@@ -38,17 +48,48 @@ def davidson(matvec: Callable[[np.ndarray], np.ndarray],
     max_sub = min(max(max_subspace, nroots * 4), n)
 
     dtype = np.result_type(np.float64, x0.dtype, diag.dtype)
+
+    ors: List[np.ndarray] = []
+    or_nsq: List[float] = []
+    penalty = proj_weights is not None and len(proj_weights) > 0
+    if ortho:
+        # pairwise orthogonalization, no normalization (reference :563)
+        for o in ortho:
+            v = np.asarray(o, dtype=dtype).copy()
+            for oj, nsq in zip(ors, or_nsq):
+                if nsq > 1e-24:
+                    v -= (np.vdot(oj, v) / nsq) * oj
+            ors.append(v)
+            or_nsq.append(float(np.real(np.vdot(v, v))))
+        if penalty:
+            assert len(proj_weights) == len(ors)
+            base_mv = matvec
+
+            def matvec(x, _mv=base_mv):
+                y = np.asarray(_mv(x)).astype(dtype, copy=True)
+                for oj, wj in zip(ors, proj_weights):
+                    y += (wj * np.vdot(oj, x)) * oj
+                return y
+
+    def _project_out(v):
+        if ors and not penalty:
+            for oj, nsq in zip(ors, or_nsq):
+                if nsq > 1e-24:
+                    v -= (np.vdot(oj, v) / nsq) * oj
+        return v
+
     basis: List[np.ndarray] = []
     sigmas: List[np.ndarray] = []
     for i in range(min(x0.shape[1], nroots)):
-        v = x0[:, i].astype(dtype)
+        v = _project_out(x0[:, i].astype(dtype))
         for b in basis:
             v -= np.vdot(b, v) * b
         nv = np.linalg.norm(v)
         if nv > 1e-12:
             basis.append(v / nv)
     while len(basis) < nroots:
-        v = np.random.RandomState(len(basis)).standard_normal(n).astype(dtype)
+        v = _project_out(np.random.RandomState(len(basis))
+                         .standard_normal(n).astype(dtype))
         for b in basis:
             v -= np.vdot(b, v) * b
         basis.append(v / np.linalg.norm(v))
@@ -94,7 +135,7 @@ def davidson(matvec: Callable[[np.ndarray], np.ndarray],
             denom = diag - theta[i]
             denom = np.where(np.abs(denom) < 1e-12,
                              np.sign(denom + 1e-30) * 1e-12, denom)
-            v = rvecs[:, i] / denom
+            v = _project_out(rvecs[:, i] / denom)
             for b in basis:
                 v -= np.vdot(b, v) * b
             nv = np.linalg.norm(v)
@@ -103,8 +144,8 @@ def davidson(matvec: Callable[[np.ndarray], np.ndarray],
                 added = True
         if not added:
             # stuck: random expansion
-            v = np.random.RandomState(1000 + it).standard_normal(n) \
-                .astype(dtype)
+            v = _project_out(np.random.RandomState(1000 + it)
+                             .standard_normal(n).astype(dtype))
             for b in basis:
                 v -= np.vdot(b, v) * b
             nv = np.linalg.norm(v)

@@ -82,9 +82,10 @@ def gmres_solve(matvec: Callable[[np.ndarray], np.ndarray],
     return x, count[0]
 
 
-def cg_solve(matvec, rhs, x0=None, tol=1e-10, maxiter=200):
+def cg_solve(matvec, rhs, x0=None, tol=1e-10, maxiter=200, diag=None):
     """Conjugate gradient for positive-definite operators (reference
-    iterative_matrix_functions.hpp:1985)."""
+    iterative_matrix_functions.hpp:1985).  diag: Jacobi preconditioner
+    (the reference's `aa` diagonal)."""
     n = rhs.shape[0]
     count = [0]
 
@@ -93,5 +94,10 @@ def cg_solve(matvec, rhs, x0=None, tol=1e-10, maxiter=200):
         return matvec(x)
 
     op = spla.LinearOperator((n, n), matvec=mv, dtype=rhs.dtype)
-    x, info = spla.cg(op, rhs, x0=x0, rtol=tol, maxiter=maxiter)
+    M = None
+    if diag is not None:
+        d = np.where(np.abs(diag) < 1e-12, 1.0, diag)
+        M = spla.LinearOperator((n, n), matvec=lambda x: x / d,
+                                dtype=rhs.dtype)
+    x, info = spla.cg(op, rhs, x0=x0, rtol=tol, maxiter=maxiter, M=M)
     return x, count[0]

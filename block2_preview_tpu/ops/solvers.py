@@ -189,34 +189,47 @@ def cheby_solve(matvec: MatVec, rhs: np.ndarray, lmin: float, lmax: float,
 def deflated_cg(matvec: MatVec, rhs: np.ndarray, ws: Optional[np.ndarray],
                 x0=None, tol: float = 1e-10, maxiter: int = 500
                 ) -> Tuple[np.ndarray, int]:
-    """CG with deflation of known near-null directions `ws` [n, k]
-    (reference iterative_matrix_functions.hpp:1985
-    deflated_conjugate_gradient)."""
+    """Deflated CG (Saad/Nicolaides scheme, reference
+    iterative_matrix_functions.hpp:1985 deflated_conjugate_gradient):
+    the solution component in span(ws) is solved exactly through the
+    small (W^H A W) system; CG runs in the A-orthogonal complement with
+    every search direction re-projected (works for arbitrary deflation
+    spaces, not just invariant ones)."""
     n = rhs.shape[0]
-    nmv = 0
     if ws is None or ws.size == 0:
         op, count = _wrap(matvec, n, rhs.dtype)
         x, _ = spla.cg(op, rhs, x0=x0, rtol=tol, maxiter=maxiter)
         return x, count[0]
     W = np.linalg.qr(ws.reshape(n, -1))[0]
-    AW = np.stack([matvec(W[:, i]) for i in range(W.shape[1])], axis=1)
-    nmv += W.shape[1]
+    k = W.shape[1]
+    AW = np.stack([matvec(W[:, i]) for i in range(k)], axis=1)
+    nmv = k
     WAW = W.conj().T @ AW
     WAW_inv = np.linalg.inv(WAW)
 
-    def proj(v):
-        # P v = v - AW (W^H A W)^{-1} W^H v   (deflation projector)
-        return v - AW @ (WAW_inv @ (W.conj().T @ v))
+    def dproj(v):
+        # remove the A-projection onto span(W): W^H A (dproj v) = 0
+        return v - W @ (WAW_inv @ (AW.conj().T @ v))
 
-    count = [0]
-
-    def mv(x):
-        count[0] += 1
-        return proj(matvec(x))
-
-    op = spla.LinearOperator((n, n), matvec=mv, dtype=rhs.dtype)
-    b_p = proj(rhs)
-    x, _ = spla.cg(op, b_p, x0=x0, rtol=tol, maxiter=maxiter)
-    # add back the deflated component: x_W = W (W^H A W)^{-1} W^H b
-    x = x + W @ (WAW_inv @ (W.conj().T @ rhs))
-    return x, nmv + count[0]
+    x = W @ (WAW_inv @ (W.conj().T @ rhs))
+    if x0 is not None:
+        x = x + dproj(np.asarray(x0))
+    r = rhs - matvec(x)
+    nmv += 1
+    bnorm = np.linalg.norm(rhs)
+    if bnorm < 1e-300:
+        return x, nmv
+    p = dproj(r)
+    rs_old = np.vdot(r, r).real
+    for _ in range(maxiter):
+        if np.sqrt(rs_old) <= tol * bnorm:
+            break
+        ap = matvec(p)
+        nmv += 1
+        alpha = rs_old / np.vdot(p, ap).real
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = np.vdot(r, r).real
+        p = dproj(r + (rs_new / rs_old) * p)
+        rs_old = rs_new
+    return x, nmv

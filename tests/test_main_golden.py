@@ -1,0 +1,90 @@
+"""Golden-deck CLI tests: run reference main_test inputs through our
+block2main-compatible CLI and assert the reference check-script energies
+(reference pyblock2/main_test/NNN-main.in + NNN-check.py; #DEP chains
+preserved by sharing a work directory).
+
+Decks are lightly rewritten: data paths absolutized, and the sweep
+budget tightened (maxiter 30 @ sweep_tol 1e-14 -> maxiter 10 @ 1e-9) —
+the asserted energy windows (1e-5..1e-6) are unchanged.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+MAIN_TEST = "/root/reference/pyblock2/main_test"
+
+
+def _run_deck(num: str, workdir) -> str:
+    text = open(os.path.join(MAIN_TEST, f"{num}-main.in")).read()
+    text = text.replace("../../data/", "/root/reference/data/")
+    text = re.sub(r"(?m)^maxiter .*$", "maxiter 10", text)
+    text = re.sub(r"(?m)^sweep_tol .*$", "sweep_tol 1E-9", text)
+    conf = workdir / f"{num}.conf"
+    conf.write_text(text)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "block2_preview_tpu.driver.main", str(conf)],
+        capture_output=True, text=True, env=env, timeout=3600,
+        cwd=str(workdir))
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-2000:])
+    return out.stdout
+
+
+def _energy(stdout: str) -> float:
+    e = None
+    for l in stdout.splitlines():
+        if l.startswith("DMRG Energy ="):
+            e = float(l.split()[-1])
+    assert e is not None, stdout[-1500:]
+    return e
+
+
+def _root_energies(stdout: str, n: int):
+    es = [0.0] * n
+    for l in stdout.splitlines():
+        if l.startswith("DMRG Energy for root"):
+            es[int(l.split()[-3])] = float(l.split()[-1])
+    return es
+
+
+E_GS = -107.654122447525        # 000/002/005-check.py
+E_EX = -106.959626154680        # 001/003/004/006-check.py
+
+
+@pytest.mark.slow
+def test_deck_000_ground_state(tmp_path):
+    assert abs(_energy(_run_deck("000", tmp_path)) - E_GS) < 1e-6
+
+
+@pytest.mark.slow
+def test_deck_001_target_irrep(tmp_path):
+    assert abs(_energy(_run_deck("001", tmp_path)) - E_EX) < 1e-6
+
+
+@pytest.mark.slow
+def test_decks_002_003_004_state_specific(tmp_path):
+    # 002: state-average
+    out = _run_deck("002", tmp_path)
+    assert abs(_energy(out) - E_GS) < 1e-6
+    es = _root_energies(out, 2)
+    assert abs(es[1] - E_EX) < 1e-5
+    # 003: statespecific (ortho)
+    es = _root_energies(_run_deck("003", tmp_path), 2)
+    assert abs(es[0] - E_GS) < 1e-5
+    assert abs(es[1] - E_EX) < 1e-5
+    # 004: statespecific (level shift)
+    es = _root_energies(_run_deck("004", tmp_path), 2)
+    assert abs(es[0] - E_GS) < 1e-5
+    assert abs(es[1] - E_EX) < 1e-5
+
+
+@pytest.mark.slow
+def test_decks_005_006_projection(tmp_path):
+    assert abs(_energy(_run_deck("005", tmp_path)) - E_GS) < 1e-6
+    assert abs(_energy(_run_deck("006", tmp_path)) - E_EX) < 1e-6

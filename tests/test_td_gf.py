@@ -94,6 +94,32 @@ def test_greens_function_vs_ed(driver6):
     assert abs(G - Ged) < 5e-5
 
 
+def test_greens_function_squared_vs_complex(driver6):
+    """Real-arithmetic squared-operator GF (reference
+    effective_functions.hpp:292 greens_function_squared) matches the
+    complex correction-vector solve, with and without harmonic-Davidson
+    deflation."""
+    from block2_preview_tpu.dmrg.greens import GreensFunctionSquared
+    drv, fd, mpo, gs, e0 = driver6
+    smpo = drv.get_site_mpo("d", 0)
+    tb = (fd.n_elec - 1, fd.twos - 1, int(fd.orb_sym[0]))
+    bmps = drv.get_random_mps(150, target=tb, seed=11)
+    Linear(bmps, [(smpo, gs)]).solve(150, n_sweeps=6)
+    omega, eta = e0 - 0.4, 0.05
+    x = drv.get_random_mps(150, target=tb, seed=13)
+    G_cpx = GreensFunction(mpo, bmps, x, iprint=0).solve(
+        omega, eta, 150, n_sweeps=6)
+    x2 = drv.get_random_mps(150, target=tb, seed=13)
+    G_sq = GreensFunctionSquared(mpo, bmps, x2, iprint=0).solve(
+        omega, eta, 150, n_sweeps=6)
+    assert abs(G_sq - G_cpx) < 5e-5, (G_sq, G_cpx)
+    x3 = drv.get_random_mps(150, target=tb, seed=13)
+    G_hp = GreensFunctionSquared(mpo, bmps, x3, iprint=0,
+                                 n_harmonic_projection=2).solve(
+        omega, eta, 150, n_sweeps=6)
+    assert abs(G_hp - G_cpx) < 5e-5, (G_hp, G_cpx)
+
+
 def test_greens_function_solver_family(driver6):
     """GCROT(m,k) and IDR(s) local solvers reproduce the GMRES correction
     vector (reference Linear solver_type cycling GCROT/IDRS/LSQR,
