@@ -114,6 +114,112 @@ class _SU2EffAdapter:
                 self.triples.append((key2, 0, Qk, 0, Qb))
 
 
+class SU2OverlapEnvs:
+    """Identity-overlap moving environments <mps|phi> between two
+    reduced-tensor SU(2) MPS chains sharing the left-sequential coupling
+    tree (the SU(2) analog of dmrg/projection.py OverlapEnvs; the
+    identity transfer factor coupled_factor(j,jm,j',0,0,0,...) == 1, so
+    transfers are plain contractions of the reduced blocks)."""
+
+    def __init__(self, eng, phi_tensors: List[Dict], weight: float = 1.0):
+        self.eng = eng
+        self.phi = phi_tensors
+        self.weight = float(weight)
+        L = eng.L
+        self.lo: List[Optional[Dict]] = [None] * (L + 1)
+        self.ro: List[Optional[Dict]] = [None] * (L + 1)
+        z = (0, 0, 0)
+        self.lo[0] = {z: np.ones((1, 1))}
+        self.ro[L] = {eng.T: np.ones((1, 1))}
+        self._lval = 0
+        self._rval = L
+
+    def _transfer_left(self, e: Dict, t: int) -> Dict:
+        pby: Dict[Tuple, List] = {}
+        for (ql, m, qr), b in self.phi[t].items():
+            pby.setdefault((ql, m), []).append((qr, b))
+        out: Dict[Tuple, np.ndarray] = {}
+        for (ql, m, qr), a in self.eng.tensors[t].items():
+            eb = e.get(ql)
+            if eb is None:
+                continue
+            for qr2, pb in pby.get((ql, m), ()):
+                if qr2 != qr:
+                    continue
+                c = a.T @ eb @ pb
+                out[qr] = out.get(qr, 0) + c
+        return out
+
+    def _transfer_right(self, e: Dict, t: int) -> Dict:
+        pby: Dict[Tuple, List] = {}
+        for (ql, m, qr), b in self.phi[t].items():
+            pby.setdefault((qr, m), []).append((ql, b))
+        out: Dict[Tuple, np.ndarray] = {}
+        for (ql, m, qr), a in self.eng.tensors[t].items():
+            eb = e.get(qr)
+            if eb is None:
+                continue
+            for ql2, pb in pby.get((qr, m), ()):
+                if ql2 != ql:
+                    continue
+                c = a @ eb @ pb.T
+                out[ql] = out.get(ql, 0) + c
+        return out
+
+    def ensure_lo(self, t: int) -> Dict:
+        while self._lval < t:
+            self.lo[self._lval + 1] = self._transfer_left(
+                self.lo[self._lval], self._lval)
+            self._lval += 1
+        return self.lo[t]
+
+    def ensure_ro(self, b: int) -> Dict:
+        while self._rval > b:
+            self._rval -= 1
+            self.ro[self._rval] = self._transfer_right(
+                self.ro[self._rval + 1], self._rval)
+        return self.ro[b]
+
+    def dirty(self, t_lo: int, t_hi: int) -> None:
+        self._lval = min(self._lval, t_lo)
+        self._rval = max(self._rval, t_hi + 1)
+
+    def two_dot_vector(self, t: int, fl: Dict, fr: Dict, keys, dims,
+                       offsets, size) -> np.ndarray:
+        """phi compressed into the engine's two-site fused space at
+        (t, t+1)."""
+        lo = self.ensure_lo(t)
+        ro = self.ensure_ro(t + 2)
+        x = np.zeros(size)
+        rby: Dict[Tuple, List] = {}
+        for (qm, m2, qr2), br in self.phi[t + 1].items():
+            rby.setdefault(qm, []).append((m2, qr2, br))
+        for (ql, m, Q), bl in self.phi[t].items():
+            if Q not in offsets:
+                continue
+            lom = lo.get(ql)
+            if lom is None:
+                continue
+            row = {(r[0], r[1]): (r[2], r[3]) for r in fl[Q]}
+            if (ql, m) not in row:
+                continue
+            o1, d1 = row[(ql, m)]
+            col = {(r[0], r[1]): (r[2], r[3]) for r in fr[Q]}
+            for (m2, qr2, br) in rby.get(Q, ()):
+                rom = ro.get(qr2)
+                if rom is None or (m2, qr2) not in col:
+                    continue
+                o2, d2 = col[(m2, qr2)]
+                mat = np.einsum("ab,be,ec,dc->ad", lom, bl, br, rom,
+                                optimize=True)
+                off = offsets[Q]
+                dl, dr = dims[Q]
+                blk = x[off:off + dl * dr].reshape(dl, dr)
+                blk[o1:o1 + d1, o2:o2 + d2] += mat
+                x[off:off + dl * dr] = blk.ravel()
+        return x
+
+
 class SU2FermionDMRG:
     """Two-site spin-adapted DMRG over fermionic SU(2) sites.
 
@@ -134,11 +240,27 @@ class SU2FermionDMRG:
                  seed: int = 7, iprint: int = 0, ops: Dict = None,
                  ranks: Dict[int, int] = None,
                  site_pgs: Optional[Sequence[int]] = None,
-                 backend: str = "numpy", exec_dtype=np.float64):
+                 backend: str = "numpy", exec_dtype=np.float64,
+                 n_roots: int = 1,
+                 weights: Optional[Sequence[float]] = None,
+                 proj_tensors: Optional[List[List[Dict]]] = None,
+                 proj_weights: Optional[Sequence[float]] = None,
+                 init_tensors: Optional[List[Dict]] = None):
         # backend="jax_tiled": the compile-once tiled accelerator executor
         # for the reduced-matrix sigma matvec (spin-adapted TPU path)
         self.backend = backend
         self.exec_dtype = exec_dtype
+        self.n_roots = int(n_roots)
+        self.weights = list(weights) if weights is not None \
+            else [1.0 / self.n_roots] * self.n_roots
+        # state-specific projection against external reduced-tensor MPSs
+        # (reference sweep_algorithm.hpp:81 ext_mpss / :111
+        # projection_weights; ortho mode when proj_weights is None)
+        self._proj_spec = proj_tensors or []
+        self._proj_weights = list(proj_weights) if proj_weights \
+            else None
+        if self._proj_weights is not None:
+            assert len(self._proj_weights) == len(self._proj_spec)
         self.L = L
         # entries: either one list used at every site, or a per-site list
         # of lists (site-dependent coefficients, e.g. long-range t_ij)
@@ -185,15 +307,19 @@ class SU2FermionDMRG:
         self.bonds = self._fci_bonds(L, bond_dim)
         rng = np.random.RandomState(seed)
         # tensor blocks keyed (ql, mult, qr)
-        self.tensors: List[Dict[Tuple, np.ndarray]] = []
-        for t in range(L):
-            blk: Dict[Tuple, np.ndarray] = {}
-            for ql, dl in self.bonds[t].items():
-                for m, qr in self._fuse_l(ql, t):
-                    dr = self.bonds[t + 1].get(qr, 0)
-                    if dr:
-                        blk[(ql, m, qr)] = rng.standard_normal((dl, dr))
-            self.tensors.append(blk)
+        if init_tensors is not None:
+            # warm start from extract_root tensors (statespecific)
+            self.tensors = [dict(blk) for blk in init_tensors]
+        else:
+            self.tensors = []
+            for t in range(L):
+                blk: Dict[Tuple, np.ndarray] = {}
+                for ql, dl in self.bonds[t].items():
+                    for m, qr in self._fuse_l(ql, t):
+                        dr = self.bonds[t + 1].get(qr, 0)
+                        if dr:
+                            blk[(ql, m, qr)] = rng.standard_normal((dl, dr))
+                self.tensors.append(blk)
         self._canonicalize_right()
         self.lenvs: List[Optional[Dict]] = [None] * (L + 1)
         self.renvs: List[Optional[Dict]] = [None] * (L + 1)
@@ -207,6 +333,10 @@ class SU2FermionDMRG:
         # is left-canonical, so only a backward sweep can follow); solve()
         # resumes from the recorded direction
         self._forward_next = True
+        self._proj = [SU2OverlapEnvs(self, pt) for pt in self._proj_spec]
+        # (site, forward, psis per root, kept_v) of the last update —
+        # consumed by extract_root for the statespecific workflow
+        self._last_center = None
 
     # -- sector fusion -------------------------------------------------
     def _fuse_l(self, q, t: int):
@@ -549,11 +679,17 @@ class SU2FermionDMRG:
                 "left environments are stale: sweeps must alternate "
                 "directions; use solve()")
         self._forward_next = not forward
+        emins = np.full(self.n_roots, np.inf)
         for t in rng:
             keys, dims, offsets, size, fl, fr, matvec, diag = \
                 self._effective(t)
             x0 = self._guess(t, keys, dims, offsets, size, fl, fr)
-            if self.backend == "jax_tiled" and \
+            pvecs = [p.two_dot_vector(t, fl, fr, keys, dims, offsets,
+                                      size) for p in self._proj] or None
+            pv = dict(ortho=pvecs, proj_weights=self._proj_weights) \
+                if pvecs else {}
+            if self.backend == "jax_tiled" and self.n_roots == 1 \
+                    and not pvecs and \
                     size >= getattr(self, "exec_threshold", 4096):
                 from ..ops.tiled import TiledExecutor
                 from .su2_spin import coupled_factor as _cfac
@@ -572,31 +708,42 @@ class SU2FermionDMRG:
                     ex.free()
                 w, v = np.array([th]), xv[:, None]
             else:
+                if self.n_roots > 1:
+                    rngr = np.random.RandomState(23 + t)
+                    x0 = np.concatenate(
+                        [x0[:, None]] +
+                        [rngr.standard_normal((size, 1))
+                         for _ in range(self.n_roots - 1)], axis=1)
                 w, v, nmv = davidson(matvec, diag, x0,
+                                     n_roots=self.n_roots,
                                      conv_thrd=dav_thrd,
-                                     max_iter=400, max_subspace=40)
+                                     max_iter=400, max_subspace=40, **pv)
+            emins = np.minimum(emins, w[:self.n_roots])
             emin = min(emin, float(w[0]))
-            psi = {Q: v[offsets[Q]:offsets[Q] + dims[Q][0] * dims[Q][1],
-                        0].reshape(dims[Q]) for Q in keys}
-            if forward:
-                rhos: Dict[Tuple, np.ndarray] = {}
-                for Q, p in psi.items():
-                    rhos[Q] = p @ p.T / (Q[1] + 1.0)
-                    if noise > 0.0:
-                        rhos[Q] += noise * np.eye(rhos[Q].shape[0])
-                self._decimate(t, rhos, fl, True, psi)
-            else:
-                rhos = {}
-                for Q, p in psi.items():
-                    rhos[Q] = p.T @ p / (Q[1] + 1.0)
-                    if noise > 0.0:
-                        rhos[Q] += noise * np.eye(rhos[Q].shape[0])
-                self._decimate(t, rhos, fr, False, psi)
+            psis = [{Q: v[offsets[Q]:offsets[Q] + dims[Q][0] * dims[Q][1],
+                          r].reshape(dims[Q]) for Q in keys}
+                    for r in range(self.n_roots)]
+            psi = psis[0]
+            rhos: Dict[Tuple, np.ndarray] = {}
+            for r, p_r in enumerate(psis):
+                wr = self.weights[r]
+                for Q, p in p_r.items():
+                    c = (wr / (Q[1] + 1.0)) * \
+                        (p @ p.T if forward else p.T @ p)
+                    rhos[Q] = rhos.get(Q, 0) + c
+            if noise > 0.0:
+                for Q in rhos:
+                    rhos[Q] = rhos[Q] + noise * np.eye(rhos[Q].shape[0])
+            self._decimate(t, rhos, fl if forward else fr, forward, psi)
+            self._last_center = (t, forward, psis, self._kept_v)
+            for p in self._proj:
+                p.dirty(t, t + 1)
             if self.iprint >= 2:
+                estr = " ".join(f"{x:.10f}" for x in w[:self.n_roots])
                 print(f"  su2f {'-->' if forward else '<--'} site {t:3d} "
-                      f"E = {w[0]:.10f} nmv={nmv}")
-        self.energies.append(emin)
-        return emin
+                      f"E = {estr} nmv={nmv}")
+        self.energies.append(emins if self.n_roots > 1 else emin)
+        return emins if self.n_roots > 1 else emin
 
     def _guess(self, t, keys, dims, offsets, size, fl, fr):
         x0 = np.random.RandomState(11 + t).standard_normal(size)
@@ -623,6 +770,7 @@ class SU2FermionDMRG:
             budget -= 1
         new_tensor: Dict[Tuple, np.ndarray] = {}
         kept_v: Dict[Tuple, np.ndarray] = {}
+        self._kept_v = kept_v
         for Q, idxs in kept.items():
             vmat = vecs[Q][:, idxs]
             kept_v[Q] = vmat
@@ -689,19 +837,50 @@ class SU2FermionDMRG:
 
     def solve(self, n_sweeps: int = 10, tol: float = 1e-9,
               noises: Optional[Sequence[float]] = None,
-              dav_thrds: Optional[Sequence[float]] = None) -> float:
-        last = np.inf
+              dav_thrds: Optional[Sequence[float]] = None):
+        last = np.full(self.n_roots, np.inf)
         for i in range(n_sweeps):
             noise = noises[min(i, len(noises) - 1)] if noises else 0.0
             thrd = dav_thrds[min(i, len(dav_thrds) - 1)] \
                 if dav_thrds else 1e-9
             e = self.sweep(self._forward_next, dav_thrd=thrd, noise=noise)
+            earr = np.atleast_1d(e)
             if self.iprint >= 1:
-                print(f"su2f sweep {i}: E = {e:.12f}")
-            if abs(e - last) < tol and noise == 0.0:
+                estr = " ".join(f"{x:.12f}" for x in earr)
+                print(f"su2f sweep {i}: E = {estr}")
+            if np.max(np.abs(earr - last)) < tol and noise == 0.0:
                 break
-            last = e
+            last = earr
         return self.energies[-1]
+
+    def extract_root(self, r: int) -> List[Dict]:
+        """Copy of the MPS tensors with root r's center wavefunction
+        absorbed (reference MultiMPS::extract + make_single,
+        state_averaged.hpp:157)."""
+        tensors = [dict(blk) for blk in self.tensors]
+        if self._last_center is None or r == 0:
+            return tensors
+        t, forward, psis, kept_v = self._last_center
+        psi = psis[r]
+        if forward:
+            nxt: Dict[Tuple, np.ndarray] = {}
+            for Q, vmat in kept_v.items():
+                if Q not in psi:
+                    continue
+                cen = vmat.T @ psi[Q]
+                for (m, qr2, off, d) in self._effective_fr(t, Q):
+                    nxt[(Q, m, qr2)] = cen[:, off:off + d]
+            tensors[t + 1] = nxt
+        else:
+            prv: Dict[Tuple, np.ndarray] = {}
+            for Q, vmat in kept_v.items():
+                if Q not in psi:
+                    continue
+                cen = psi[Q] @ vmat
+                for (ql, m, off, d) in self._effective_fl(t, Q):
+                    prv[(ql, m, Q)] = cen[off:off + d, :]
+            tensors[t] = prv
+        return tensors
 
 
 def hubbard_su2_dmrg(L: int, t_hop: float = 1.0, u: float = 2.0,

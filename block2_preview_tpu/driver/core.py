@@ -189,11 +189,12 @@ class DMRGDriver:
     # ------------------------------------------------------------------
     def get_random_mps(self, bond_dim: int = 250, target=None,
                        seed: int = 1234, occs=None,
-                       bias: float = 1.0) -> MPS:
+                       bias: float = 1.0, init_tensors=None) -> MPS:
         """reference pyblock2/driver/core.py:7494 (occs: occupancy-biased
         warmup allocation, reference mps.hpp:356)."""
         if self.symm_type == SymmetryTypes.SU2:
-            return SU2MPSSpec(target or self.target, bond_dim, seed=seed)
+            return SU2MPSSpec(target or self.target, bond_dim, seed=seed,
+                              init_tensors=init_tensors)
         site_quanta = [self.spec.quanta(int(p)) for p in self.orb_sym]
         info = MPSInfo(self.group, site_quanta, target or self.target,
                        bond_dim)
@@ -215,7 +216,9 @@ class DMRGDriver:
         project against or penalize previously converged states)."""
         if self.symm_type == SymmetryTypes.SU2:
             return _su2_dmrg(self, mpo, ket, bond_dims, noises, thrds,
-                             n_sweeps, tol, iprint)
+                             n_sweeps, tol, iprint, n_roots=n_roots,
+                             proj_mpss=proj_mpss,
+                             proj_weights=proj_weights)
         solver = DMRG(mpo, ket, backend=backend, iprint=iprint,
                       n_roots=n_roots, proj_mpss=proj_mpss,
                       proj_weights=proj_weights)
@@ -528,11 +531,13 @@ class SU2MPSSpec:
     """Deferred spin-adapted MPS: (target, bond_dim, seed); the engine
     materializes the reduced tensors at dmrg() time."""
 
-    def __init__(self, target, bond_dim, seed=7):
+    def __init__(self, target, bond_dim, seed=7, init_tensors=None):
         self.target = target
         self.bond_dim = bond_dim
         self.seed = seed
         self.engine = None
+        # warm start (extract_root tensors; statespecific workflow)
+        self.init_tensors = init_tensors
 
 
 def _su2_qc_mpo(driver, h1e, g2e, ecore):
@@ -544,13 +549,26 @@ def _su2_qc_mpo(driver, h1e, g2e, ecore):
 
 
 def _su2_dmrg(driver, mpo: SU2MPO, ket: SU2MPSSpec, bond_dims, noises,
-              thrds, n_sweeps, tol, iprint):
+              thrds, n_sweeps, tol, iprint, n_roots: int = 1,
+              proj_mpss=None, proj_weights=None):
     from ..dmrg.su2_fermion import SU2FermionDMRG
+    proj_tensors = None
+    if proj_mpss:
+        # accept SU2MPSSpec (solved: .engine set), raw engines, or
+        # tensor lists from SU2FermionDMRG.extract_root
+        proj_tensors = []
+        for p in proj_mpss:
+            if isinstance(p, SU2MPSSpec):
+                p = p.engine
+            proj_tensors.append(p.tensors if hasattr(p, "tensors")
+                                else p)
     eng = SU2FermionDMRG(
         driver.n_sites, mpo.entries, mpo.n_symbols, mpo.sym_dn,
         target=ket.target, bond_dim=max(bond_dims), seed=ket.seed,
         iprint=iprint, ops=mpo.registry, ranks=mpo.sym_rank,
-        site_pgs=driver.orb_sym)
+        site_pgs=driver.orb_sym, n_roots=n_roots,
+        proj_tensors=proj_tensors, proj_weights=proj_weights,
+        init_tensors=getattr(ket, "init_tensors", None))
     ket.engine = eng
     e = eng.solve(n_sweeps=n_sweeps, tol=tol, noises=list(noises),
                   dav_thrds=list(thrds))

@@ -100,28 +100,74 @@ def run(config_path: str) -> float:
         return float(e)
 
     # spin-adapted decks (no `nonspinadapted`, reference block2main
-    # default SU2 mode) route through the SU(2) engine when the workflow
-    # is plain ground-state DMRG; workflows beyond it run in SZ mode,
-    # which reproduces the reference values whenever the targeted states
-    # are lowest in their (N, Sz, pg) sector
+    # default SU2 mode) route through the SU(2) engine: plain DMRG,
+    # state-average, statespecific and projection workflows; remaining
+    # workflows (PDMs, time evolution, ...) run in SZ mode, which
+    # reproduces the reference values whenever the targeted states are
+    # lowest in their (N, Sz, pg) sector
     su2_extras = ("onepdm", "twopdm", "threepdm", "fourpdm",
                   "restart_onepdm", "restart_twopdm", "restart_threepdm",
-                  "restart_fourpdm", "mps_tags", "proj_mps_tags",
-                  "statespecific", "delta_t", "orbital_entropy", "sample",
-                  "spin_penalty", "extrapolation", "fp_cps_cutoff",
-                  "nevpt2", "mrrept", "backend")
-    if "nonspinadapted" not in dic and n_roots == 1 \
+                  "restart_fourpdm", "delta_t", "orbital_entropy",
+                  "sample", "spin_penalty", "extrapolation",
+                  "fp_cps_cutoff", "nevpt2", "mrrept", "backend")
+    if "nonspinadapted" not in dic \
             and not any(k in dic for k in su2_extras):
+        from ..utils.io import load_su2_tensors, save_su2_tensors
+        scratch = str(dic.get("prefix", "."))
+        ipr = min(iprint, 1) if iprint else 0
         drv2 = DMRGDriver(SymmetryTypes.SU2)
         drv2.initialize_system(fd.n_sites, drv.n_elec, drv.spin,
                                orb_sym=fd.orb_sym, pg_irrep=drv.pg_irrep)
         mpo2 = drv2.get_qc_mpo(fcidump=fd)
+        proj_tags = str(dic.get("proj_mps_tags", "")).split()
+        proj_mpss = [load_su2_tensors(
+            os.path.join(scratch, "mps.%s.su2.npz" % t))
+            for t in proj_tags] or None
+        pw_key = dic.get("proj_weights")
+        proj_w = [float(x) for x in str(pw_key).split()] \
+            if pw_key not in (None, "") else None
+        if proj_mpss and proj_w is not None and len(proj_w) == 1:
+            proj_w = proj_w * len(proj_mpss)
         ket2 = drv2.get_random_mps(bond_dims[0])
         e = drv2.dmrg(mpo2, ket2, bond_dims, noises, dav_thrds,
-                      n_sweeps=n_sweeps, tol=sweep_tol,
-                      iprint=min(iprint, 1) if iprint else 0)
-        print("DMRG Energy = %20.15f" % e)
-        return float(e)
+                      n_sweeps=n_sweeps, tol=sweep_tol, iprint=ipr,
+                      n_roots=n_roots, proj_mpss=proj_mpss,
+                      proj_weights=proj_w if proj_mpss else None)
+        eng = ket2.engine
+        energies = np.atleast_1d(e)
+        if "statespecific" in dic and n_roots > 1:
+            # reference block2main:2247-2330: extract each root from the
+            # state-averaged solve, re-optimize with lower roots
+            # projected out (or penalized when proj_weights is given)
+            roots = []
+            for r in range(n_roots):
+                wr = None
+                if proj_w is not None and roots:
+                    wr = (proj_w * r)[:r] if len(proj_w) == 1 \
+                        else proj_w[:r]
+                kr = drv2.get_random_mps(
+                    bond_dims[0], init_tensors=eng.extract_root(r))
+                er = drv2.dmrg(mpo2, kr, bond_dims, noises, dav_thrds,
+                               n_sweeps=n_sweeps, tol=sweep_tol,
+                               iprint=ipr, proj_mpss=roots or None,
+                               proj_weights=wr)
+                roots.append(kr.engine.tensors)
+                print("DMRG Energy for root %4d = %20.15f"
+                      % (r, float(np.atleast_1d(er)[0])))
+            out_tensors = roots[0]
+        else:
+            for i in range(len(energies) - 1, 0, -1):
+                print("DMRG Energy for root %4d = %20.15f"
+                      % (i, energies[i]))
+            print("DMRG Energy = %20.15f" % energies[0])
+            out_tensors = eng.tensors
+        if "mps_tags" in dic:
+            tag = str(dic.get("mps_tags", "KET")).split()[0] or "KET"
+            if scratch and not os.path.isdir(scratch):
+                os.makedirs(scratch, exist_ok=True)
+            save_su2_tensors(out_tensors,
+                             os.path.join(scratch, "mps.%s.su2.npz" % tag))
+        return float(energies[0])
 
     penalty = dic.get("spin_penalty")
     mpo_type = str(dic.get("qc_mpo_type", "bipartite")).lower()

@@ -139,3 +139,35 @@ def load_mpo(path: str):
                             for qs in meta["site_quanta"]],
                bond_dqs=[[tuple(q) for q in bs] for bs in meta["bond_dqs"]],
                tensors=tensors, const_e=meta["const_e"])
+
+
+def save_su2_tensors(tensors: List[Dict], path: str) -> None:
+    """Persist the reduced-tensor blocks of an SU(2) MPS
+    (dmrg/su2_fermion.py SU2FermionDMRG.tensors: per-site dicts keyed
+    ((N, 2S, pg), mult, (N, 2S, pg)))."""
+    arrays: Dict[str, np.ndarray] = {}
+    keys = []
+    for t, blk in enumerate(tensors):
+        for j, (key, b) in enumerate(sorted(blk.items())):
+            (ql, m, qr) = key
+            keys.append([t, j] + list(ql) + [m] + list(qr))
+            arrays[f"b_{t}_{j}"] = np.asarray(b)
+    arrays["__keys__"] = np.asarray(keys, dtype=np.int64)
+    arrays["__nsites__"] = np.asarray([len(tensors)])
+    np.savez_compressed(path, **arrays)
+
+
+def load_su2_tensors(path: str) -> List[Dict]:
+    """Read tensors written by save_su2_tensors."""
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    L = int(data["__nsites__"][0])
+    tensors: List[Dict] = [dict() for _ in range(L)]
+    for row in data["__keys__"]:
+        t, j = int(row[0]), int(row[1])
+        ql = (int(row[2]), int(row[3]), int(row[4]))
+        m = int(row[5])
+        qr = (int(row[6]), int(row[7]), int(row[8]))
+        tensors[t][(ql, m, qr)] = data[f"b_{t}_{j}"]
+    return tensors

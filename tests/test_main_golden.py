@@ -18,10 +18,10 @@ import pytest
 MAIN_TEST = "/root/reference/pyblock2/main_test"
 
 
-def _run_deck(num: str, workdir) -> str:
+def _run_deck(num: str, workdir, maxiter: int = 10) -> str:
     text = open(os.path.join(MAIN_TEST, f"{num}-main.in")).read()
     text = text.replace("../../data/", "/root/reference/data/")
-    text = re.sub(r"(?m)^maxiter .*$", "maxiter 10", text)
+    text = re.sub(r"(?m)^maxiter .*$", f"maxiter {maxiter}", text)
     text = re.sub(r"(?m)^sweep_tol .*$", "sweep_tol 1E-9", text)
     conf = workdir / f"{num}.conf"
     conf.write_text(text)
@@ -69,8 +69,8 @@ def test_deck_001_target_irrep(tmp_path):
 
 @pytest.mark.slow
 def test_decks_002_003_004_state_specific(tmp_path):
-    # 002: state-average
-    out = _run_deck("002", tmp_path)
+    # 002: state-average (root 1 needs the longer reference schedule)
+    out = _run_deck("002", tmp_path, maxiter=16)
     assert abs(_energy(out) - E_GS) < 1e-6
     es = _root_energies(out, 2)
     assert abs(es[1] - E_EX) < 1e-5
