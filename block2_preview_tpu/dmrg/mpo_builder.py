@@ -238,3 +238,159 @@ def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
 
     return MPO(group=g, n_sites=L, site_quanta=site_quanta,
                bond_dqs=bond_dqs, tensors=tensors, const_e=const_e)
+
+
+def build_mpo_svd(tt: TermTable, site_pgs: Sequence[int] | None = None,
+                  const_e: float = 0.0, cutoff: float = 1e-14,
+                  svd_cutoff: float = 1e-12,
+                  spec: SiteBasisSpec = SZ_SITE,
+                  site_quanta=None) -> MPO:
+    """SVD-compressed MPO (reference MPOAlgorithmTypes::SVD,
+    src/dmrg/general_mpo.hpp:43-99,152): at each bond the coefficient
+    matrix between (incoming symbol, site op) prefixes and distinct
+    suffixes is SVD'd per bond-quantum sector; left singular vectors
+    define the site entries, S.V^T coefficients flow right.  Bond
+    dimensions fall below the bipartite cover whenever the interaction
+    is numerically low-rank (long-range model Hamiltonians); for exact
+    integer-sparse Hamiltonians it matches bipartite at svd_cutoff -> 0.
+    """
+    g = tt.group
+    L = tt.n_sites
+    specs = list(spec) if not isinstance(spec, SiteBasisSpec) else [spec] * L
+    if site_quanta is None:
+        if site_pgs is None:
+            site_pgs = [0] * L
+        site_quanta = [specs[t].quanta(int(p))
+                       for t, p in enumerate(site_pgs)]
+
+    def _mat(t: int, opid: int) -> np.ndarray:
+        if opid == OpRegistry.ID_I:
+            return specs[t].ident
+        if opid == OpRegistry.ID_Z:
+            return specs[t].parity
+        return tt.registry[opid]
+
+    nreg = len(tt.registry)
+    dq_table = [[g.zero if i < 2 else
+                 (op_delta_quantum(g, tt.registry[i], site_quanta[t])
+                  if tt.registry[i].shape[0] == len(site_quanta[t]) else None)
+                 for i in range(nreg)] for t in range(L)]
+
+    from ..core.qc_terms_fast import row_hashes
+    sh1, sh2 = row_hashes(tt.opids)
+
+    act_rows = np.arange(len(tt), dtype=np.int64)
+    act_sym = np.zeros(len(tt), dtype=np.int64)
+    act_coeff = tt.coeffs.copy()
+
+    bond_dqs: List[List[QN]] = [[g.zero]]
+    tensors: List[Dict[Tuple[int, int], np.ndarray]] = []
+
+    for t in range(L):
+        m = len(act_rows)
+        assert m > 0, "no active terms — empty Hamiltonian?"
+        o_ids = tt.opids[act_rows, t].astype(np.int64)
+
+        lk_pack = act_sym * nreg + o_ids
+        lk_vals, lk_idx = np.unique(lk_pack, return_inverse=True)
+        lk_sym = lk_vals // nreg
+        lk_op = lk_vals % nreg
+        nl = len(lk_vals)
+
+        if t + 1 < L:
+            skey = np.ascontiguousarray(
+                np.stack([sh1[act_rows, t + 1], sh2[act_rows, t + 1]],
+                         axis=1)).view("V16").ravel()
+            _, rk_first, rk_idx = np.unique(skey, return_index=True,
+                                            return_inverse=True)
+            rk_idx = rk_idx.ravel()
+            nr = len(rk_first)
+        else:
+            rk_first = np.zeros(1, dtype=np.int64)
+            rk_idx = np.zeros(m, dtype=np.int64)
+            nr = 1
+
+        e_pack = lk_idx * nr + rk_idx
+        e_vals, e_inv = np.unique(e_pack, return_inverse=True)
+        e_coeff = np.zeros(len(e_vals), dtype=tt.coeffs.dtype)
+        np.add.at(e_coeff, e_inv.ravel(), act_coeff)
+        e_l = e_vals // nr
+        e_r = e_vals % nr
+
+        w: Dict[Tuple[int, int], np.ndarray] = {}
+
+        def add_entry(i_sym: int, o_sym: int, mat: np.ndarray) -> None:
+            key = (i_sym, o_sym)
+            if key in w:
+                w[key] = w[key] + mat
+            else:
+                w[key] = mat.copy()
+
+        if t == L - 1:
+            for ei in range(len(e_vals)):
+                li = int(e_l[ei])
+                if abs(e_coeff[ei]) > cutoff:
+                    add_entry(int(lk_sym[li]), 0,
+                              e_coeff[ei] * _mat(t, int(lk_op[li])))
+            tensors.append(w)
+            bond_dqs.append([g.zero])
+            break
+
+        # group left keys by outgoing bond sector
+        q_of_lk = [g.add(bond_dqs[t][int(lk_sym[i])],
+                         dq_table[t][int(lk_op[i])]) for i in range(nl)]
+        sectors: Dict[QN, List[int]] = {}
+        for i, q in enumerate(q_of_lk):
+            sectors.setdefault(q, []).append(i)
+
+        dqs: List[QN] = []
+        nxt_rows, nxt_sym, nxt_coeff = [], [], []
+        edges_by_l: Dict[int, List[int]] = {}
+        for ei in range(len(e_vals)):
+            edges_by_l.setdefault(int(e_l[ei]), []).append(ei)
+
+        for q in sorted(sectors):
+            lks = sectors[q]
+            lk_local = {lk: i for i, lk in enumerate(lks)}
+            cols: Dict[int, int] = {}
+            trips = []
+            for lk in lks:
+                for ei in edges_by_l.get(lk, ()):
+                    ri = int(e_r[ei])
+                    ci = cols.setdefault(ri, len(cols))
+                    trips.append((lk_local[lk], ci, e_coeff[ei]))
+            M = np.zeros((len(lks), len(cols)))
+            for (a, b, c) in trips:
+                M[a, b] += c
+            U, S, Vt = np.linalg.svd(M, full_matrices=False)
+            r = int(np.sum(S > svd_cutoff))
+            if r == 0:
+                continue
+            col_rk = np.empty(len(cols), dtype=np.int64)
+            for ri, ci in cols.items():
+                col_rk[ci] = ri
+            for a in range(r):
+                b_sym = len(dqs)
+                dqs.append(q)
+                for lk in lks:
+                    u = U[lk_local[lk], a]
+                    if abs(u) > cutoff:
+                        add_entry(int(lk_sym[lk]), b_sym,
+                                  u * _mat(t, int(lk_op[lk])))
+                sv = S[a] * Vt[a]
+                keep = np.abs(sv) > cutoff
+                if np.any(keep):
+                    reps = act_rows[rk_first[col_rk[keep]]]
+                    nxt_rows.append(reps)
+                    nxt_sym.append(np.full(len(reps), b_sym,
+                                           dtype=np.int64))
+                    nxt_coeff.append(sv[keep])
+
+        tensors.append(w)
+        bond_dqs.append(dqs)
+        act_rows = np.concatenate(nxt_rows)
+        act_sym = np.concatenate(nxt_sym)
+        act_coeff = np.concatenate(nxt_coeff)
+
+    return MPO(group=g, n_sites=L, site_quanta=site_quanta,
+               bond_dqs=bond_dqs, tensors=tensors, const_e=const_e)

@@ -134,6 +134,12 @@ class DMRGDriver:
                 "analytic MPOQC: SZ mode"
             from ..dmrg.mpoqc_nc import build_mpoqc
             return build_mpoqc(fcidump, scheme=algo_type, cutoff=cutoff)
+        if algo_type == "svd":
+            assert self.symm_type == SymmetryTypes.SZ, "SVD MPO: SZ mode"
+            from ..dmrg.mpo_builder import build_mpo_svd
+            tt = qc_term_table(fcidump, group=self.group, cutoff=cutoff)
+            return build_mpo_svd(tt, site_pgs=fcidump.orb_sym,
+                                 const_e=fcidump.const_e, spec=self.spec)
         if self.symm_type == SymmetryTypes.SU2:
             return _su2_qc_mpo(self, fcidump.h1e, fcidump.g2e,
                                fcidump.const_e)
@@ -178,9 +184,17 @@ class DMRGDriver:
                               group=self.group)
         return build_mpo(tt, site_pgs=self.orb_sym)
 
-    def get_mpo(self, term_table: TermTable, const_e: float = 0.0) -> MPO:
+    def get_mpo(self, term_table: TermTable, const_e: float = 0.0,
+                algo_type: str = "bipartite",
+                svd_cutoff: float = 1e-12) -> MPO:
         """MPO from an ExprBuilder term table
-        (reference pyblock2/driver/core.py:3885)."""
+        (reference pyblock2/driver/core.py:3885; algo_type "svd" is the
+        MPOAlgorithmTypes::SVD compressed path,
+        general_mpo.hpp:43-99)."""
+        if algo_type == "svd":
+            from ..dmrg.mpo_builder import build_mpo_svd
+            return build_mpo_svd(term_table, site_pgs=self.orb_sym,
+                                 const_e=const_e, svd_cutoff=svd_cutoff)
         return build_mpo(term_table, site_pgs=self.orb_sym, const_e=const_e)
 
     def expr_builder(self) -> ExprBuilder:

@@ -279,8 +279,10 @@ def run(config_path: str) -> float:
         from ..dmrg.expect import pdm3_spatial
         np.save("3pdm.npy", pdm3_spatial(mps))
     if "fourpdm" in dic or "restart_fourpdm" in dic:
-        from ..dmrg.npdm import npdm_spatial
-        np.save("4pdm.npy", npdm_spatial(mps, 4))
+        # polynomial symbol-free engine (dmrg/npdm_scheme.py; reference
+        # general_npdm.hpp:43 GeneralNPDMMPO SymbolFree)
+        from ..dmrg.npdm_scheme import npdm_spatial_poly
+        np.save("4pdm.npy", npdm_spatial_poly(mps, 4))
     fp_tol = dic.get("fp_cps_cutoff")
     if fp_tol not in (None, ""):
         # lossy-compressed MPS checkpoint (reference fp_cps_cutoff)
