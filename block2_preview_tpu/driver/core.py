@@ -433,19 +433,34 @@ class DMRGDriver:
 
     @staticmethod
     def sc_nevpt2(fcidump: FCIDUMP, n_inactive: int, n_active: int,
-                  cas_mps: Optional[MPS] = None, iprint: int = 0):
+                  cas_mps: Optional[MPS] = None, iprint: int = 0,
+                  spatial: bool = True):
         """DMRG-sc-NEVPT2 (reference pyblock2/icmr/scnevpt2.py): solve the
         frozen-core CAS with DMRG (or pass a solved `cas_mps` over the
-        active orbitals), extract spin-orbital 1-4 RDMs from the MPS, and
-        evaluate the 8 strongly-contracted perturber classes.  Returns an
-        SCNEVPT2Result (e2, per-class breakdown)."""
+        active orbitals), extract 1-4 RDMs from the MPS, and evaluate the
+        8 strongly-contracted perturber classes.  Returns an
+        SCNEVPT2Result (e2, per-class breakdown).
+
+        spatial=True (default, the production path): spin-TRACED spatial
+        RDMs G1..G4 (ncas^8 for the 4-RDM instead of (2 ncas)^8) via the
+        polynomial symbol-free NPDM engine, with the class equations
+        machine-spatialized (icmr/spatialize.py)."""
         from ..icmr.scnevpt2 import (gammas_from_mps, sc_nevpt2)
-        gammas = None
+        gammas = gammas_spatial = None
         if cas_mps is not None:
             if isinstance(cas_mps, SU2MPSSpec):
                 raise NotImplementedError("pass an SZ-mode CAS MPS")
-            gammas = gammas_from_mps(cas_mps)
+            if spatial:
+                # npdm_spatial's convention IS the nested spin-traced
+                # G_k of icmr/spatialize.py (npdm.py:192-199)
+                from ..dmrg.npdm_scheme import npdm_spatial_poly
+                gammas_spatial = {
+                    f"G{k}": npdm_spatial_poly(cas_mps, k)
+                    for k in range(1, 5)}
+            else:
+                gammas = gammas_from_mps(cas_mps)
         return sc_nevpt2(fcidump, n_inactive, n_active, gammas=gammas,
+                         gammas_spatial=gammas_spatial, spatial=spatial,
                          iprint=iprint)
 
     @staticmethod

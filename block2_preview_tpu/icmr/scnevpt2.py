@@ -336,18 +336,60 @@ def _ranges_factory(n: int, ncore: int, ncas: int,
     return range_of
 
 
+def _ranges_factory_spatial(n: int, ncore: int, ncas: int,
+                            core_lab: Tuple[int, ...],
+                            virt_lab: Tuple[int, ...]):
+    """Spatial-index ranges for spatialized class expressions."""
+    core_all = np.arange(ncore)
+    act_all = np.arange(ncore, ncore + ncas)
+    virt_all = np.arange(ncore + ncas, n)
+    core_other = np.asarray([x for x in core_all if x not in core_lab],
+                            dtype=np.int64)
+    virt_other = np.asarray([x for x in virt_all if x not in virt_lab],
+                            dtype=np.int64)
+
+    def range_of(sym: str) -> np.ndarray:
+        c = sym[0]
+        if c == "C":
+            return core_all
+        if c == "O":
+            return core_other
+        if c == "A":
+            return act_all
+        if c == "V":
+            return virt_all
+        if c == "W":
+            return virt_other
+        if c == "X":
+            return np.asarray([int(sym.split("_")[0][1:])],
+                              dtype=np.int64)
+        raise KeyError(sym)
+
+    return range_of
+
+
 def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
               gammas: Optional[Dict[str, np.ndarray]] = None,
               psi0: Optional[np.ndarray] = None,
-              iprint: int = 0) -> SCNEVPT2Result:
+              iprint: int = 0, spatial: bool = False,
+              gammas_spatial: Optional[Dict[str, np.ndarray]] = None
+              ) -> SCNEVPT2Result:
     """RDM-driven strongly contracted NEVPT2.
 
     gammas: spin-orbital active RDMs g1..g4 (from `active_gammas` or the
     DMRG NPDM engine); computed from the determinant-space CASCI root
-    when omitted (small systems)."""
+    when omitted (small systems).
+
+    spatial=True evaluates the machine-derived class expressions over
+    SPIN-TRACED spatial RDMs G1..G4 (icmr/spatialize.py) — the
+    production path: ncas^8 memory for the 4-RDM instead of
+    (2*ncas)^8, matching the reference's spin-free equations
+    (pyblock2/icmr/scnevpt2.py).  gammas_spatial supplies G1..G4
+    directly (e.g. from the DMRG spatial NPDM engine); otherwise they
+    are spin-traced from `gammas`."""
     n = fd.n_sites
     nvirt = n - ncore - ncas
-    if gammas is None:
+    if gammas is None and not (spatial and gammas_spatial is not None):
         e_cas, c0m, ix, mask = casci_root(fd, ncore, ncas)
         if psi0 is None:
             psi0 = np.zeros(4 ** n)
@@ -357,18 +399,35 @@ def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
         e_cas = float("nan")    # DMRG path: CAS energy tracked by caller
     na = 2 * ncas
     # spatial active 1-rdm for the Dyall generalized Fock
-    if ncas:
+    if spatial and gammas_spatial is not None:
+        rdm1_sp = gammas_spatial["G1"].copy() if ncas else None
+    elif ncas:
         g1 = gammas["g1"]
         rdm1_sp = (g1[0::2, 0::2] + g1[1::2, 1::2])
     else:
         rdm1_sp = None
     fdd = dyall_fcidump(fd, ncore, ncas, rdm1_active=rdm1_sp)
 
-    h_so, v_as = mw.spin_orbital_integrals(fd.h1e, fd.g2e)
-    hd_so, vd_as = mw.spin_orbital_integrals(fdd.h1e, fdd.g2e)
-    tensors = {"h": h_so, "v": v_as, "hd": hd_so, "vd": vd_as}
-    tensors.update(gammas)
-    loc_off = 2 * ncore
+    if spatial:
+        from .spatialize import spatialize, spin_trace_gammas
+        if gammas_spatial is None:
+            gammas_spatial = spin_trace_gammas(gammas)
+        # plain physicist integrals <pq|rs> = g2e[p,r,q,s]
+        tensors = {"h": fd.h1e, "vp": fd.g2e.transpose(0, 2, 1, 3),
+                   "hd": fdd.h1e,
+                   "vdp": fdd.g2e.transpose(0, 2, 1, 3)}
+        tensors.update(gammas_spatial)
+        loc_off = ncore
+        local_names = ("G1", "G2", "G3", "G4")
+        ranges_factory = _ranges_factory_spatial
+    else:
+        h_so, v_as = mw.spin_orbital_integrals(fd.h1e, fd.g2e)
+        hd_so, vd_as = mw.spin_orbital_integrals(fdd.h1e, fdd.g2e)
+        tensors = {"h": h_so, "v": v_as, "hd": hd_so, "vd": vd_as}
+        tensors.update(gammas)
+        loc_off = 2 * ncore
+        local_names = ("g1", "g2", "g3", "g4")
+        ranges_factory = _ranges_factory
 
     hterms = full_h_terms()
     hd = tag_full(dyall_terms())
@@ -390,17 +449,25 @@ def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
                 A = bind_label(hterms, cl, vl)
                 if not A:
                     continue
-                rng = _ranges_factory(n, ncore, ncas, cl, vl)
+                rng = ranges_factory(n, ncore, ncas, cl, vl)
                 Ad = mw.conj_terms(A)
-                nl = mw.evaluate(mw.mr_expect(mw.mul_terms(Ad, A)),
-                                 tensors, rng, local_offset=loc_off)
+                nterms = mw.mr_expect(mw.mul_terms(Ad, A))
+                if spatial:
+                    nterms = spatialize(nterms)
+                nl = mw.evaluate(nterms, tensors, rng,
+                                 local_names=local_names,
+                                 local_offset=loc_off)
                 if nl < 1e-12:
                     continue
                 # <A^+ (H_D - E0) A> = <A^+ [H_D, A]>  (Dyall eigenstate
                 # property; keeps RDM order at 4)
                 comm = mw.commutator_terms(hd, A)
-                he = mw.evaluate(mw.mr_expect(mw.mul_terms(Ad, comm)),
-                                 tensors, rng, local_offset=loc_off)
+                hterms_c = mw.mr_expect(mw.mul_terms(Ad, comm))
+                if spatial:
+                    hterms_c = spatialize(hterms_c)
+                he = mw.evaluate(hterms_c, tensors, rng,
+                                 local_names=local_names,
+                                 local_offset=loc_off)
                 de = he / nl
                 if abs(de) < 1e-10:
                     res.skipped.append((cname, cl, vl, nl, de))

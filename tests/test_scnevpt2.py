@@ -98,3 +98,50 @@ def test_dmrg_sc_nevpt2():
     g = gammas_from_mps(dmrg.mps)
     got = sc_nevpt2(fd, ncore, ncas, gammas=g)
     assert abs(got.e2 - ref.e2) < 1e-7, (got.e2, ref.e2)
+
+
+@pytest.mark.parametrize("ncore,ncas,n,nelec,seed", [
+    (1, 2, 4, 4, 7),
+    (2, 2, 5, 6, 11),
+])
+def test_scnevpt2_spatial_vs_fci(ncore, ncas, n, nelec, seed):
+    """Machine-spatialized class equations over spin-traced RDMs
+    (icmr/spatialize.py; the production path matching reference
+    pyblock2/icmr/scnevpt2.py's spin-free equations)."""
+    fd = _rand_fd(n, nelec, seed=seed)
+    ref = sc_nevpt2_fci(fd, ncore, ncas)
+    got = sc_nevpt2(fd, ncore, ncas, spatial=True)
+    for cname, eref in sorted(ref.classes.items()):
+        egot = got.classes.get(cname, 0.0)
+        assert abs(egot - eref) < 1e-8, \
+            f"{cname}: spatial {egot} vs fci {eref}"
+    assert abs(got.e2 - ref.e2) < 1e-8
+
+
+def test_dmrg_sc_nevpt2_spatial():
+    """Production pipeline, spatial RDM path: DMRG CAS MPS -> polynomial
+    spatial NPDM (G1..G4, ncas^8 memory) -> spatialized class equations;
+    vs the exact determinant-space SC reference."""
+    import numpy as np
+    from block2_preview_tpu.core.expr import qc_term_table
+    from block2_preview_tpu.dmrg.mpo_builder import build_mpo
+    from block2_preview_tpu.dmrg.mps import MPS, MPSInfo
+    from block2_preview_tpu.dmrg.sweep import DMRG
+    from block2_preview_tpu.driver.core import DMRGDriver
+    from block2_preview_tpu.icmr.scnevpt2 import cas_fcidump
+
+    fd = _rand_fd(5, 6, seed=11)
+    ncore, ncas = 1, 3
+    cfd = cas_fcidump(fd, ncore, ncas)
+    tt = qc_term_table(cfd)
+    mpo = build_mpo(tt, site_pgs=cfd.orb_sym, const_e=cfd.const_e)
+    info = MPSInfo(mpo.group, mpo.site_quanta,
+                   (cfd.n_elec, cfd.twos, cfd.ipg), 60)
+    mps = MPS.random(info, seed=3)
+    dmrg = DMRG(mpo, mps, iprint=0)
+    dmrg.solve([60] * 8, [1e-5] * 3 + [0] * 5, [1e-10],
+               n_sweeps=8, tol=1e-12)
+    ref = sc_nevpt2_fci(fd, ncore, ncas)
+    got = DMRGDriver.sc_nevpt2(fd, ncore, ncas, cas_mps=dmrg.mps,
+                               spatial=True)
+    assert abs(got.e2 - ref.e2) < 1e-7, (got.e2, ref.e2)
