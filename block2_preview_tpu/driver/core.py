@@ -471,6 +471,26 @@ class DMRGDriver:
         return cas_fcidump(fcidump, n_inactive, n_active)
 
     @staticmethod
+    def ic_nevpt2(fcidump: FCIDUMP, n_inactive: int, n_active: int,
+                  iprint: int = 0):
+        """Fully internally contracted NEVPT2 over the Dyall H0
+        (reference pyblock2/icmr/icnevpt2_full.py); returns
+        (E2, E_casci, per-class dict)."""
+        from ..icmr.icnevpt2 import ic_nevpt2_full
+        return ic_nevpt2_full(fcidump, n_inactive, n_active, h0="dyall",
+                              iprint=iprint)
+
+    @staticmethod
+    def ic_mrrept2(fcidump: FCIDUMP, n_inactive: int, n_active: int,
+                   iprint: int = 0):
+        """Fully internally contracted MRREPT2 over Fink's
+        retaining-the-excitation-degree H0 (reference
+        pyblock2/icmr/icmrrept2_full.py)."""
+        from ..icmr.icnevpt2 import ic_nevpt2_full
+        return ic_nevpt2_full(fcidump, n_inactive, n_active, h0="fink",
+                              iprint=iprint)
+
+    @staticmethod
     def ic_mrcisd(fcidump: FCIDUMP, n_inactive: int, n_active: int,
                   iprint: int = 0):
         """Fully internally contracted MRCISD (reference
