@@ -240,6 +240,132 @@ def evaluate(expr: WickExpr, tensors: Dict[str, np.ndarray],
     return total
 
 
+def evaluate_tensor(expr: WickExpr, tensors: Dict[str, np.ndarray],
+                    spaces: Dict[str, np.ndarray],
+                    free: Sequence[str]) -> np.ndarray:
+    """Like `evaluate` but with FREE indices kept open: returns an
+    ndarray over the free indices' LOCAL spaces (occ/vir positions, not
+    global orbitals) — the machinery behind machine-generated projected
+    equations (EOM sigma vectors, lambda residuals, CC RDMs; reference
+    pyblock2/cc/* Wick-generated code)."""
+    free = list(free)
+    fspaces = [space_of(x) for x in free]
+    shape = tuple(len(spaces[sp]) for sp in fspaces)
+    total = np.zeros(shape)
+    for term in expr.terms:
+        idx_space: Dict[str, str] = {}
+        deltas: List[Tuple[str, str]] = []
+        facs: List[Tuple[str, Tuple[str, ...]]] = []
+        delta_forced: List[Tuple[Tuple[str, str], str]] = []
+        for name, ixs in term.tensors:
+            if name in ("delta", "delta_o", "delta_v"):
+                deltas.append(tuple(ixs))
+                forced = OCC if name == "delta_o" else \
+                    (VIR if name == "delta_v" else None)
+                if forced is not None:
+                    delta_forced.append((tuple(ixs), forced))
+                for x in ixs:
+                    idx_space.setdefault(x, space_of(x))
+            else:
+                facs.append((name, ixs))
+                for x in ixs:
+                    idx_space.setdefault(x, space_of(x))
+        for x in free:
+            idx_space.setdefault(x, space_of(x))
+        parent: Dict[str, str] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        eye_facs: List[Tuple[str, str]] = []
+        for (x, y) in deltas:
+            rx, ry = find(x), find(y)
+            if rx == ry:
+                continue
+            if rx in free and ry in free:
+                eye_facs.append((rx, ry))
+                continue
+            # never merge a free symbol away
+            if rx in free:
+                rx, ry = ry, rx
+            parent[rx] = ry
+        cls_space: Dict[str, str] = {}
+        dead = False
+        constraints = [(x, sp) for x, sp in idx_space.items()] + \
+            [(ix[0], sp) for ix, sp in delta_forced] + \
+            [(ix[1], sp) for ix, sp in delta_forced]
+        for x, sp in constraints:
+            r = find(x)
+            cur = cls_space.get(r)
+            if sp == GEN:
+                cls_space.setdefault(r, GEN)
+            elif cur is None or cur == GEN:
+                cls_space[r] = sp
+            elif sp != cur:
+                dead = True
+                break
+        if dead:
+            continue
+        letters: Dict[str, str] = {}
+        alphabet = iter("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOP")
+        out_sub = ""
+        for x in free:
+            r = find(x)
+            if r not in letters:
+                letters[r] = next(alphabet)
+            out_sub += letters[r]
+        specs = []
+        arrays = []
+        for name, ixs in facs:
+            sub = ""
+            for x in ixs:
+                r = find(x)
+                if r not in letters:
+                    letters[r] = next(alphabet)
+                sub += letters[r]
+            specs.append(sub)
+            arr = tensors[name]
+            slicers = []
+            for x in ixs:
+                sp = cls_space.get(find(x), GEN)
+                slicers.append(spaces.get(sp, np.arange(arr.shape[0])))
+            arrays.append(arr[np.ix_(*slicers)])
+        for (x, y) in eye_facs:
+            for z in (x, y):
+                if z not in letters:
+                    letters[z] = next(alphabet)
+            specs.append(letters[x] + letters[y])
+            nsp = len(spaces[cls_space.get(x, space_of(x))])
+            arrays.append(np.eye(nsp))
+        # dummy classes not bound to any factor: multiply their sizes
+        mult = 1.0
+        bound = set()
+        for s in specs:
+            bound.update(s)
+        bound.update(out_sub)
+        seen = set()
+        for x in idx_space:
+            r = find(x)
+            if r in seen or letters.get(r) in bound:
+                seen.add(r)
+                continue
+            seen.add(r)
+            sp = cls_space.get(r, GEN)
+            mult *= len(spaces.get(sp, []))
+        if not specs:
+            # pure scalar (times identity over free axes is impossible
+            # here: free symbols unbound by any factor means a uniform
+            # contribution)
+            total += term.coeff * mult
+            continue
+        val = np.einsum(",".join(specs) + "->" + out_sub, *arrays,
+                        optimize=True)
+        total += term.coeff * mult * val
+    return total
+
+
 # ----------------------------------------------------------------------
 # Convenience constructors
 # ----------------------------------------------------------------------
