@@ -143,6 +143,14 @@ def main():
     e_np, t_solve = run_parity()
     ref = -107.654122447525
 
+    # live-device smoke tier (precision lowering / large-pool faults /
+    # tiled-engine energy floor — VERDICT r1 item 9)
+    from block2_preview_tpu.utils.tpu_smoke import run_smoke
+    try:
+        smoke = run_smoke()
+    except Exception as e:
+        smoke = {"ok": False, "error": repr(e)[:200]}
+
     print(json.dumps({
         "metric": "sigma_matvec_effective_gflops",
         "value": round(gf_dev, 2),
@@ -158,6 +166,7 @@ def main():
         "n2_sto3g_d250_energy_f64": e_np,
         "n2_sto3g_abs_err_vs_block2_ha": abs(e_np - ref),
         "n2_sto3g_d250_solve_seconds": round(t_solve, 2),
+        "tpu_smoke": smoke,
         "baseline_note": "vs_baseline = device f32 bucketed executor GFLOP/s "
                          "over host numpy f64 per-triple BLAS executor",
     }))

@@ -11,5 +11,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# B2TPU_TPU_TESTS=1 leaves the live device active (the `-m tpu` smoke
+# tier, normally invoked through bench.py on real hardware)
+if not os.environ.get("B2TPU_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -85,6 +85,9 @@ def test_decks_002_003_004_state_specific(tmp_path):
 
 
 @pytest.mark.slow
-def test_decks_005_006_projection(tmp_path):
+def test_decks_005_006_007_projection(tmp_path):
     assert abs(_energy(_run_deck("005", tmp_path)) - E_GS) < 1e-6
     assert abs(_energy(_run_deck("006", tmp_path)) - E_EX) < 1e-6
+    # 007: 2nd excited state, both lower roots level-shifted out
+    assert abs(_energy(_run_deck("007", tmp_path, maxiter=14))
+               - (-106.94375693899154)) < 1e-6
