@@ -30,18 +30,24 @@ from .sweep import split_backward_update, split_forward_update
 
 class GreensFunction:
     def __init__(self, h_mpo: MPO, b: MPS, x: MPS, iprint: int = 0,
-                 solver: str = "gmres"):
+                 solver: str = "gmres", backend: str = "numpy",
+                 device_min_size: int = 4096):
         """h_mpo: Hamiltonian MPO (const_e included in the solve);
         b: right-hand-side MPS (e.g. c_j|gs> from a site-MPO multiply);
         x: initial correction-vector MPS (same target as b);
         solver: local linear solver — gmres | gcrotmk | idrs | lsqr
         (the reference cycles GCROT(m,k)/IDR(s)/LSQR,
-        sweep_algorithm.hpp Linear solver_type)."""
+        sweep_algorithm.hpp Linear solver_type);
+        backend: numpy | jax_tiled — jax_tiled runs the local matvecs
+        as complex64/128 compile-once tiled device kernels."""
         self.h_mpo = h_mpo
         self.b = b
         self.x = x
         self.solver = solver
+        self.backend = backend
+        self.device_min_size = device_min_size
         self.iprint = iprint
+        self._tiled_cache: Dict = {}
         self.me_h = MovingEnvironment(h_mpo, x)
         self.me_h.init_environments()
         self.me_b = MovingEnvironment(identity_mpo(h_mpo), b, bra=x)
@@ -56,8 +62,17 @@ class GreensFunction:
         rhs = eff_h.ket_space.flatten(rhs_blocks, dtype=np.complex128)
         const = self.h_mpo.const_e
 
+        ex = None
+        base_mv = eff_h.matvec_np
+        if self.backend == "jax_tiled" and eff_h.size >= self.device_min_size:
+            from ..ops.tiled import TiledExecutor
+            ex = TiledExecutor(eff_h, dtype=np.complex128,
+                               cache=self._tiled_cache,
+                               cache_key=(type(eff_h).__name__, t))
+            base_mv = ex.matvec
+
         def amat(v):
-            return z * v - (eff_h.matvec_np(v) + const * v)
+            return z * v - (base_mv(v) + const * v)
 
         x0 = eff_h.flatten(eff_h.initial_guess()).astype(np.complex128)
         if self.solver == "gcrotmk":
@@ -68,7 +83,7 @@ class GreensFunction:
             zc = np.conj(z) - const
 
             def amat_h(v):
-                return zc * v - eff_h.matvec_np(v)
+                return zc * v - base_mv(v)
 
             sol, nmv = lsqr(amat, amat_h, rhs, tol=solve_tol)
         elif self.solver == "gmres":
@@ -76,6 +91,8 @@ class GreensFunction:
         else:
             raise ValueError(f"unknown local solver '{self.solver}' "
                              "(gmres | gcrotmk | idrs | lsqr)")
+        if ex is not None:
+            ex.free()
         val = complex(np.vdot(rhs, sol))
         blocks = eff_h.unflatten(sol)
         if forward:
@@ -139,12 +156,21 @@ class GreensFunctionSquared:
     """
 
     def __init__(self, h_mpo: MPO, b: MPS, x: MPS, iprint: int = 0,
-                 n_harmonic_projection: int = 0):
+                 n_harmonic_projection: int = 0,
+                 backend: str = "numpy", dtype=np.float64,
+                 device_min_size: int = 4096):
         self.h_mpo = h_mpo
         self.b = b
         self.x = x
         self.iprint = iprint
         self.nhp = n_harmonic_projection
+        # backend jax_tiled: the REAL squared-operator solves run on the
+        # device tiled engine (f32/f64) — no complex support needed,
+        # which is the point of the squared formulation on TPU
+        self.backend = backend
+        self.dtype = dtype
+        self.device_min_size = device_min_size
+        self._tiled_cache: Dict = {}
         self.me_h = MovingEnvironment(h_mpo, x)
         self.me_h.init_environments()
         self.me_b = MovingEnvironment(identity_mpo(h_mpo), b, bra=x)
@@ -161,9 +187,18 @@ class GreensFunctionSquared:
         shift = self.h_mpo.const_e - omega
         nmv = [0]
 
+        ex = None
+        base_mv = eff_h.matvec_np
+        if self.backend == "jax_tiled" and eff_h.size >= self.device_min_size:
+            from ..ops.tiled import TiledExecutor
+            ex = TiledExecutor(eff_h, dtype=self.dtype,
+                               cache=self._tiled_cache,
+                               cache_key=(type(eff_h).__name__, t))
+            base_mv = ex.matvec
+
         def amat(v):
             nmv[0] += 1
-            return eff_h.matvec_np(v) + shift * v
+            return base_mv(v) + shift * v
 
         def op(v):
             return amat(amat(v)) + (eta * eta) * v
@@ -187,6 +222,8 @@ class GreensFunctionSquared:
             u, n2 = cg_solve(op, rhs, x0=x0, tol=solve_tol,
                              maxiter=5000, diag=aa)
         au = amat(u)
+        if ex is not None:
+            ex.free()
         val = complex(-np.dot(rhs, au), -eta * np.dot(rhs, u))
         # the correction-vector MPS carries the imaginary part -eta*u;
         # the real part A*u enters the density matrix so the truncated

@@ -346,7 +346,9 @@ class TiledExecutor:
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
         out = self.matvec_device(jnp.asarray(self.pad(x)))
-        return np.asarray(out, dtype=np.float64)[:self.size]
+        host_dt = np.complex128 if np.dtype(self.dtype).kind == "c" \
+            else np.float64
+        return np.asarray(out, dtype=host_dt)[:self.size]
 
     def free(self):
         """Release device buffers deterministically (waiting for GC can
