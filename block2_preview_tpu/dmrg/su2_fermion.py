@@ -245,7 +245,9 @@ class SU2FermionDMRG:
                  weights: Optional[Sequence[float]] = None,
                  proj_tensors: Optional[List[List[Dict]]] = None,
                  proj_weights: Optional[Sequence[float]] = None,
-                 init_tensors: Optional[List[Dict]] = None):
+                 init_tensors: Optional[List[Dict]] = None,
+                 site_mults: Optional[List[List[Tuple]]] = None,
+                 site_ops: Optional[Dict[int, Dict]] = None):
         # backend="jax_tiled": the compile-once tiled accelerator executor
         # for the reduced-matrix sigma matvec (spin-adapted TPU path)
         self.backend = backend
@@ -281,11 +283,27 @@ class SU2FermionDMRG:
         self.ops = dict(SITE_OPS)
         if ops:
             self.ops.update(ops)
+
+        def _op_at(t, w):
+            d = self.site_ops.get(t)
+            if d is not None and w in d:
+                return d[w]
+            return self.ops[w]
+
+        self._op_at = _op_at
         self.site_pgs = [0] * L if site_pgs is None else [int(p)
                                                           for p in site_pgs]
-        # per-site multiplet quanta (N, 2S, pg)
-        self.mults = [[(0, 0, 0), (1, 1, self.site_pgs[t]), (2, 0, 0)]
-                      for t in range(L)]
+        # per-site multiplet quanta (N, 2S, pg); site_mults overrides
+        # (heterogeneous chains, e.g. the CSF big site)
+        if site_mults is not None:
+            self.mults = [list(ms) for ms in site_mults]
+        else:
+            self.mults = [[(0, 0, 0), (1, 1, self.site_pgs[t]),
+                           (2, 0, 0)] for t in range(L)]
+        # per-site operator-registry overrides (big sites carry their
+        # own reduced matrices, including a site-local identity)
+        self.site_ops = {int(t): dict(d)
+                         for t, d in (site_ops or {}).items()}
         if ranks is not None:
             self.rank: Dict[int, int] = dict(ranks)
         else:
@@ -429,7 +447,7 @@ class SU2FermionDMRG:
             e = env.get(i)
             if e is None:
                 continue
-            wred, k_w, dn_w = self.ops[w]
+            wred, k_w, dn_w = self._op_at(t, w)
             p_w = abs(dn_w) % 2
             k_i, k_o = self.rank[i], self.rank[o]
             for (qlb, qlk), eb in e.items():
@@ -464,7 +482,7 @@ class SU2FermionDMRG:
             e = env.get(o)
             if e is None:
                 continue
-            wred, k_w, dn_w = self.ops[w]
+            wred, k_w, dn_w = self._op_at(t, w)
             p_o = abs(self.dn[o]) % 2
             k_i, k_o = self.rank[i], self.rank[o]
             for (qrb2, qrk2), eb in e.items():
@@ -534,7 +552,7 @@ class SU2FermionDMRG:
             e = env_l.get(i)
             if e is None:
                 continue
-            wred, k_w, dn_w = self.ops[w]
+            wred, k_w, dn_w = self._op_at(t, w)
             p_w = abs(dn_w) % 2
             k_i, k_m = self.rank[i], self.rank[o]
             for (qlb, qlk), eb in e.items():
@@ -575,7 +593,7 @@ class SU2FermionDMRG:
             e = env_r.get(o)
             if e is None:
                 continue
-            wred, k_w, dn_w = self.ops[w]
+            wred, k_w, dn_w = self._op_at(t + 1, w)
             p_o = abs(self.dn[o]) % 2
             k_m, k_o = self.rank[i], self.rank[o]
             for (qr2b, qr2k), eb in e.items():

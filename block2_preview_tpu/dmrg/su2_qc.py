@@ -164,7 +164,8 @@ def _chain_dense(slot_comps: List[Tuple[Dict[int, np.ndarray], int, int]],
         ko = cum[s]
         pw = abs(dnw) % 2
         dim = acc[next(iter(acc))].shape[0]
-        out = {tq: np.zeros((dim * 4, dim * 4))
+        wdim = next(iter(comp.values())).shape[0]   # 4, or the big slot
+        out = {tq: np.zeros((dim * wdim, dim * wdim))
                for tq in range(-ko, ko + 1, 2)}
         for tqi, oi in acc.items():
             oi_z = oi * zprev[None, :] if pw else oi
@@ -282,6 +283,133 @@ def _pattern_chains(pattern: Tuple[Tuple[int, ...], ...], n_roles: int):
     return out
 
 
+def _graded_composite(slot_comps: List[Tuple[Dict[int, np.ndarray],
+                                             int, int]],
+                      subchain: Tuple[int, ...]):
+    """Graded coupled composite of several 4-dim model slots keeping ALL
+    tensor components (the multi-orbital big-site operator in the model
+    space): returns (components, rank, dN)."""
+    comp, k_acc, dn_acc = (dict(slot_comps[0][0]), slot_comps[0][1],
+                           slot_comps[0][2])
+    zprev = np.diag(_SITE_Z)
+    for s in range(1, len(slot_comps)):
+        w_comp, kw, dnw = slot_comps[s]
+        ko = subchain[s]
+        pw = abs(dnw) % 2
+        dim = next(iter(comp.values())).shape[0]
+        out = {tq: np.zeros((dim * 4, dim * 4))
+               for tq in range(-ko, ko + 1, 2)}
+        for tqi, oi in comp.items():
+            oi_z = oi * zprev[None, :] if pw else oi
+            for tqw, w in w_comp.items():
+                tqo = tqi + tqw
+                if abs(tqo) > ko:
+                    continue
+                cg = clebsch_gordan(k_acc, kw, ko, tqi, tqw, tqo)
+                if abs(cg) > 1e-14:
+                    out[tqo] += cg * np.kron(oi_z, w)
+        comp = out
+        k_acc = ko
+        dn_acc += dnw
+        zprev = np.kron(zprev, np.diag(_SITE_Z))
+    return comp, k_acc, dn_acc
+
+
+_PATTERN_BIG_CACHE: Dict[Tuple, List] = {}
+
+
+def _pattern_chains_big(pattern: Tuple[Tuple[int, ...], ...],
+                        n_roles: int, n_ext: int):
+    """Like _pattern_chains, but the trailing n_ext slots belong to ONE
+    big site: their composites merge into a single tensor operator of
+    definite rank (coupled through an explicit sub-chain), and the
+    expansion coefficients are machine-derived on the all-4-dim model
+    space (orbital-independent, so cached per pattern).
+
+    Returns [(int_specs, ext_spec, cum, lambda)] with
+      int_specs: ((opname, k, dn), ...) for the internal slots,
+      ext_spec: ((elems, chain) per ext slot, subchain, kappa, dn_big),
+      cum: doubled cumulative ranks after each internal slot, then 0.
+    """
+    key = (pattern, n_roles, n_ext)
+    hit = _PATTERN_BIG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    m = len(pattern)
+    m_int = m - n_ext
+    assert n_ext >= 1
+    role_op = (lambda r: "C" if (r == 0 if n_roles == 2 else r < 2)
+               else "D")
+    slot_elems = [tuple(role_op(r) for r in roles) for roles in pattern]
+    slot_opts: List[List[Tuple]] = []
+    for elems in slot_elems:
+        opts = []
+        for ch in _internal_chains(len(elems)):
+            comp, red, k, dn = _onsite_composite(elems, ch)
+            if red is None:
+                continue
+            opts.append((elems, ch, comp, k, dn))
+        slot_opts.append(opts)
+
+    # enumerate big-site composites: per-ext-slot options x subchains
+    big_opts: List[Tuple] = []   # (per-slot (elems, chain), subchain,
+    #                              model comp, kappa, dn)
+    def rec_ext(s, chosen, sub):
+        if s == m:
+            comp, kappa, dnb = _graded_composite(
+                [(o[2], o[3], o[4]) for o in chosen], tuple(sub))
+            if max(np.max(np.abs(v)) for v in comp.values()) > 1e-12:
+                big_opts.append((tuple((o[0], o[1]) for o in chosen),
+                                 tuple(sub), comp, kappa, dnb))
+            return
+        for opt in slot_opts[s]:
+            k = opt[3]
+            if s == m_int:
+                rec_ext(s + 1, chosen + [opt], [k])
+            else:
+                for ko in range(abs(sub[-1] - k),
+                                min(sub[-1] + k, 3) + 1, 2):
+                    rec_ext(s + 1, chosen + [opt], sub + [ko])
+
+    rec_ext(m_int, [], [])
+
+    cands: List[Tuple] = []
+
+    def rec_int(s, chosen, cum):
+        if s == m_int:
+            for bo in big_opts:
+                if bo[3] == cum[-1]:   # final coupling K x kappa -> 0
+                    cands.append((tuple(chosen), bo, tuple(cum[1:])))
+            return
+        for opt in slot_opts[s]:
+            k = opt[3]
+            for ko in range(abs(cum[-1] - k), min(cum[-1] + k, 3) + 1, 2):
+                rec_int(s + 1, chosen + [opt], cum + [ko])
+
+    rec_int(0, [], [0])
+    if not cands:
+        raise ValueError(f"no big-site chains for pattern {pattern}")
+    target = _target_dense(pattern, n_roles).ravel()
+    cols = np.stack(
+        [_chain_dense([(o[2], o[3], o[4]) for o in specs]
+                      + [(bo[2], bo[3], bo[4])],
+                      cum + (0,)).ravel()
+         for specs, bo, cum in cands], axis=1)
+    lam, _res, _rk, _sv = np.linalg.lstsq(cols, target, rcond=None)
+    resid = np.linalg.norm(cols @ lam - target)
+    if resid > 1e-9 * max(1.0, np.linalg.norm(target)):
+        raise ValueError(f"big pattern {pattern}: residual {resid}")
+    out = []
+    for (specs, bo, cum), lv in zip(cands, lam):
+        if abs(lv) > 1e-12:
+            int_specs = tuple((_op_name(o[0], o[1]), o[3], o[4])
+                              for o in specs)
+            ext_spec = (bo[0], bo[1], bo[3], bo[4])
+            out.append((int_specs, ext_spec, cum + (0,), float(lv)))
+    _PATTERN_BIG_CACHE[key] = out
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Term table generation for H = sum h_ij E1(i,j) + 1/2 sum v_ijkl E2(i,k,l,j)
 # ---------------------------------------------------------------------------
@@ -324,12 +452,18 @@ class SU2TermTable:
         for (site, (name, k, dn), ko) in zip(sites, specs, cum):
             for t in range(prev_end, site):
                 row[t] = 0 * _ID_BITS + k_cur * _NRANK + k_cur
-            elems_chain = name.split(":")
-            elems = tuple(elems_chain[0]) if ":" in name or len(name) > 1 \
-                else (name,)
-            chain = ((1,) + tuple(int(x) for x in elems_chain[1].split(","))
-                     if ":" in name else (1,))
-            _comp, red, _k, _dn = _onsite_composite(elems, chain)
+            if name in self.registry:
+                # pre-registered (big-site composites register their
+                # reduced matrices directly)
+                red = self.registry[name][0]
+            else:
+                elems_chain = name.split(":")
+                elems = tuple(elems_chain[0]) \
+                    if ":" in name or len(name) > 1 else (name,)
+                chain = ((1,) + tuple(int(x)
+                                      for x in elems_chain[1].split(","))
+                         if ":" in name else (1,))
+                _comp, red, _k, _dn = _onsite_composite(elems, chain)
             oid = self._op(name, red, k, dn)
             row[site] = oid * _ID_BITS + k_cur * _NRANK + ko
             k_cur = ko
@@ -377,6 +511,91 @@ def qc_su2_term_table(h1e: np.ndarray, g2e: Optional[np.ndarray],
                               if roles_sites[r] == s) for s in order)
         for specs, cum, lam in _pattern_chains(pattern, n_roles):
             tt.add_term(order, specs, cum, coeff * lam)
+
+    for i in range(K):
+        for j in range(K):
+            if abs(h1e[i, j]) > cutoff:
+                emit((i, j), 2, h1e[i, j])
+    if g2e is not None:
+        for i in range(K):
+            for j in range(K):
+                for k in range(K):
+                    for l in range(K):
+                        v = g2e[i, j, k, l]
+                        if abs(v) > cutoff:
+                            emit((i, k, l, j), 4, 0.5 * v)
+    return tt
+
+
+def qc_su2_big_term_table(h1e: np.ndarray, g2e: Optional[np.ndarray],
+                          ecore: float, n_int: int, ext,
+                          cutoff: float = 1e-13) -> "SU2TermTable":
+    """Spin-adapted term table with the orbitals >= n_int collapsed into
+    ONE CSF big site (reference CSFBigSite get_site_ops,
+    src/big_site/csf_big_site.hpp:1060): every Hamiltonian term's
+    external part becomes a coupled composite reduced over the external
+    multiplet basis (ext: dmrg/csf_big_site.ExternalSpace)."""
+    from .csf_big_site import couple_components
+
+    K = h1e.shape[0]
+    assert K == n_int + ext.n_orbs
+    L = n_int + 1
+    tt = SU2TermTable(L)
+    tt.add_const(ecore)
+    bigred_cache: Dict[str, Optional[np.ndarray]] = {}
+
+    def emit(roles_orbs: Sequence[int], n_roles: int, coeff: float):
+        if all(o < n_int for o in roles_orbs):
+            order = sorted(set(roles_orbs))
+            pattern = tuple(tuple(r for r in range(n_roles)
+                                  if roles_orbs[r] == s) for s in order)
+            for specs, cum, lam in _pattern_chains(pattern, n_roles):
+                tt.add_term(order, specs, cum, coeff * lam)
+            return
+        int_orbs = sorted(set(o for o in roles_orbs if o < n_int))
+        ext_orbs = sorted(set(o for o in roles_orbs if o >= n_int))
+        slot_keys = int_orbs + ext_orbs
+        pattern = tuple(tuple(r for r in range(n_roles)
+                              if roles_orbs[r] == s) for s in slot_keys)
+        n_ext = len(ext_orbs)
+        m_int = len(int_orbs)
+        for int_specs, ext_spec, cum, lam in _pattern_chains_big(
+                pattern, n_roles, n_ext):
+            slot_specs, subchain, kappa, dn_big = ext_spec
+            name = "X%s|%s|%s" % (
+                ",".join(str(o - n_int) for o in ext_orbs),
+                ";".join("".join(e) + ":" + ",".join(map(str, ch))
+                         for (e, ch) in slot_specs),
+                ",".join(map(str, subchain)))
+            if name not in bigred_cache:
+                comp = None
+                k_acc = dn_acc = 0
+                for s, (elems, chain) in enumerate(slot_specs):
+                    orb = ext_orbs[s] - n_int
+                    c, k, dn = ext.spinor(orb, elems[0])
+                    c = dict(c)
+                    for j in range(1, len(elems)):
+                        c2, k2, dn2 = ext.spinor(orb, elems[j])
+                        c = couple_components(c, k, c2, k2, chain[j])
+                        k = chain[j]
+                        dn += dn2
+                    if comp is None:
+                        comp, k_acc, dn_acc = c, k, dn
+                    else:
+                        comp = couple_components(comp, k_acc, c, k,
+                                                 subchain[s])
+                        k_acc = subchain[s]
+                        dn_acc += dn
+                assert k_acc == kappa and dn_acc == dn_big
+                red = ext.reduce(comp, kappa)
+                bigred_cache[name] = red
+                if red is not None:
+                    tt._op(name, red, kappa, dn_big)
+            if bigred_cache[name] is None:
+                continue    # vanishes on the restricted external space
+            tt.add_term(list(int_orbs) + [n_int],
+                        list(int_specs) + [(name, kappa, dn_big)],
+                        cum, coeff * lam)
 
     for i in range(K):
         for j in range(K):

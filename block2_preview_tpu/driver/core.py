@@ -471,6 +471,23 @@ class DMRGDriver:
         return cas_fcidump(fcidump, n_inactive, n_active)
 
     @staticmethod
+    def su2_mrcisd(fcidump: FCIDUMP, n_internal: int,
+                   bond_dim: int = 200, n_sweeps: int = 12,
+                   iprint: int = 0):
+        """Spin-adapted uncontracted MRCISD with the external orbitals
+        (>= n_internal, <= 2 electrons) as a CSF big site inside the
+        SU(2) sweep engine (reference CSFBigSite + DMRGBigSite,
+        src/big_site/csf_big_site.hpp:1060,
+        sweep_algorithm_big_site.hpp:33).  Returns (energy, engine)."""
+        from ..dmrg.csf_big_site import su2_mrcisd_dmrg
+        return su2_mrcisd_dmrg(
+            fcidump.h1e, fcidump.g2e, fcidump.const_e, n_internal,
+            fcidump.n_elec, fcidump.twos, bond_dim=bond_dim,
+            pgs=None if fcidump.orb_sym is None
+            else list(fcidump.orb_sym), ipg=fcidump.ipg,
+            n_sweeps=n_sweeps, iprint=iprint)
+
+    @staticmethod
     def ic_nevpt2(fcidump: FCIDUMP, n_inactive: int, n_active: int,
                   iprint: int = 0):
         """Fully internally contracted NEVPT2 over the Dyall H0
