@@ -29,7 +29,8 @@ from .sweep import split_backward_update, split_forward_update
 class TimeEvolution:
     def __init__(self, mpo: MPO, mps: MPS, imaginary: bool = False,
                  normalize: Optional[bool] = None, iprint: int = 0,
-                 krylov_m: int = 30, krylov_tol: float = 1e-12):
+                 krylov_m: int = 30, krylov_tol: float = 1e-12,
+                 backend: str = "numpy", device_min_size: int = 4096):
         self.mpo = mpo
         self.mps = mps
         self.imaginary = imaginary
@@ -37,6 +38,11 @@ class TimeEvolution:
         self.iprint = iprint
         self.krylov_m = krylov_m
         self.krylov_tol = krylov_tol
+        # backend jax_tiled: Krylov exp(tH)v matvecs on the device tiled
+        # engine (complex128 for real time, f64 for imaginary time)
+        self.backend = backend
+        self.device_min_size = device_min_size
+        self._tiled_cache = {}
         self.me = MovingEnvironment(mpo, mps)
         self.me.init_environments()
         self.energies: List[float] = []
@@ -54,8 +60,11 @@ class TimeEvolution:
         for t in rng:
             eff = EffectiveHamiltonian2(self.me, t)
             psi0 = eff.flatten(eff.initial_guess())
-            psi1, nmv = expmv(eff.matvec_np, psi0, half,
+            mv, ex = self._matvec_for(eff, t)
+            psi1, nmv = expmv(mv, psi0, half,
                               m=self.krylov_m, tol=self.krylov_tol)
+            if ex is not None:
+                ex.free()
             self.n_matvec += nmv
             if self.normalize:
                 psi1 = psi1 / np.linalg.norm(psi1)
@@ -71,8 +80,11 @@ class TimeEvolution:
                 if not last:
                     eff1 = EffectiveHamiltonian1(self.me, t + 1)
                     v0 = eff1.tensor_to_vec(self.mps.tensors[t + 1])
-                    v1, nmv = expmv(eff1.matvec_np, v0, -half,
+                    mv1, ex1 = self._matvec_for(eff1, t + 1)
+                    v1, nmv = expmv(mv1, v0, -half,
                                     m=self.krylov_m, tol=self.krylov_tol)
+                    if ex1 is not None:
+                        ex1.free()
                     self.n_matvec += nmv
                     if self.normalize:
                         v1 = v1 / np.linalg.norm(v1)
@@ -87,12 +99,25 @@ class TimeEvolution:
                 if not last:
                     eff1 = EffectiveHamiltonian1(self.me, t)
                     v0 = eff1.tensor_to_vec(self.mps.tensors[t])
-                    v1, nmv = expmv(eff1.matvec_np, v0, -half,
+                    mv1, ex1 = self._matvec_for(eff1, t)
+                    v1, nmv = expmv(mv1, v0, -half,
                                     m=self.krylov_m, tol=self.krylov_tol)
+                    if ex1 is not None:
+                        ex1.free()
                     self.n_matvec += nmv
                     if self.normalize:
                         v1 = v1 / np.linalg.norm(v1)
                     self.mps.tensors[t] = eff1.vec_to_tensor(v1)
+
+    def _matvec_for(self, eff, t):
+        if self.backend != "jax_tiled" or eff.size < self.device_min_size:
+            return eff.matvec_np, None
+        from ..ops.tiled import TiledExecutor
+        import numpy as _np
+        dt_ = _np.float64 if self.imaginary else _np.complex128
+        ex = TiledExecutor(eff, dtype=dt_, cache=self._tiled_cache,
+                           cache_key=(type(eff).__name__, t))
+        return ex.matvec, ex
 
     def solve(self, n_steps: int, dt: float, bond_dim: int) -> float:
         """n_steps steps of length dt; returns the final energy expectation

@@ -167,6 +167,16 @@ def run(config_path: str) -> float:
                 os.makedirs(scratch, exist_ok=True)
             save_su2_tensors(out_tensors,
                              os.path.join(scratch, "mps.%s.su2.npz" % tag))
+            if ("split_states" in dic or "copy_mps" in dic) \
+                    and n_roots > 1:
+                # per-root tagged copies (reference block2main copy_mps
+                # + split_states: MultiMPS -> TAG-0, TAG-1, ... used by
+                # later proj_mps_tags decks, main_test/008-010)
+                for r in range(n_roots):
+                    save_su2_tensors(
+                        eng.extract_root(r),
+                        os.path.join(scratch,
+                                     "mps.%s-%d.su2.npz" % (tag, r)))
         return float(energies[0])
 
     penalty = dic.get("spin_penalty")

@@ -21,6 +21,7 @@ KNOWN_KEYS = {
     "fourpdm", "restart_fourpdm", "fp_cps_cutoff", "restart_dir",
     "nevpt2", "mrrept", "qc_mpo_type", "backend", "dtype",
     "statespecific", "proj_mps_tags", "proj_weights",
+    "copy_mps", "split_states",
 }
 
 

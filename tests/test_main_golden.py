@@ -85,6 +85,33 @@ def test_decks_002_003_004_state_specific(tmp_path):
 
 
 @pytest.mark.slow
+def test_decks_008_009_010_split_states(tmp_path):
+    # 008: state-average + copy_mps/split_states -> KET-0, KET-1
+    out = _run_deck("008", tmp_path, maxiter=16)
+    assert abs(_energy(out) - E_GS) < 1e-6
+    es = _root_energies(out, 2)
+    assert abs(es[1] - E_EX) < 1e-5
+    # 009: 3-root state-average with the first two states projected out
+    out = _run_deck("009", tmp_path, maxiter=16)
+    assert abs(_energy(out) - (-106.94375693899154)) < 1e-5
+    es = _root_energies(out, 3)
+    assert abs(es[1] - (-106.9304278080)) < 1e-4
+    assert abs(es[2] - (-106.8426967564)) < 1e-4
+    # 010: 3rd excited state with all five lower states level-shifted
+    out = _run_deck("010", tmp_path, maxiter=14)
+    assert abs(_energy(out) - (-106.795333598887609)) < 1e-5
+
+
+@pytest.mark.slow
+def test_decks_011_012_pdm_energy(tmp_path):
+    # spin-adapted PDM decks (energy lines; PDM tensors covered by
+    # tests/test_pdm.py against data/N2.STO3G.2PDM)
+    assert abs(_energy(_run_deck("011", tmp_path)) - E_GS) < 1e-6
+    out = _run_deck("012", tmp_path, maxiter=16)
+    assert abs(_energy(out) - E_GS) < 1e-6
+
+
+@pytest.mark.slow
 def test_decks_005_006_007_projection(tmp_path):
     assert abs(_energy(_run_deck("005", tmp_path)) - E_GS) < 1e-6
     assert abs(_energy(_run_deck("006", tmp_path)) - E_EX) < 1e-6

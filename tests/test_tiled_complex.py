@@ -95,3 +95,34 @@ def test_gf_device_backend_parity():
                                  device_min_size=1).solve(
         omega, eta, 150, n_sweeps=4)
     assert abs(G_sq - G_host) < 5e-5, (G_sq, G_host)
+
+
+def test_tdvp_device_backend_parity():
+    """Real-time TDVP with complex tiled device matvecs matches the
+    host path (phase evolution of an exact eigenstate)."""
+    from block2_preview_tpu.dmrg.tdvp import TimeEvolution
+    drv = DMRGDriver()
+    fd = drv.read_fcidump("/root/reference/tests/driver/FCIDUMP")
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    gs = drv.get_random_mps(120, seed=2)
+    d = DMRG(mpo, gs, iprint=0)
+    e0 = d.solve([120], [1e-4, 1e-5, 0], [1e-10], n_sweeps=6, tol=1e-11)
+
+    import copy
+
+    def _copy(m):
+        from block2_preview_tpu.core.blocks import MPSTensor
+        from block2_preview_tpu.dmrg.mps import MPS
+        return MPS(m.info, [MPSTensor(t.group, {k: v.copy()
+                                                for k, v in
+                                                t.blocks.items()})
+                            for t in m.tensors], m.center)
+
+    m1, m2 = _copy(d.mps), _copy(d.mps)
+    te_h = TimeEvolution(mpo, m1, imaginary=False, iprint=0)
+    e_h = te_h.solve(2, 0.05, 120)
+    te_d = TimeEvolution(mpo, m2, imaginary=False, iprint=0,
+                         backend="jax_tiled", device_min_size=1)
+    e_d = te_d.solve(2, 0.05, 120)
+    assert abs(e_h - e_d) < 1e-8, (e_h, e_d)
+    assert abs(e_d - e0) < 1e-7
