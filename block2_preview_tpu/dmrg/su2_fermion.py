@@ -247,11 +247,14 @@ class SU2FermionDMRG:
                  proj_weights: Optional[Sequence[float]] = None,
                  init_tensors: Optional[List[Dict]] = None,
                  site_mults: Optional[List[List[Tuple]]] = None,
-                 site_ops: Optional[Dict[int, Dict]] = None):
+                 site_ops: Optional[Dict[int, Dict]] = None,
+                 pg_mod: int = 0):
         # backend="jax_tiled": the compile-once tiled accelerator executor
         # for the reduced-matrix sigma matvec (spin-adapted TPU path)
         self.backend = backend
         self.exec_dtype = exec_dtype
+        # pg_mod = N: mod-N momentum/Lz labels instead of XOR irreps
+        self.pg_mod = int(pg_mod)
         self.n_roots = int(n_roots)
         self.weights = list(weights) if weights is not None \
             else [1.0 / self.n_roots] * self.n_roots
@@ -298,8 +301,11 @@ class SU2FermionDMRG:
         if site_mults is not None:
             self.mults = [list(ms) for ms in site_mults]
         else:
+            # |2> carries pg+pg: 0 under XOR, 2k mod N under momentum
             self.mults = [[(0, 0, 0), (1, 1, self.site_pgs[t]),
-                           (2, 0, 0)] for t in range(L)]
+                           (2, 0, self._pg_add(self.site_pgs[t],
+                                               self.site_pgs[t]))]
+                          for t in range(L)]
         # per-site operator-registry overrides (big sites carry their
         # own reduced matrices, including a site-local identity)
         self.site_ops = {int(t): dict(d)
@@ -357,23 +363,32 @@ class SU2FermionDMRG:
         self._last_center = None
 
     # -- sector fusion -------------------------------------------------
+    # pg labels compose by XOR (D2h subgroups) or, with pg_mod = N > 0,
+    # by mod-N addition (K-point momentum / Lz: the SU2K/SU2LZ family,
+    # reference symmetry.hpp:1313 SU2KLong, :1491 SU2LZ)
+    def _pg_add(self, a: int, b: int) -> int:
+        return (a + b) % self.pg_mod if self.pg_mod else a ^ b
+
+    def _pg_sub(self, a: int, b: int) -> int:
+        return (a - b) % self.pg_mod if self.pg_mod else a ^ b
+
     def _fuse_l(self, q, t: int):
         """(bond q (x) site mult m) -> [(m, q')] left fusion at site t."""
         n, tj, pg = q
         out = []
         for m, (nm, tjm, pgm) in enumerate(self.mults[t]):
             for tj2 in range(abs(tj - tjm), tj + tjm + 1, 2):
-                out.append((m, (n + nm, tj2, pg ^ pgm)))
+                out.append((m, (n + nm, tj2, self._pg_add(pg, pgm))))
         return out
 
     def _fuse_r(self, q, t: int):
         """(site m (x) right label q) -> [(m, q')]; labels are complements
-        (remaining-for-left), so the site SUBTRACTS its N."""
+        (remaining-for-left), so the site SUBTRACTS its N and pg."""
         n, tj, pg = q
         out = []
         for m, (nm, tjm, pgm) in enumerate(self.mults[t]):
             for tj2 in range(abs(tj - tjm), tj + tjm + 1, 2):
-                out.append((m, (n - nm, tj2, pg ^ pgm)))
+                out.append((m, (n - nm, tj2, self._pg_sub(pg, pgm))))
         return out
 
     def _fci_bonds(self, L, maxd):
