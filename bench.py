@@ -85,6 +85,52 @@ def _ensure_device_alive(timeout_s: float = 180.0):
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def cr2_leg(dev_kind: str):
+    """Bounded Cr2/SVP probe (VERDICT r1 next-round item 1): run sweep 0
+    at D=250 on the resident engine in a subprocess with a wall-clock
+    budget; parse per-site timings from its output."""
+    import os
+    import re
+    import subprocess
+    import sys
+    if dev_kind == "cpu" and not os.environ.get("B2TPU_BENCH_CR2"):
+        return {"skipped": "cpu device"}
+    if os.environ.get("B2TPU_BENCH_CR2") == "0":
+        return {"skipped": "disabled"}
+    budget = float(os.environ.get("B2TPU_BENCH_CR2_BUDGET", "1200"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    t0 = time.time()
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts", "run_cr2.py"),
+             "250", "jax_resident", "f32", "1"],
+            capture_output=True, text=True, timeout=budget, env=env)
+        out = p.stdout
+        done = True
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+        done = False
+    wall = time.time() - t0
+    site_ts = [float(m) for m in
+               re.findall(r"site\s+\d+ .*? t = ([0-9.]+)s", out)]
+    res = {"done": done, "wall_s": round(wall, 1),
+           "sites_completed": len(site_ts)}
+    if site_ts:
+        res["site_s_median"] = round(float(np.median(site_ts)), 2)
+        res["site_s_max"] = round(float(np.max(site_ts)), 2)
+    m = re.search(r"FINAL E=(-?\d+\.\d+)", out)
+    if m:
+        res["sweep0_energy"] = float(m.group(1))
+    m = re.findall(r"FLOP/SWP = ([0-9.e+]+) \(([0-9.]+) GF/s\)", out)
+    if m:
+        res["flop_per_sweep"] = float(m[-1][0])
+        res["gflops_effective"] = float(m[-1][1])
+    return res
+
+
 def main():
     _ensure_device_alive()
     from block2_preview_tpu.ops.exec_jax import FusedPlanExecutor
@@ -151,6 +197,11 @@ def main():
     except Exception as e:
         smoke = {"ok": False, "error": repr(e)[:200]}
 
+    # north-star leg: Cr2/SVP sweep-0 (D=250, jax_resident f32) as a
+    # bounded subprocess; reports completed sites / per-site medians /
+    # energy if the sweep finishes within the budget
+    cr2 = cr2_leg(dev_kind)
+
     print(json.dumps({
         "metric": "sigma_matvec_effective_gflops",
         "value": round(gf_dev, 2),
@@ -167,6 +218,7 @@ def main():
         "n2_sto3g_abs_err_vs_block2_ha": abs(e_np - ref),
         "n2_sto3g_d250_solve_seconds": round(t_solve, 2),
         "tpu_smoke": smoke,
+        "cr2_svp_sweep0_d250": cr2,
         "baseline_note": "vs_baseline = device f32 bucketed executor GFLOP/s "
                          "over host numpy f64 per-triple BLAS executor",
     }))
