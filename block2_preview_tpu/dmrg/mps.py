@@ -114,6 +114,41 @@ class MPSInfo:
         info.restrict_particle_range(n_min, n_max)
         return info
 
+    @staticmethod
+    def nevpt(group, site_quanta, target, bond_dim, n_inactive: int,
+              n_external: int, hole_order: int = 2,
+              particle_order: int = 2) -> "MPSInfo":
+        """NEVPT first-order-wavefunction bond structure (reference
+        src/dmrg/mps.hpp:1494 NEVPTMPSInfo): at most `hole_order` holes
+        in the first n_inactive (core) orbitals AND at most
+        `particle_order` electrons in the last n_external orbitals."""
+        info = MPSInfo(group, site_quanta, target, bond_dim)
+        L = info.n_sites
+        ne = target[0]
+        n_min = [0] * (L + 1)
+        n_max = [ne] * (L + 1)
+        for t in range(L + 1):
+            if t <= n_inactive:
+                n_min[t] = max(0, 2 * t - hole_order)
+                n_max[t] = min(ne, 2 * t)
+            if t >= L - n_external:
+                n_min[t] = max(n_min[t], ne - particle_order)
+        info.restrict_particle_range(n_min, n_max)
+        return info
+
+    def set_bond_dimension_dynamic(self, bond_dims) -> None:
+        """Per-bond bond-dimension caps (reference src/dmrg/mps.hpp:1209
+        DynamicMPSInfo: site-dependent allocations during warmup)."""
+        from ..core.state_info import StateInfo
+        for t in range(self.n_sites + 1):
+            cap = int(bond_dims[min(t, len(bond_dims) - 1)])
+            tot = self.bonds[t].n_states_total
+            if tot <= cap:
+                continue
+            dims = {q: max(1, int(round(d * cap / tot)))
+                    for q, d in self.bonds[t].items()}
+            self.bonds[t] = StateInfo(self.group, dims)
+
     def set_bond_dimension_using_occ(self, occs, bias: float = 1.0) -> None:
         """Occupancy-biased bond allocation (reference src/dmrg/mps.hpp:356
         set_bond_dimension_using_occ): per-bond sector weights from a

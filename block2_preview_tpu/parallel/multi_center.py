@@ -33,7 +33,8 @@ from ..dmrg.sweep import DMRG
 
 class MultiCenterDMRG:
     def __init__(self, mpo: MPO, mps: MPS, conn_centers: Sequence[int],
-                 backend: str = "numpy", iprint: int = 0):
+                 backend: str = "numpy", iprint: int = 0,
+                 mesh=None, mesh_axis: str = "op"):
         L = mpo.n_sites
         self.conn = sorted(int(c) for c in conn_centers)
         assert all(1 < c < L - 1 for c in self.conn), "bad conn center"
@@ -48,6 +49,53 @@ class MultiCenterDMRG:
         self.iprint = iprint
         self.center = mps.center  # current canonical center (site index)
         self.energies: List[float] = []
+        # two-level nesting (reference ParallelRule::split,
+        # parallel_rule.hpp:358-369: site-parallel groups wrap
+        # operator-parallelism): the device mesh splits into one
+        # operator sub-mesh per segment; each segment's local solves
+        # shard over its own device group
+        self.seg_meshes = None
+        self.mesh_axis = mesh_axis
+        if mesh is not None:
+            from jax.sharding import Mesh
+            devs = list(np.asarray(mesh.devices).ravel())
+            n_seg = len(self.segments)
+            per = max(len(devs) // n_seg, 1)
+            self.seg_meshes = []
+            for i in range(n_seg):
+                grp = devs[i * per:(i + 1) * per] or devs[:1]
+                self.seg_meshes.append(
+                    Mesh(np.asarray(grp), (mesh_axis,)))
+            # per-segment resident caches: device structures live on the
+            # segment's own device group
+            self._seg_caches = [dict() for _ in range(n_seg)]
+
+    def _use_segment_mesh(self, ip: int) -> None:
+        if self.seg_meshes is None:
+            return
+        me = self.base.me
+        if me.mesh is self.seg_meshes[ip]:
+            return
+        me.mesh = self.seg_meshes[ip]
+        me.mesh_axis = self.mesh_axis
+        if hasattr(self.base, "_res_caches"):
+            self.base._res_caches = self._seg_caches[ip]
+        # environments chained across the segment boundary live on the
+        # previous group's devices; re-place device pools onto the new
+        # sub-mesh (the inter-group transfer of block2's 2-level scheme)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(me.mesh, P())
+        for dname in ("_stk_l", "_stk_r"):
+            d = getattr(me, dname, None)
+            if not d:
+                continue
+            for k, v in list(d.items()):
+                if v is None:
+                    continue
+                meta, pool = v[0], v[1]
+                if hasattr(pool, "addressable_shards"):
+                    d[k] = (meta, jax.device_put(pool, sh)) + tuple(v[2:])
 
     # -- canonical-center moves (block2 ParallelMPS::move_left/right with
     # the serial engine's env refresh) --------------------------------
@@ -92,6 +140,7 @@ class MultiCenterDMRG:
     def _segment_sweep(self, ip: int, forward: bool, bond_dim: int,
                        noise: float, dav_thrd: float) -> float:
         a, b = self.segments[ip]
+        self._use_segment_mesh(ip)
         self._move_center_to(a if forward else b - 2)
         self._ensure_envs(a, b)
         emin = np.inf
@@ -109,6 +158,8 @@ class MultiCenterDMRG:
     def _connection_sweep(self, ip: int, bond_dim: int, noise: float,
                           dav_thrd: float) -> float:
         c = self.conn[ip]
+        # connection bonds belong to the left segment's device group
+        self._use_segment_mesh(ip)
         self._move_center_to(c - 1)
         self._ensure_envs(c - 1, c + 1)
         e, dw, nmv = self.base.update_two_dot(c - 1, True, bond_dim,

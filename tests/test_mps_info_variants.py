@@ -72,3 +72,39 @@ def test_casci_mps_info():
                          n_inactive=ni, n_virtual=nv)
     e = _dmrg_energy(fd, info)
     assert abs(e - e_ed) < 1e-9, (e, e_ed)
+
+
+def test_nevpt_mps_info():
+    """NEVPTMPSInfo (reference mps.hpp:1494): <= 2 holes in core AND
+    <= 2 electrons in external simultaneously."""
+    fd = FCIDUMP.parse("/root/reference/tests/driver/FCIDUMP")
+    g = None
+    from block2_preview_tpu.driver.core import DMRGDriver
+    drv = DMRGDriver()
+    drv.read_fcidump("/root/reference/tests/driver/FCIDUMP")
+    ni, nx = 1, 2
+    info = MPSInfo.nevpt(drv.group,
+                         [drv.spec.quanta(int(p)) for p in drv.orb_sym],
+                         (fd.n_elec, fd.twos, fd.ipg), 120, ni, nx)
+    e = _dmrg_energy(fd, info)
+    L = fd.n_sites
+    e_ed = _restricted_ed(
+        fd, lambda occ: (2 * ni - sum(occ[:ni]) <= 2)
+        and (sum(occ[L - nx:]) <= 2))
+    assert abs(e - e_ed) < 1e-8, (e, e_ed)
+
+
+def test_dynamic_bond_dims():
+    fd = FCIDUMP.parse("/root/reference/data/HUBBARD-L6.FCIDUMP")
+    from block2_preview_tpu.driver.core import DMRGDriver
+    drv = DMRGDriver()
+    drv.read_fcidump("/root/reference/data/HUBBARD-L6.FCIDUMP")
+    info = MPSInfo(drv.group,
+                   [drv.spec.quanta(int(p)) for p in drv.orb_sym],
+                   (fd.n_elec, fd.twos, fd.ipg), 100)
+    caps = [1, 4, 10, 10, 4, 1, 1]
+    info.set_bond_dimension_dynamic(caps)
+    for t in range(info.n_sites + 1):
+        assert info.bonds[t].n_states_total <= max(
+            caps[min(t, len(caps) - 1)],
+            len(info.bonds[t]))

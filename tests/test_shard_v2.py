@@ -97,3 +97,32 @@ def test_sharded_full_dmrg_energy_parity(monkeypatch):
         res[tag] = s.solve([D] * ns, [1e-5] * (ns - 1) + [0], [1e-10],
                            n_sweeps=ns, tol=0)
     assert abs(res["8dev"] - res["1dev"]) < 1e-9, res
+
+
+@needs_mesh
+def test_two_level_nesting_energy_parity(monkeypatch):
+    """Two-level nesting (reference ParallelRule::split,
+    parallel_rule.hpp:358-369): multi-center site groups (level 1) each
+    sharding their local solves over their OWN operator sub-mesh
+    (level 2; the 8-device mesh splits 2 x 4).  Energy parity vs the
+    plain serial solve."""
+    from block2_preview_tpu.parallel.multi_center import MultiCenterDMRG
+    mesh = default_mesh(8)
+    monkeypatch.setenv("B2TPU_RES_MIN_SIZE", "1")
+    DATA = "/root/reference/data"
+    drv = DMRGDriver(symm_type=SymmetryTypes.SZ)
+    fd = drv.read_fcidump(f"{DATA}/HUBBARD-L8.FCIDUMP")
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    D, ns = 60, 6
+    mps0 = drv.get_random_mps(D, target=drv.target, seed=3)
+    e_ref = DMRG(mpo, mps0, iprint=0).solve(
+        [D] * ns, [1e-4, 1e-5, 1e-5, 0], [1e-10], n_sweeps=ns + 2,
+        tol=1e-12)
+    mps = drv.get_random_mps(D, target=drv.target, seed=3)
+    mc = MultiCenterDMRG(mpo, mps, conn_centers=[4],
+                         backend="jax_resident", mesh=mesh)
+    assert mc.seg_meshes is not None and len(mc.seg_meshes) == 2
+    assert all(len(m.devices.ravel()) == 4 for m in mc.seg_meshes)
+    e = mc.solve([D] * ns, [1e-4, 1e-5, 1e-5, 0], [1e-10],
+                 n_sweeps=ns + 2, tol=1e-12)
+    assert abs(e - e_ref) < 1e-8, (e, e_ref)
