@@ -489,20 +489,38 @@ class DMRGDriver:
 
     @staticmethod
     def ic_nevpt2(fcidump: FCIDUMP, n_inactive: int, n_active: int,
-                  iprint: int = 0):
+                  iprint: int = 0, spatial: bool = True,
+                  cas_mps: Optional[MPS] = None):
         """Fully internally contracted NEVPT2 over the Dyall H0
         (reference pyblock2/icmr/icnevpt2_full.py); returns
-        (E2, E_casci, per-class dict)."""
+        (E2, E_casci, per-class dict).  spatial=True (default, the
+        production path): spin-free E-operator basis evaluated over
+        spin-traced G1..G4 (ncas^8 4-RDM memory); cas_mps supplies the
+        RDMs through the polynomial spatial NPDM engine."""
+        if spatial:
+            from ..icmr.icnevpt2_sf import ic_nevpt2_sf
+            gam = None
+            if cas_mps is not None:
+                from ..dmrg.npdm_scheme import npdm_spatial_poly
+                gam = {f"G{k}": npdm_spatial_poly(cas_mps, k)
+                       for k in range(1, 5)}
+            return ic_nevpt2_sf(fcidump, n_inactive, n_active,
+                                h0="dyall", gammas_spatial=gam,
+                                iprint=iprint)
         from ..icmr.icnevpt2 import ic_nevpt2_full
         return ic_nevpt2_full(fcidump, n_inactive, n_active, h0="dyall",
                               iprint=iprint)
 
     @staticmethod
     def ic_mrrept2(fcidump: FCIDUMP, n_inactive: int, n_active: int,
-                   iprint: int = 0):
+                   iprint: int = 0, spatial: bool = True):
         """Fully internally contracted MRREPT2 over Fink's
         retaining-the-excitation-degree H0 (reference
         pyblock2/icmr/icmrrept2_full.py)."""
+        if spatial:
+            from ..icmr.icnevpt2_sf import ic_nevpt2_sf
+            return ic_nevpt2_sf(fcidump, n_inactive, n_active, h0="fink",
+                                iprint=iprint)
         from ..icmr.icnevpt2 import ic_nevpt2_full
         return ic_nevpt2_full(fcidump, n_inactive, n_active, h0="fink",
                               iprint=iprint)
