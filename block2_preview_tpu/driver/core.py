@@ -527,9 +527,17 @@ class DMRGDriver:
 
     @staticmethod
     def ic_mrcisd(fcidump: FCIDUMP, n_inactive: int, n_active: int,
-                  iprint: int = 0):
+                  iprint: int = 0, spatial: bool = True):
         """Fully internally contracted MRCISD (reference
-        pyblock2/icmr/icmrcisd_full.py); returns (E, E_casci, dim)."""
+        pyblock2/icmr/icmrcisd_full.py); returns (E, E_casci, dim).
+        spatial=True: spin-free E-operator basis over spin-traced
+        spatial RDMs (icmr/icmrcisd_sf.py) — exact agreement with the
+        spin-orbital basis for singlet references at a fraction of the
+        cost."""
+        if spatial:
+            from ..icmr.icmrcisd_sf import ic_mrcisd_sf
+            return ic_mrcisd_sf(fcidump, n_inactive, n_active,
+                                iprint=iprint)
         from ..icmr.icmrcisd import ic_mrcisd
         return ic_mrcisd(fcidump, n_inactive, n_active, iprint=iprint)
 

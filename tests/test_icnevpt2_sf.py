@@ -66,3 +66,17 @@ def test_sf_dmrg_gammas_pipeline():
                               gammas_spatial=gam)
     e_ref, _, _ = ic_nevpt2_sf(fd, ncore, ncas, h0="dyall")
     assert abs(e_sf - e_ref) < 1e-7, (e_sf, e_ref)
+
+
+def test_sf_ic_mrcisd():
+    """Spin-free ic-MRCISD (icmr/icmrcisd_sf.py) matches the
+    spin-orbital implementation exactly on singlet references, with a
+    ~4x smaller contracted basis."""
+    from block2_preview_tpu.icmr.icmrcisd import ic_mrcisd
+    from block2_preview_tpu.icmr.icmrcisd_sf import ic_mrcisd_sf
+    fd = _rand_fd(4, 4, seed=7)
+    e_so, ecas, d_so = ic_mrcisd(fd, 1, 2)
+    e_sf, _, d_sf = ic_mrcisd_sf(fd, 1, 2)
+    assert abs(e_so - e_sf) < 1e-10
+    assert d_sf < d_so
+    assert e_sf <= ecas + 1e-10      # variational below CASCI
