@@ -250,14 +250,20 @@ def bind_label(hterms: List[MTerm], core_lab: Tuple[int, ...],
                 if not ok:
                     continue
                 ren: Dict[str, str] = {}
+                # label symbols are POSITIONAL (index into the sorted
+                # distinct label list), so the symbolic pipeline is
+                # identical across labels with the same multiplicity
+                # pattern and can be cached (ranges bind the orbitals)
+                cdist = sorted(cmul)
+                vdist = sorted(vmul)
                 for k, (s, a) in enumerate(zip(cslots, cass)):
                     sym = term.ops[s].index
                     ren[sym] = (f"O{sym}{k}" if a == "other"
-                                else f"X{a}_{sym}{k}")
+                                else f"XC{cdist.index(a)}_{sym}{k}")
                 for k, (s, a) in enumerate(zip(vslots, vass)):
                     sym = term.ops[s].index
                     ren[sym] = (f"W{sym}{k}" if a == "other"
-                                else f"X{a}_{sym}{k}")
+                                else f"XV{vdist.index(a)}_{sym}{k}")
                 for i, o in enumerate(term.ops):
                     if o.space == ACTIVE:
                         ren.setdefault(o.index, f"A{o.index}{i}")
@@ -315,6 +321,8 @@ def _ranges_factory(n: int, ncore: int, ncas: int,
                              if x // 2 not in core_lab], dtype=np.int64)
     virt_other = np.asarray([x for x in virt_all
                              if x // 2 not in virt_lab], dtype=np.int64)
+    cdist = sorted(set(core_lab))
+    vdist = sorted(set(virt_lab))
 
     def range_of(sym: str) -> np.ndarray:
         c = sym[0]
@@ -329,7 +337,8 @@ def _ranges_factory(n: int, ncore: int, ncas: int,
         if c == "W":
             return virt_other
         if c == "X":
-            o = int(sym.split("_")[0][1:])
+            head = sym.split("_")[0]
+            o = (cdist if head[1] == "C" else vdist)[int(head[2:])]
             return np.asarray([2 * o, 2 * o + 1], dtype=np.int64)
         raise KeyError(sym)
 
@@ -347,6 +356,8 @@ def _ranges_factory_spatial(n: int, ncore: int, ncas: int,
                             dtype=np.int64)
     virt_other = np.asarray([x for x in virt_all if x not in virt_lab],
                             dtype=np.int64)
+    cdist = sorted(set(core_lab))
+    vdist = sorted(set(virt_lab))
 
     def range_of(sym: str) -> np.ndarray:
         c = sym[0]
@@ -361,8 +372,9 @@ def _ranges_factory_spatial(n: int, ncore: int, ncas: int,
         if c == "W":
             return virt_other
         if c == "X":
-            return np.asarray([int(sym.split("_")[0][1:])],
-                              dtype=np.int64)
+            head = sym.split("_")[0]
+            o = (cdist if head[1] == "C" else vdist)[int(head[2:])]
+            return np.asarray([o], dtype=np.int64)
         raise KeyError(sym)
 
     return range_of
@@ -444,16 +456,35 @@ def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
                      [(r, s) for r in virt_orbs for s in virt_orbs
                       if r <= s])
         ecls = 0.0
+        # the symbolic pipeline depends only on the label MULTIPLICITY
+        # pattern (bind_label names labels positionally), so cache the
+        # fully-contracted norm/energy expressions across labels — the
+        # per-label work drops to numeric einsums
+        sym_cache: Dict[Tuple, Tuple] = {}
         for cl in core_labs:
             for vl in virt_labs:
-                A = bind_label(hterms, cl, vl)
-                if not A:
+                from collections import Counter
+                sig = (tuple(sorted(Counter(cl).values())),
+                       tuple(sorted(Counter(vl).values())))
+                hit = sym_cache.get(sig)
+                if hit is None:
+                    A = bind_label(hterms, cl, vl)
+                    if not A:
+                        sym_cache[sig] = (None, None)
+                        continue
+                    Ad = mw.conj_terms(A)
+                    nterms = mw.mr_expect(mw.mul_terms(Ad, A))
+                    comm = mw.commutator_terms(hd, A)
+                    hterms_c = mw.mr_expect(mw.mul_terms(Ad, comm))
+                    if spatial:
+                        nterms = spatialize(nterms)
+                        hterms_c = spatialize(hterms_c)
+                    sym_cache[sig] = (nterms, hterms_c)
+                    hit = sym_cache[sig]
+                nterms, hterms_c = hit
+                if nterms is None:
                     continue
                 rng = ranges_factory(n, ncore, ncas, cl, vl)
-                Ad = mw.conj_terms(A)
-                nterms = mw.mr_expect(mw.mul_terms(Ad, A))
-                if spatial:
-                    nterms = spatialize(nterms)
                 nl = mw.evaluate(nterms, tensors, rng,
                                  local_names=local_names,
                                  local_offset=loc_off)
@@ -461,10 +492,6 @@ def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
                     continue
                 # <A^+ (H_D - E0) A> = <A^+ [H_D, A]>  (Dyall eigenstate
                 # property; keeps RDM order at 4)
-                comm = mw.commutator_terms(hd, A)
-                hterms_c = mw.mr_expect(mw.mul_terms(Ad, comm))
-                if spatial:
-                    hterms_c = spatialize(hterms_c)
                 he = mw.evaluate(hterms_c, tensors, rng,
                                  local_names=local_names,
                                  local_offset=loc_off)
