@@ -128,7 +128,7 @@ class SU2OverlapEnvs:
         L = eng.L
         self.lo: List[Optional[Dict]] = [None] * (L + 1)
         self.ro: List[Optional[Dict]] = [None] * (L + 1)
-        z = (0, 0, 0)
+        z = getattr(eng, "LV", (0, 0, 0))
         self.lo[0] = {z: np.ones((1, 1))}
         self.ro[L] = {eng.T: np.ones((1, 1))}
         self._lval = 0
@@ -248,7 +248,8 @@ class SU2FermionDMRG:
                  init_tensors: Optional[List[Dict]] = None,
                  site_mults: Optional[List[List[Tuple]]] = None,
                  site_ops: Optional[Dict[int, Dict]] = None,
-                 pg_mod: int = 0):
+                 pg_mod: int = 0,
+                 left_vacuum: Optional[Tuple[int, int, int]] = None):
         # backend="jax_tiled": the compile-once tiled accelerator executor
         # for the reduced-matrix sigma matvec (spin-adapted TPU path)
         self.backend = backend
@@ -281,6 +282,11 @@ class SU2FermionDMRG:
         elif len(target) == 2:
             target = (target[0], target[1], 0)
         self.T = tuple(target)
+        # singlet embedding (reference core.py:7217-7457 + MPSInfo
+        # left_vacuum, mps.hpp): a fictitious boundary multiplet
+        # (typically (2S, 2S, 0)) coupled so the chain target can be a
+        # singlet while the physical state carries spin 2S
+        self.LV = (0, 0, 0) if left_vacuum is None else tuple(left_vacuum)
         self.D = bond_dim
         self.iprint = iprint
         self.ops = dict(SITE_OPS)
@@ -347,7 +353,7 @@ class SU2FermionDMRG:
         self._canonicalize_right()
         self.lenvs: List[Optional[Dict]] = [None] * (L + 1)
         self.renvs: List[Optional[Dict]] = [None] * (L + 1)
-        z = (0, 0, 0)
+        z = self.LV
         self.lenvs[0] = {0: {(z, z): np.ones((1, 1))}}
         self.renvs[L] = {n_symbols - 1: {(self.T, self.T): np.ones((1, 1))}}
         for t in range(L - 1, 1, -1):
@@ -392,7 +398,7 @@ class SU2FermionDMRG:
         return out
 
     def _fci_bonds(self, L, maxd):
-        left = [{(0, 0, 0): 1}]
+        left = [{self.LV: 1}]
         for t in range(L):
             nxt: Dict[Tuple[int, int, int], int] = {}
             for q, c in left[t].items():
@@ -521,7 +527,7 @@ class SU2FermionDMRG:
     # -- effective Hamiltonian ------------------------------------------
     def bonds_actual(self, t: int, side: str = "left") -> Dict:
         if t == 0:
-            return {(0, 0, 0): 1}
+            return {self.LV: 1}
         if t == self.L:
             return {self.T: 1}
         dims: Dict[Tuple, int] = {}
@@ -844,7 +850,7 @@ class SU2FermionDMRG:
                 self.renvs[u] = None
             for u in range(t + 1, self.L + 1):
                 self.lenvs[u] = None
-            z = (0, 0, 0)
+            z = self.LV
             self.lenvs[0] = {0: {(z, z): np.ones((1, 1))}}
 
     # fused-run layouts reused by the center-absorption step

@@ -623,13 +623,18 @@ class SU2MPSSpec:
     """Deferred spin-adapted MPS: (target, bond_dim, seed); the engine
     materializes the reduced tensors at dmrg() time."""
 
-    def __init__(self, target, bond_dim, seed=7, init_tensors=None):
+    def __init__(self, target, bond_dim, seed=7, init_tensors=None,
+                 left_vacuum=None):
         self.target = target
         self.bond_dim = bond_dim
         self.seed = seed
         self.engine = None
         # warm start (extract_root tensors; statespecific workflow)
         self.init_tensors = init_tensors
+        # singlet embedding (reference core.py:7217): fictitious
+        # boundary multiplet, typically (2S, 2S, 0) with the target
+        # promoted to (n_elec + 2S, 0, pg)
+        self.left_vacuum = left_vacuum
 
 
 def _su2_qc_mpo(driver, h1e, g2e, ecore):
@@ -660,7 +665,8 @@ def _su2_dmrg(driver, mpo: SU2MPO, ket: SU2MPSSpec, bond_dims, noises,
         iprint=iprint, ops=mpo.registry, ranks=mpo.sym_rank,
         site_pgs=driver.orb_sym, n_roots=n_roots,
         proj_tensors=proj_tensors, proj_weights=proj_weights,
-        init_tensors=getattr(ket, "init_tensors", None))
+        init_tensors=getattr(ket, "init_tensors", None),
+        left_vacuum=getattr(ket, "left_vacuum", None))
     ket.engine = eng
     e = eng.solve(n_sweeps=n_sweeps, tol=tol, noises=list(noises),
                   dav_thrds=list(thrds))

@@ -129,6 +129,11 @@ def run(config_path: str) -> float:
         if proj_mpss and proj_w is not None and len(proj_w) == 1:
             proj_w = proj_w * len(proj_mpss)
         ket2 = drv2.get_random_mps(bond_dims[0])
+        if "singlet_embedding" in dic and drv.spin:
+            # reference block2main:1601: fictitious boundary multiplet
+            # (2S, 2S, 0), target promoted to (N + 2S, 0, pg)
+            ket2.target = (drv.n_elec + drv.spin, 0, drv.pg_irrep)
+            ket2.left_vacuum = (drv.spin, drv.spin, 0)
         e = drv2.dmrg(mpo2, ket2, bond_dims, noises, dav_thrds,
                       n_sweeps=n_sweeps, tol=sweep_tol, iprint=ipr,
                       n_roots=n_roots, proj_mpss=proj_mpss,

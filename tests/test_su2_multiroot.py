@@ -79,3 +79,22 @@ def test_su2_tensor_io_roundtrip(tmp_path):
         assert set(a) == set(b)
         for k in a:
             assert np.allclose(a[k], b[k])
+
+
+def test_singlet_embedding_parity():
+    """Singlet embedding (reference core.py:7217-7457): a fictitious
+    left-boundary multiplet (2S, 2S, 0) with the chain target promoted
+    to (N+2S, 0, pg) reproduces the direct nonzero-spin target."""
+    fd, mpo = _mpo()
+    eng = SU2FermionDMRG(fd.n_sites, mpo.entries, mpo.n_symbols,
+                         mpo.sym_dn, target=(6, 2, 0), bond_dim=120,
+                         iprint=0, ops=mpo.registry, ranks=mpo.sym_rank)
+    e_dir = eng.solve(n_sweeps=10, tol=1e-10, noises=[1e-4, 1e-5, 0],
+                      dav_thrds=[1e-10])
+    eng2 = SU2FermionDMRG(fd.n_sites, mpo.entries, mpo.n_symbols,
+                          mpo.sym_dn, target=(8, 0, 0), bond_dim=120,
+                          iprint=0, ops=mpo.registry, ranks=mpo.sym_rank,
+                          left_vacuum=(2, 2, 0))
+    e_emb = eng2.solve(n_sweeps=10, tol=1e-10, noises=[1e-4, 1e-5, 0],
+                       dav_thrds=[1e-10])
+    assert abs(e_dir - e_emb) < 1e-9
