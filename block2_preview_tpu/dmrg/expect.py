@@ -45,7 +45,9 @@ def mpo_expectation(mpo: MPO, ket: MPS, bra: Optional[MPS] = None) -> float:
             val += blk[0, 0]
     if mpo.const_e != 0.0:
         val += mpo.const_e * mps_overlap(bra or ket, ket)
-    return float(val)
+    val = complex(val)
+    return val if abs(val.imag) > 1e-10 * max(abs(val.real), 1.0) \
+        else float(val.real)
 
 
 def mps_overlap(bra: MPS, ket: MPS) -> float:

@@ -48,12 +48,14 @@ class ExprBuilder:
 
     def add_term(self, expr: str, idx: Sequence[int], coeff) -> "ExprBuilder":
         """expr like "cd" (one letter per operator), idx = site indices."""
+        co = complex(coeff)
+        co = co.real if co.imag == 0.0 else co
         if len(expr) == 0:
-            self.const_e += float(coeff)
+            self.const_e += co
             return self
         assert len(expr) == len(idx)
         ops = [(int(i), _OP_LETTERS[ch]) for ch, i in zip(expr, idx)]
-        self.terms.append((float(coeff), ops))
+        self.terms.append((co, ops))
         return self
 
     def add_sum_term(self, expr: str, arr: np.ndarray,
@@ -61,7 +63,7 @@ class ExprBuilder:
         """Add sum_{indices} arr[indices] * expr(indices)."""
         arr = np.asarray(arr)
         for idx in zip(*np.nonzero(np.abs(arr) > cutoff)):
-            self.add_term(expr, [int(i) for i in idx], float(arr[idx]))
+            self.add_term(expr, [int(i) for i in idx], arr[idx])
         return self
 
     def finalize(self) -> TermTable:
@@ -308,6 +310,33 @@ class DMRGDriver:
                            normalize=normalize, iprint=iprint)
         e = te.solve(n_steps, delta_t, bond_dim)
         return e, te
+
+    def orbital_rotation(self, ket: MPS, kappa: np.ndarray,
+                         bond_dim: int, n_steps: int = 10,
+                         iprint: int = 0) -> MPS:
+        """Rotate an MPS into a new orbital basis U = exp(kappa)
+        (kappa real antisymmetric): |psi'> = exp(G)|psi> with the
+        one-body generator G = sum_pq kappa_pq E_pq, applied as
+        real-time TDVP evolution under the Hermitian MPO i*G for unit
+        time (reference pyblock2 mps orbital rotation,
+        unit_test/test_rotation_h10_sto6g.cpp semantics).  Mutates and
+        returns `ket`."""
+        from ..dmrg.tdvp import TimeEvolution
+        kappa = np.asarray(kappa, dtype=np.float64)
+        assert np.allclose(kappa, -kappa.T, atol=1e-12), \
+            "kappa must be antisymmetric"
+        b = self.expr_builder()
+        # i*G is Hermitian; exp(-i (iG) t)|t=1 = exp(G)
+        b.add_sum_term("cd", 1j * kappa)
+        b.add_sum_term("CD", 1j * kappa)
+        tt = build_term_table(self.n_sites, b.terms, group=self.group)
+        gmpo = build_mpo(tt, site_pgs=self.orb_sym)
+        te = TimeEvolution(gmpo, ket, imaginary=False, normalize=False,
+                           iprint=iprint)
+        for _ in range(n_steps):
+            te.sweep(True, 1.0 / n_steps, bond_dim)
+            te.sweep(False, 1.0 / n_steps, bond_dim)
+        return ket
 
     def greens_function(self, h_mpo: MPO, gs: MPS, e0: float, op: str,
                         site: int, omega: float, eta: float, bond_dim: int,

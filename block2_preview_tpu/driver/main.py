@@ -128,7 +128,17 @@ def run(config_path: str) -> float:
             if pw_key not in (None, "") else None
         if proj_mpss and proj_w is not None and len(proj_w) == 1:
             proj_w = proj_w * len(proj_mpss)
+        tag = str(dic.get("mps_tags", "KET")).split()[0] or "KET"
         ket2 = drv2.get_random_mps(bond_dims[0])
+        if "fullrestart" in dic:
+            # resume from the persisted MPS (reference block2main
+            # fullrestart keyword; scratch-tagged storage)
+            fn = os.path.join(scratch, "mps.%s.su2.npz" % tag)
+            if os.path.exists(fn):
+                ket2.init_tensors = load_su2_tensors(fn)
+            else:
+                raise FileNotFoundError(
+                    f"fullrestart: no stored MPS '{fn}'")
         if "singlet_embedding" in dic and drv.spin:
             # reference block2main:1601: fictitious boundary multiplet
             # (2S, 2S, 0), target promoted to (N + 2S, 0, pg)
@@ -166,22 +176,21 @@ def run(config_path: str) -> float:
                       % (i, energies[i]))
             print("DMRG Energy = %20.15f" % energies[0])
             out_tensors = eng.tensors
-        if "mps_tags" in dic:
-            tag = str(dic.get("mps_tags", "KET")).split()[0] or "KET"
-            if scratch and not os.path.isdir(scratch):
-                os.makedirs(scratch, exist_ok=True)
-            save_su2_tensors(out_tensors,
-                             os.path.join(scratch, "mps.%s.su2.npz" % tag))
-            if ("split_states" in dic or "copy_mps" in dic) \
-                    and n_roots > 1:
-                # per-root tagged copies (reference block2main copy_mps
-                # + split_states: MultiMPS -> TAG-0, TAG-1, ... used by
-                # later proj_mps_tags decks, main_test/008-010)
-                for r in range(n_roots):
-                    save_su2_tensors(
-                        eng.extract_root(r),
-                        os.path.join(scratch,
-                                     "mps.%s-%d.su2.npz" % (tag, r)))
+        if scratch and not os.path.isdir(scratch):
+            os.makedirs(scratch, exist_ok=True)
+        # the reference always persists the solved MPS to scratch; later
+        # decks consume it via fullrestart / proj_mps_tags
+        save_su2_tensors(out_tensors,
+                         os.path.join(scratch, "mps.%s.su2.npz" % tag))
+        if ("split_states" in dic or "copy_mps" in dic) and n_roots > 1:
+            # per-root tagged copies (reference block2main copy_mps +
+            # split_states: MultiMPS -> TAG-0, TAG-1, ... used by later
+            # proj_mps_tags decks, main_test/008-010)
+            for r in range(n_roots):
+                save_su2_tensors(
+                    eng.extract_root(r),
+                    os.path.join(scratch,
+                                 "mps.%s-%d.su2.npz" % (tag, r)))
         return float(energies[0])
 
     penalty = dic.get("spin_penalty")

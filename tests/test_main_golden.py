@@ -103,6 +103,24 @@ def test_decks_008_009_010_split_states(tmp_path):
 
 
 @pytest.mark.slow
+def test_decks_015_016_fullrestart(tmp_path):
+    # 015: cheap warmup run persisted to scratch; 016: fullrestart
+    # resumes it and converges to the exact ground state
+    out = _run_deck("015", tmp_path)
+    assert abs(_energy(out) - (-107.654)) < 1e-3
+    out = _run_deck("016", tmp_path, maxiter=16)
+    assert abs(_energy(out) - E_GS) < 1e-6
+
+
+@pytest.mark.slow
+def test_decks_019_020_tagged_states(tmp_path):
+    # 019: B3u ground state (irrep 2); 020: Ag ground state under a BRA tag
+    assert abs(_energy(_run_deck("019", tmp_path))
+               - (-107.116397543375)) < 1e-6
+    assert abs(_energy(_run_deck("020", tmp_path)) - E_GS) < 1e-6
+
+
+@pytest.mark.slow
 def test_decks_011_012_pdm_energy(tmp_path):
     # spin-adapted PDM decks (energy lines; PDM tensors covered by
     # tests/test_pdm.py against data/N2.STO3G.2PDM)

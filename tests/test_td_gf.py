@@ -137,3 +137,36 @@ def test_greens_function_solver_family(driver6):
         vals[solver] = gf.solve(omega, eta, 120, n_sweeps=4)
     for solver in ("gcrotmk", "idrs"):
         assert abs(vals[solver] - vals["gmres"]) < 1e-5, (solver, vals)
+
+
+def test_mps_orbital_rotation():
+    """|psi'> = exp(G)|psi> with G the one-body rotation generator
+    (reference mps orbital rotation, test_rotation_h10_sto6g.cpp
+    semantics): the rotated MPS with rotated integrals reproduces the
+    original energy."""
+    import scipy.linalg as sla
+    from block2_preview_tpu.dmrg.expect import mpo_expectation
+    drv = DMRGDriver()
+    fd = drv.read_fcidump("/root/reference/data/HUBBARD-L6.FCIDUMP")
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    gs = drv.get_random_mps(120, seed=2)
+    e0 = DMRG(mpo, gs, iprint=0).solve(
+        [120], [1e-4, 1e-5, 0], [1e-10], n_sweeps=8, tol=1e-11)
+    L = fd.n_sites
+    rng = np.random.RandomState(5)
+    k = rng.standard_normal((L, L)) * 0.12
+    kappa = k - k.T
+    U = sla.expm(kappa)
+    mps = _copy_mps(gs)
+    drv.orbital_rotation(mps, kappa, bond_dim=200, n_steps=30)
+    # rotated integrals: h' = U h U^T, g' = (U^T per index) g — the
+    # residual is the second-order Trotter error of the unit-time TDVP
+    h2 = U @ fd.h1e @ U.T
+    g2 = np.einsum("pi,qj,rk,sl,pqrs->ijkl", U.T, U.T, U.T, U.T,
+                   fd.g2e, optimize=True)
+    mpo2 = drv.get_qc_mpo(h1e=h2, g2e=g2, ecore=fd.const_e)
+    e_rot = np.real(mpo_expectation(mpo2, mps)) + fd.const_e
+    assert abs(e_rot - e0) < 3e-4, (e_rot, e0)
+    # and the UNrotated Hamiltonian no longer matches (sanity)
+    e_mix = np.real(mpo_expectation(mpo, mps)) + fd.const_e
+    assert abs(e_mix - e0) > 1e-3
