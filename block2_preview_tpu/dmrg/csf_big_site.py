@@ -33,10 +33,15 @@ class ExternalSpace:
     """
 
     def __init__(self, n_orbs: int, pgs: Optional[Sequence[int]] = None,
-                 max_elec: int = 2):
+                 max_elec: int = 2, basis: str = "s2"):
+        """basis: "s2" (multiplets from S^2 diagonalization) or "drt"
+        (Gelfand CSFs enumerated from the GUGA distinct row table,
+        reference src/big_site/drt_big_site.hpp:1964 DRTBigSite) — the
+        same space in a different canonical basis."""
         self.n_orbs = n_orbs
         self.pgs = [0] * n_orbs if pgs is None else [int(p) for p in pgs]
         self.max_elec = max_elec
+        self.basis = basis
         assert max_elec <= 2, "external space restricted to <= 2 electrons"
         nso = 2 * n_orbs
         # WORK space: N <= max_elec + 2 so composites whose creation
@@ -91,39 +96,68 @@ class ExternalSpace:
         # comp_cols[m] = {tsz: column index}
         self.comp_cols: List[Dict[int, int]] = []
         cols: List[np.ndarray] = []
-        for n_e in sorted(set(self.det_n)):
-            if n_e > max_elec:
-                continue    # work-space sectors, not physical multiplets
-            for pg in sorted(set(self.det_pg[self.det_n == n_e])):
+
+        def add_multiplet(vec: np.ndarray, n_e: int, ts: int, pg: int):
+            s = ts / 2.0
+            self.mults.append((int(n_e), int(ts), int(pg)))
+            cc: Dict[int, int] = {}
+            cur = vec
+            tszc = ts
+            while True:
+                cc[tszc] = len(cols)
+                cols.append(cur.copy())
+                if tszc == -ts:
+                    break
+                # S- |S, Sz> = sqrt(S(S+1)-Sz(Sz-1))|S, Sz-1>
+                szv = tszc / 2.0
+                fac = np.sqrt(s * (s + 1) - szv * (szv - 1))
+                cur = (sm @ cur) / fac
+                tszc -= 2
+            self.comp_cols.append(cc)
+
+        if basis == "drt":
+            # Gelfand (GUGA) CSFs per (N, S) from the distinct row table;
+            # highest-weight determinant expansions via sequential CG
+            from .guga import DRT, csf_to_determinants
+            for n_e in range(max_elec + 1):
                 for ts in range(n_e % 2, n_e + 1, 2):
-                    sel = np.nonzero((self.det_n == n_e)
-                                     & (self.det_pg == pg)
-                                     & (self.det_tsz == ts))[0]
-                    if len(sel) == 0:
-                        continue
-                    sub = s2[np.ix_(sel, sel)]
-                    w, v = np.linalg.eigh(0.5 * (sub + sub.T))
-                    s = ts / 2.0
-                    hw = np.nonzero(np.abs(w - s * (s + 1)) < 1e-8)[0]
-                    for h in hw:
+                    drt = DRT(n_orbs, n_e, ts)
+                    for steps in drt.csfs():
                         vec = np.zeros(D)
-                        vec[sel] = v[:, h]
-                        m = len(self.mults)
-                        self.mults.append((int(n_e), int(ts), int(pg)))
-                        cc: Dict[int, int] = {}
-                        cur = vec
-                        tszc = ts
-                        while True:
-                            cc[tszc] = len(cols)
-                            cols.append(cur.copy())
-                            if tszc == -ts:
-                                break
-                            # S- |S, Sz> = sqrt(S(S+1)-Sz(Sz-1))|S, Sz-1>
-                            szv = tszc / 2.0
-                            fac = np.sqrt(s * (s + 1) - szv * (szv - 1))
-                            cur = (sm @ cur) / fac
-                            tszc -= 2
-                        self.comp_cols.append(cc)
+                        pg = 0
+                        for occ_pat, coef in \
+                                csf_to_determinants(steps).items():
+                            det = []
+                            for o, code in enumerate(occ_pat):
+                                if code in (1, 3):
+                                    det.append(2 * o)
+                                if code in (2, 3):
+                                    det.append(2 * o + 1)
+                            vec[self.index[tuple(det)]] = coef
+                            pg = int(np.bitwise_xor.reduce(
+                                [self.pgs[o] for o, c in
+                                 enumerate(occ_pat) if c] or [0]))
+                        add_multiplet(vec, n_e, ts, pg)
+        else:
+            for n_e in sorted(set(self.det_n)):
+                if n_e > max_elec:
+                    continue    # work-space sectors, not multiplets
+                for pg in sorted(set(self.det_pg[self.det_n == n_e])):
+                    for ts in range(n_e % 2, n_e + 1, 2):
+                        sel = np.nonzero((self.det_n == n_e)
+                                         & (self.det_pg == pg)
+                                         & (self.det_tsz == ts))[0]
+                        if len(sel) == 0:
+                            continue
+                        sub = s2[np.ix_(sel, sel)]
+                        w, v = np.linalg.eigh(0.5 * (sub + sub.T))
+                        s = ts / 2.0
+                        hw = np.nonzero(np.abs(w - s * (s + 1))
+                                        < 1e-8)[0]
+                        for h in hw:
+                            vec = np.zeros(D)
+                            vec[sel] = v[:, h]
+                            add_multiplet(vec, n_e, ts, pg)
         self.U = np.stack(cols, axis=1) if cols else np.zeros((D, 0))
         self.n_mult = len(self.mults)
 
@@ -200,7 +234,7 @@ def su2_mrcisd_dmrg(h1e: np.ndarray, g2e: Optional[np.ndarray],
                     bond_dim: int = 200, pgs: Optional[Sequence[int]] = None,
                     ipg: int = 0, n_sweeps: int = 12, tol: float = 1e-9,
                     noises: Sequence[float] = (1e-4, 1e-5, 0.0),
-                    iprint: int = 0, **kw):
+                    iprint: int = 0, basis: str = "s2", **kw):
     """Spin-adapted uncontracted MRCISD: DMRG over the internal orbitals
     with the external space (orbitals >= n_int, <= 2 electrons) as a CSF
     big site (reference DMRGBigSite + CSFBigSite,
@@ -211,7 +245,7 @@ def su2_mrcisd_dmrg(h1e: np.ndarray, g2e: Optional[np.ndarray],
 
     K = h1e.shape[0]
     pgs = [0] * K if pgs is None else [int(p) for p in pgs]
-    ext = ExternalSpace(K - n_int, pgs[n_int:])
+    ext = ExternalSpace(K - n_int, pgs[n_int:], basis=basis)
     tt = qc_su2_big_term_table(h1e, g2e, ecore, n_int, ext)
     entries, n_sym, sym_dn, sym_rank, registry = compile_su2_entries(tt)
     site_mults = [[(0, 0, 0), (1, 1, pgs[t]), (2, 0, 0)]

@@ -89,3 +89,17 @@ def test_su2_mrcisd_hubbard_4plus2():
     e, _ = su2_mrcisd_dmrg(fd.h1e, fd.g2e, fd.const_e, 4, 6, 0,
                            bond_dim=150, n_sweeps=12)
     assert abs(e - ref[0]) < 1e-8
+
+
+def test_drt_big_site_matches_csf():
+    """DRT (Gelfand/GUGA) big-site basis (reference DRTBigSite,
+    drt_big_site.hpp:1964) spans the same restricted space: identical
+    MRCISD energies, orthonormal CSF expansions."""
+    xs = ExternalSpace(3, pgs=[0, 1, 2], basis="drt")
+    assert np.allclose(xs.U.T @ xs.U, np.eye(xs.U.shape[1]), atol=1e-10)
+    fd = _rand_fd(5, 4, seed=13)
+    e_s2, _ = su2_mrcisd_dmrg(fd.h1e, fd.g2e, fd.const_e, 3, 4, 0,
+                              bond_dim=120, n_sweeps=10, basis="s2")
+    e_drt, _ = su2_mrcisd_dmrg(fd.h1e, fd.g2e, fd.const_e, 3, 4, 0,
+                               bond_dim=120, n_sweeps=10, basis="drt")
+    assert abs(e_s2 - e_drt) < 1e-9
