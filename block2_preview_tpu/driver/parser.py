@@ -58,6 +58,20 @@ def parse(path: str) -> Dict[str, object]:
         if key == "end" and in_schedule == "skip_end":
             in_schedule = False
             continue
+        if key not in KNOWN_KEYS:
+            # silent no-ops are worse than errors in a StackBlock-
+            # compatible CLI (reference parser.py:77 raises the same
+            # way); B2TPU_ALLOW_UNKNOWN_KEYS=1 downgrades to a warning
+            import os
+            import sys
+            if os.environ.get("B2TPU_ALLOW_UNKNOWN_KEYS"):
+                print(f"WARNING: ignoring unknown keyword '{key}'",
+                      file=sys.stderr)
+            else:
+                raise ValueError(
+                    f"unknown keyword '{key}' (unimplemented keywords "
+                    "are rejected rather than silently ignored; set "
+                    "B2TPU_ALLOW_UNKNOWN_KEYS=1 to override)")
         dic[key] = " ".join(toks[1:]) if len(toks) > 1 else ""
     return dic
 
