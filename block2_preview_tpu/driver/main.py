@@ -182,6 +182,33 @@ def run(config_path: str) -> float:
         # decks consume it via fullrestart / proj_mps_tags
         save_su2_tensors(out_tensors,
                          os.path.join(scratch, "mps.%s.su2.npz" % tag))
+        tran_keys = ("tran_onepdm", "tran_twopdm",
+                     "restart_tran_onepdm", "restart_tran_twopdm")
+        if any(k in dic for k in tran_keys) and n_roots > 1:
+            # transition PDMs between state-averaged roots: each root
+            # expands exactly to an SZ MPS (utils/transform
+            # su2_to_sz_mps) and the abelian prefix-cached string
+            # sweeps do the rest (reference restart_tran_onepdm /
+            # restart_tran_twopdm workflow, main_test/013-014)
+            from types import SimpleNamespace
+            from ..dmrg.expect import pdm1, pdm2_spatial
+            from ..utils.transform import su2_to_sz_mps
+            if eng._forward_next:   # last sweep was backward
+                eng.sweep(True, dav_thrd=1e-10)
+            roots_sz = []
+            for r in range(n_roots):
+                shim = SimpleNamespace(
+                    _forward_next=False, L=eng.L, T=eng.T,
+                    tensors=eng.extract_root(r),
+                    site_pgs=eng.site_pgs)
+                roots_sz.append(su2_to_sz_mps(shim))
+            for r in range(1, n_roots):
+                if "tran_onepdm" in dic or "restart_tran_onepdm" in dic:
+                    dm = pdm1(roots_sz[r], bra=roots_sz[0])
+                    np.save(f"1pdm-{r}-0.npy", dm)
+                if "tran_twopdm" in dic or "restart_tran_twopdm" in dic:
+                    dm2 = pdm2_spatial(roots_sz[r], bra=roots_sz[0])
+                    np.save(f"2pdm-{r}-0.npy", dm2)
         if ("split_states" in dic or "copy_mps" in dic) and n_roots > 1:
             # per-root tagged copies (reference block2main copy_mps +
             # split_states: MultiMPS -> TAG-0, TAG-1, ... used by later

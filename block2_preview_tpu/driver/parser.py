@@ -22,6 +22,8 @@ KNOWN_KEYS = {
     "nevpt2", "mrrept", "qc_mpo_type", "backend", "dtype",
     "statespecific", "proj_mps_tags", "proj_weights",
     "copy_mps", "split_states",
+    "tran_onepdm", "tran_twopdm", "restart_tran_onepdm",
+    "restart_tran_twopdm",
 }
 
 

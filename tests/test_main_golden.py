@@ -136,3 +136,68 @@ def test_decks_005_006_007_projection(tmp_path):
     # 007: 2nd excited state, both lower roots level-shifted out
     assert abs(_energy(_run_deck("007", tmp_path, maxiter=14))
                - (-106.94375693899154)) < 1e-6
+
+
+def test_cli_su2_transition_pdm(tmp_path):
+    """Spin-adapted transition 1PDM between state-averaged roots via
+    exact SU2->SZ expansion (reference restart_tran_onepdm workflow):
+    matches the determinant-space transition density up to global sign.
+    """
+    import numpy as np
+    conf = tmp_path / "tr.conf"
+    conf.write_text("""
+orbitals /root/reference/data/HUBBARD-L6.FCIDUMP
+nelec 6
+spin 0
+noreorder
+nroots 2
+tran_onepdm
+schedule
+0 120 1e-9 1e-4
+2 120 1e-10 0.0
+end
+maxiter 10
+sweep_tol 1E-10
+outputlevel 0
+""")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "block2_preview_tpu.driver.main",
+         str(conf)], capture_output=True, text=True, env=env,
+        timeout=900, cwd=str(tmp_path))
+    assert out.returncode == 0, out.stderr[-1500:]
+    dm = np.load(tmp_path / "1pdm-1-0.npy")
+    dm_sp = dm[0] + dm[1]
+
+    # determinant-space reference between the two lowest singlets
+    from block2_preview_tpu.core.expr import (build_term_table,
+                                              qc_term_table,
+                                              spin_square_raw_terms)
+    from block2_preview_tpu.core.fcidump import FCIDUMP
+    from block2_preview_tpu.utils.ed import (sector_indices,
+                                             term_table_to_sparse)
+    from block2_preview_tpu.ops.local_ops import CRE_A, DES_A, CRE_B, \
+        DES_B
+    fd = FCIDUMP.parse("/root/reference/data/HUBBARD-L6.FCIDUMP")
+    L = fd.n_sites
+    tt = qc_term_table(fd)
+    h = term_table_to_sparse(tt)
+    ix = sector_indices(L, fd.n_elec, fd.twos)
+    hs = h[np.ix_(ix, ix)].toarray()
+    s2 = term_table_to_sparse(build_term_table(
+        L, spin_square_raw_terms(L)))[np.ix_(ix, ix)].toarray()
+    w, v = np.linalg.eigh(hs)
+    ssv = np.einsum("ij,jk,ki->i", v.T, s2, v)
+    sing = [i for i in range(len(w)) if ssv[i] < 0.1]
+    v0, v1 = v[:, sing[0]], v[:, sing[1]]
+    ref = np.zeros((L, L))
+    for p in range(L):
+        for q in range(L):
+            for (cre, des) in ((CRE_A, DES_A), (CRE_B, DES_B)):
+                op = term_table_to_sparse(build_term_table(
+                    L, [(1.0, [(p, cre), (q, des)])]))
+                ref[p, q] += v0 @ (op[np.ix_(ix, ix)] @ v1)
+    err = min(np.abs(dm_sp - ref).max(), np.abs(dm_sp + ref).max())
+    assert err < 1e-5, err
