@@ -233,3 +233,69 @@ def deflated_cg(matvec: MatVec, rhs: np.ndarray, ws: Optional[np.ndarray],
         p = dproj(r + (rs_new / rs_old) * p)
         rs_old = rs_new
     return x, nmv
+
+
+def expo_pade(a: np.ndarray, t: float = 1.0, order: int = 6
+              ) -> np.ndarray:
+    """exp(t*A) by diagonal Pade approximation with scaling-and-squaring
+    (reference iterative_matrix_functions.hpp:1480 expo_pade; used for
+    small dense local exponentials in TDDMRG)."""
+    a = np.asarray(a) * t
+    n = a.shape[0]
+    nrm = np.linalg.norm(a, 1)
+    s = max(0, int(np.ceil(np.log2(max(nrm, 1e-300)))) + 1) \
+        if nrm > 0.5 else 0
+    a = a / (2.0 ** s)
+    # diagonal Pade coefficients c_k = (2m-k)! m! / ((2m)! k! (m-k)!)
+    c = 1.0
+    N = np.eye(n, dtype=a.dtype)
+    D = np.eye(n, dtype=a.dtype)
+    X = np.eye(n, dtype=a.dtype)
+    for k in range(1, order + 1):
+        c = c * (order - k + 1) / (k * (2 * order - k + 1))
+        X = X @ a
+        N = N + c * X
+        D = D + ((-1) ** k) * c * X
+    F = np.linalg.solve(D, N)
+    for _ in range(s):
+        F = F @ F
+    return F
+
+
+def constrained_svd(a: np.ndarray, left_fixed: Optional[np.ndarray] = None,
+                    right_fixed: Optional[np.ndarray] = None
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SVD of `a` with prescribed leading left (and/or right) singular
+    vectors (reference iterative_matrix_functions.hpp:3494
+    constrained_svd, used by constrained MPO compression): the fixed
+    columns are kept verbatim, the orthogonal complement is SVD'd.
+    Returns (U, s, Vt) with U[:, :k] == orthonormalized left_fixed."""
+    m, n = a.shape
+    U_parts, V_parts, s_parts = [], [], []
+    rest = a
+    if left_fixed is not None and left_fixed.size:
+        Q = np.linalg.qr(left_fixed.reshape(m, -1))[0]
+        B = Q.conj().T @ a                 # fixed rows' right factors
+        for j in range(Q.shape[1]):
+            sv = np.linalg.norm(B[j])
+            U_parts.append(Q[:, j])
+            s_parts.append(sv)
+            V_parts.append(B[j] / sv if sv > 1e-300 else B[j])
+        rest = a - Q @ B
+    if right_fixed is not None and right_fixed.size:
+        P = np.linalg.qr(right_fixed.reshape(n, -1))[0]
+        C = rest @ P
+        for j in range(P.shape[1]):
+            sv = np.linalg.norm(C[:, j])
+            s_parts.append(sv)
+            U_parts.append(C[:, j] / sv if sv > 1e-300 else C[:, j])
+            V_parts.append(P[:, j].conj())
+        rest = rest - C @ P.conj().T
+    u, s, vt = np.linalg.svd(rest, full_matrices=False)
+    keep = s > 1e-14
+    U = np.stack(U_parts + list(u[:, keep].T), axis=1) \
+        if U_parts else u[:, keep]
+    sv = np.asarray(s_parts + list(s[keep]))
+    Vt = np.stack(V_parts + list(vt[keep]), axis=0) \
+        if V_parts else vt[keep]
+    return U, sv, Vt

@@ -160,3 +160,33 @@ def test_davidson_generalized_metric():
         lambda x: A @ x, lambda x: B @ x, np.diag(A) / np.diag(B), x0,
         conv_thrd=1e-16, max_iter=300, max_subspace=40)
     assert abs(th[0] - w[0]) < 1e-7, (th[0], w[0])
+
+
+def test_expo_pade():
+    """Pade scaling-and-squaring exponential (reference
+    iterative_matrix_functions.hpp:1480)."""
+    import scipy.linalg as sla
+    from block2_preview_tpu.ops.solvers import expo_pade
+    rng = np.random.RandomState(3)
+    a = rng.standard_normal((12, 12))
+    for t in (0.3, 1.0, -2.5):
+        assert np.allclose(expo_pade(a, t), sla.expm(t * a),
+                           atol=1e-10)
+    h = a + a.T
+    assert np.allclose(expo_pade(1j * h, 1.0), sla.expm(1j * h),
+                       atol=1e-10)
+
+
+def test_constrained_svd():
+    """SVD with prescribed leading singular vectors (reference
+    iterative_matrix_functions.hpp:3494): exact reconstruction, fixed
+    vectors kept verbatim, complement orthonormal."""
+    from block2_preview_tpu.ops.solvers import constrained_svd
+    rng = np.random.RandomState(5)
+    a = rng.standard_normal((10, 7))
+    lf = rng.standard_normal((10, 2))
+    U, s, Vt = constrained_svd(a, left_fixed=lf)
+    assert np.allclose(U @ np.diag(s) @ Vt, a, atol=1e-10)
+    Qf = np.linalg.qr(lf)[0]
+    assert np.allclose(U[:, :2], Qf, atol=1e-10)
+    assert np.allclose(U.T @ U, np.eye(U.shape[1]), atol=1e-10)
