@@ -34,6 +34,14 @@ class _StkMarker:
 _STK = _StkMarker()
 
 
+class _DiskMarker:
+    """Sentinel for env partitions spilled to disk (the Partition
+    save_data/load_data analog, reference partition.hpp:93)."""
+
+
+_DISK = _DiskMarker()
+
+
 class _EnvList(list):
     """Env list that materializes stacked device pools on access."""
 
@@ -46,6 +54,9 @@ class _EnvList(list):
         v = list.__getitem__(self, i)
         if v is _STK:
             v = self._me._materialize(self._side, i)
+            list.__setitem__(self, i, v)
+        elif v is _DISK:
+            v = self._me._disk_load(self._side, i)
             list.__setitem__(self, i, v)
         return v
 
@@ -124,6 +135,63 @@ class MovingEnvironment:
     # sigma matvecs shard (psum of partials).  Set by DMRG(mesh=...).
     mesh = None
     mesh_axis = "op"
+    # disk-backed environment partitions (reference Partition::save_data
+    # partition.hpp:93 + DataFrame scratch management, allocator.hpp):
+    # env maps outside a +-disk_window of the latest update spill to
+    # disk_dir and reload transparently on access
+    disk_dir = None
+    disk_window = 2
+
+    # ------------------------------------------------------------------
+    def _disk_file(self, side: str, t: int) -> str:
+        import os
+        return os.path.join(self.disk_dir, f"env_{side}{t}.npz")
+
+    def _disk_save(self, side: str, t: int, env: EnvMap) -> None:
+        import os
+        os.makedirs(self.disk_dir, exist_ok=True)
+        arrays = {}
+        dqs = {}
+        for sym, bm in env.items():
+            dqs[str(sym)] = repr(tuple(bm.dq))
+            for (qb, qk), blk in bm.blocks.items():
+                arrays[f"{sym}|{tuple(qb)!r}|{tuple(qk)!r}"] = blk
+        import json
+        arrays["__dqs__"] = np.frombuffer(
+            json.dumps(dqs).encode(), dtype=np.uint8)
+        np.savez(self._disk_file(side, t), **arrays)
+
+    def _disk_load(self, side: str, t: int) -> EnvMap:
+        import ast
+        import json
+        data = np.load(self._disk_file(side, t))
+        dqs = json.loads(bytes(data["__dqs__"]).decode())
+        env: EnvMap = {}
+        for name in data.files:
+            if name == "__dqs__":
+                continue
+            sym_s, qb_s, qk_s = name.split("|")
+            sym = int(sym_s)
+            if sym not in env:
+                env[sym] = BlockMatrix(
+                    self.g, tuple(ast.literal_eval(dqs[sym_s])))
+            env[sym].add_block(ast.literal_eval(qb_s),
+                               ast.literal_eval(qk_s), data[name])
+        return env
+
+    def _disk_spill(self, side: str, center: int) -> None:
+        """Spill env maps outside [center - w, center + w] to disk."""
+        if self.disk_dir is None:
+            return
+        envs = self.left_envs if side == "l" else self.right_envs
+        w = self.disk_window
+        for i in range(len(envs)):
+            v = list.__getitem__(envs, i)
+            if v is None or v is _STK or v is _DISK                     or isinstance(v, _DiskMarker):
+                continue
+            if abs(i - center) > w and i not in (0, len(envs) - 1):
+                self._disk_save(side, i, v)
+                list.__setitem__(envs, i, _DISK)
 
     # ------------------------------------------------------------------
     def _materialize(self, side: str, t: int) -> EnvMap:
@@ -473,11 +541,17 @@ class MovingEnvironment:
         if self.stacked and self._stk_contract(t, "left"):
             return
         self.left_envs[t + 1] = self._left_contract(t)
+        if self.disk_dir is not None:
+            self._disk_spill("l", t + 1)
+            self._disk_spill("r", t + 1)
 
     def update_right(self, t: int) -> None:
         if self.stacked and self._stk_contract(t, "right"):
             return
         self.right_envs[t] = self._right_contract(t)
+        if self.disk_dir is not None:
+            self._disk_spill("r", t)
+            self._disk_spill("l", t)
 
     def invalidate_left(self, t: int) -> None:
         for i in range(t + 1, len(self.left_envs)):

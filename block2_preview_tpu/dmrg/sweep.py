@@ -259,7 +259,9 @@ class DMRG:
                  dav_max_iter: int = 200, hermitian: bool = True,
                  mesh=None, mesh_axis: str = "op",
                  proj_mpss: Optional[Sequence[MPS]] = None,
-                 proj_weights: Optional[Sequence[float]] = None):
+                 proj_weights: Optional[Sequence[float]] = None,
+                 env_disk_dir: Optional[str] = None,
+                 env_disk_window: int = 2):
         self.mpo = mpo
         self.mps = mps
         if backend not in ("numpy", "jax", "jax_device", "jax_stacked",
@@ -301,6 +303,11 @@ class DMRG:
         self.weights = list(weights) if weights is not None \
             else [1.0 / n_roots] * n_roots
         self.me = MovingEnvironment(mpo, mps)
+        if env_disk_dir is not None:
+            # disk-backed environment partitions (reference
+            # Partition::save_data; for envs larger than host RAM)
+            self.me.disk_dir = env_disk_dir
+            self.me.disk_window = int(env_disk_window)
         if backend == "jax_device":
             self.me.device = True
         elif backend in ("jax_stacked", "jax_tiled", "jax_resident"):

@@ -35,3 +35,31 @@ def test_restart_continues(tmp_path):
     d2 = DMRG(mpo, mps2, iprint=0)
     e = d2.solve([100], [1e-5, 0], [1e-10], n_sweeps=5, tol=1e-11)
     assert abs(e - (-2.121631829534)) < 1e-8
+
+
+def test_disk_backed_environments(tmp_path):
+    """Disk-spilled environment partitions (reference
+    Partition::save_data partition.hpp:93): energy parity with the
+    RAM-resident run, and spill files actually created."""
+    import os
+    from block2_preview_tpu.core.expr import qc_term_table
+    from block2_preview_tpu.core.fcidump import FCIDUMP
+    from block2_preview_tpu.dmrg.mpo_builder import build_mpo
+    from block2_preview_tpu.dmrg.mps import MPS, MPSInfo
+    from block2_preview_tpu.dmrg.sweep import DMRG
+
+    fd = FCIDUMP.parse("/root/reference/data/HUBBARD-L8.FCIDUMP")
+    tt = qc_term_table(fd)
+    mpo = build_mpo(tt, site_pgs=fd.orb_sym, const_e=fd.const_e)
+    info = MPSInfo(mpo.group, mpo.site_quanta,
+                   (fd.n_elec, fd.twos, fd.ipg), 100)
+    e_ref = DMRG(mpo, MPS.random(info, seed=3), iprint=0).solve(
+        [100], [1e-4, 1e-5, 0], [1e-10], n_sweeps=6, tol=1e-11)
+    info2 = MPSInfo(mpo.group, mpo.site_quanta,
+                    (fd.n_elec, fd.twos, fd.ipg), 100)
+    d = DMRG(mpo, MPS.random(info2, seed=3), iprint=0,
+             env_disk_dir=str(tmp_path), env_disk_window=1)
+    e_disk = d.solve([100], [1e-4, 1e-5, 0], [1e-10], n_sweeps=6,
+                     tol=1e-11)
+    assert abs(e_disk - e_ref) < 1e-10
+    assert any(f.startswith("env_") for f in os.listdir(tmp_path))
