@@ -25,8 +25,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..core.fcidump import FCIDUMP
-from ..ic.wick import (Op, Term, WickExpr, evaluate, evaluate_tensor,
-                       vacuum_expectation)
+from ..ic.wick import (ContractionCache, Op, Term, WickExpr,
+                       evaluate, evaluate_tensor, vacuum_expectation)
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +187,9 @@ class WickCC:
             t2.transpose(2, 3, 0, 1)
         self.tensors = {"f": h, "v": v, "t1": T1g, "t2": T2g}
         self._cache: Dict = {}
+        # WickGraph-style cross-term common-subexpression memo
+        # (reference src/ic/wick.hpp:2692 WickGraph)
+        self.graph = ContractionCache()
         # fock diagonal for iteration denominators
         fock = h + np.einsum("piqi->pq",
                              v[np.ix_(np.arange(nso), self.occ,
@@ -199,6 +202,9 @@ class WickCC:
             self._cache[key] = _gen_expr(*args)
         return self._cache[key]
 
+    def _ev(self, expr, t, sp, free):
+        return evaluate_tensor(expr, t, sp, free, cache=self.graph)
+
     def e_cc(self) -> float:
         ex = self._expr("e", (), ())
         return evaluate(ex, self.tensors, self.spaces)
@@ -208,16 +214,16 @@ class WickCC:
         no, nv = self.no, self.nv
         t = self.tensors
         sp = self.spaces
-        mss = evaluate_tensor(self._expr(
+        mss = self._ev(self._expr(
             "ss", _deex_ops(self.S_LAB), _ex_ops(self.S_TAU)), t, sp,
             list(self.S_LAB) + list(self.S_TAU))
-        msd = evaluate_tensor(self._expr(
+        msd = self._ev(self._expr(
             "sd", _deex_ops(self.S_LAB), _ex_ops(self.D_TAU)), t, sp,
             list(self.S_LAB) + list(self.D_TAU))
-        mds = evaluate_tensor(self._expr(
+        mds = self._ev(self._expr(
             "ds", _deex_ops(self.D_LAB), _ex_ops(self.S_TAU)), t, sp,
             list(self.D_LAB) + list(self.S_TAU))
-        mdd = evaluate_tensor(self._expr(
+        mdd = self._ev(self._expr(
             "dd", _deex_ops(self.D_LAB), _ex_ops(self.D_TAU)), t, sp,
             list(self.D_LAB) + list(self.D_TAU))
         # packed bases
@@ -251,13 +257,13 @@ class WickCC:
         p2 = (Op("i0", True), Op("j0", True), Op("a0", False))
         t1o = (Op("i1", False),)
         t2o = (Op("a1", True), Op("j1", False), Op("i1", False))
-        m11 = evaluate_tensor(self._expr("ip11", p1, t1o), t, sp,
+        m11 = self._ev(self._expr("ip11", p1, t1o), t, sp,
                               ["i0", "i1"])
-        m12 = evaluate_tensor(self._expr("ip12", p1, t2o), t, sp,
+        m12 = self._ev(self._expr("ip12", p1, t2o), t, sp,
                               ["i0", "a1", "i1", "j1"])
-        m21 = evaluate_tensor(self._expr("ip21", p2, t1o), t, sp,
+        m21 = self._ev(self._expr("ip21", p2, t1o), t, sp,
                               ["i0", "j0", "a0", "i1"])
-        m22 = evaluate_tensor(self._expr("ip22", p2, t2o), t, sp,
+        m22 = self._ev(self._expr("ip22", p2, t2o), t, sp,
                               ["i0", "j0", "a0", "a1", "i1", "j1"])
         b1 = [(i,) for i in range(no)]
         b2 = [(i, j, a) for i in range(no) for j in range(i + 1, no)
@@ -285,13 +291,13 @@ class WickCC:
         p2 = (Op("i0", True), Op("b0", False), Op("a0", False))
         t1o = (Op("a1", True),)
         t2o = (Op("a1", True), Op("b1", True), Op("i1", False))
-        m11 = evaluate_tensor(self._expr("ea11", p1, t1o), t, sp,
+        m11 = self._ev(self._expr("ea11", p1, t1o), t, sp,
                               ["a0", "a1"])
-        m12 = evaluate_tensor(self._expr("ea12", p1, t2o), t, sp,
+        m12 = self._ev(self._expr("ea12", p1, t2o), t, sp,
                               ["a0", "a1", "b1", "i1"])
-        m21 = evaluate_tensor(self._expr("ea21", p2, t1o), t, sp,
+        m21 = self._ev(self._expr("ea21", p2, t1o), t, sp,
                               ["a0", "b0", "i0", "a1"])
-        m22 = evaluate_tensor(self._expr("ea22", p2, t2o), t, sp,
+        m22 = self._ev(self._expr("ea22", p2, t2o), t, sp,
                               ["a0", "b0", "i0", "a1", "b1", "i1"])
         b1 = [(a,) for a in range(nv)]
         b2 = [(a, b, i) for a in range(nv) for b in range(a + 1, nv)
@@ -322,9 +328,9 @@ class WickCC:
         ecc = self.e_cc()
         t = self.tensors
         sp = self.spaces
-        a_s = evaluate_tensor(self._expr("as", (), _ex_ops(self.S_TAU)),
+        a_s = self._ev(self._expr("as", (), _ex_ops(self.S_TAU)),
                               t, sp, list(self.S_TAU))     # (a, i)
-        a_d = evaluate_tensor(self._expr("ad", (), _ex_ops(self.D_TAU)),
+        a_d = self._ev(self._expr("ad", (), _ex_ops(self.D_TAU)),
                               t, sp, list(self.D_TAU))     # (a,i,b,j)
         M, basis = self.eom_ee_matrix()
         sing = [(i, a) for i in range(no) for a in range(nv)]
@@ -400,7 +406,7 @@ class WickCC:
                                 out = out + vacuum_expectation(
                                     _mul(fs) * coeff)
                 self._cache[ck] = out
-            val = evaluate_tensor(self._cache[ck], t, self.spaces,
+            val = self._ev(self._cache[ck], t, self.spaces,
                                   list(op_labels))
             out_total = val if out_total is None else out_total + val
         return out_total

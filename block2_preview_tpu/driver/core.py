@@ -95,12 +95,17 @@ class DMRGDriver:
     # ------------------------------------------------------------------
     def initialize_system(self, n_sites: int, n_elec: int = 0, spin: int = 0,
                           orb_sym: Optional[Sequence[int]] = None,
-                          pg_irrep: int = 0) -> None:
-        """reference pyblock2/driver/core.py:854"""
+                          pg_irrep: int = 0, pg_mod: int = 0) -> None:
+        """reference pyblock2/driver/core.py:854.  pg_mod selects the
+        orbital-label arithmetic of the SU(2) engine: 0 = XOR point
+        group; N > 0 = mod-N addition, covering SU2K momentum labels
+        (symmetry.hpp:1313) and, with N larger than any reachable total,
+        SU2LZ additive Lz labels (symmetry.hpp:1491)."""
         self.n_sites = n_sites
         self.n_elec = n_elec
         self.spin = spin
         self.pg_irrep = pg_irrep
+        self.pg_mod = int(pg_mod)
         self.orb_sym = (np.zeros(n_sites, dtype=np.int64)
                         if orb_sym is None else np.asarray(orb_sym))
 
@@ -695,7 +700,8 @@ def _su2_dmrg(driver, mpo: SU2MPO, ket: SU2MPSSpec, bond_dims, noises,
         site_pgs=driver.orb_sym, n_roots=n_roots,
         proj_tensors=proj_tensors, proj_weights=proj_weights,
         init_tensors=getattr(ket, "init_tensors", None),
-        left_vacuum=getattr(ket, "left_vacuum", None))
+        left_vacuum=getattr(ket, "left_vacuum", None),
+        pg_mod=getattr(driver, "pg_mod", 0))
     ket.engine = eng
     e = eng.solve(n_sweeps=n_sweeps, tol=tol, noises=list(noises),
                   dav_thrds=list(thrds))

@@ -45,6 +45,41 @@ def run(config_path: str) -> float:
     base = os.path.dirname(os.path.abspath(config_path))
     iprint = int(str(dic.get("outputlevel", 1)))
 
+    if "orbital_rotation" in dic:
+        # rotate the stored MPS into the natural-orbital basis
+        # (reference block2main orbital_rotation workflow,
+        # main_test/026): kappa = log of the per-irrep NO rotation,
+        # applied by time evolution under the one-body generator
+        import scipy.linalg as sla
+        from ..utils.io import load_mps, save_mps
+        from ..dmrg.expect import mps_overlap
+        scr = str(dic.get("prefix", "."))
+        rot = np.load(os.path.join(scr, "nat_rotation.npy"))
+        osym = np.load(os.path.join(scr, "nat_orb_sym.npy"))
+        L = rot.shape[0]
+        kappa = np.zeros_like(rot)
+        for isym in sorted(set(osym.tolist())):
+            mask = np.asarray(osym) == isym
+            sub = rot[np.ix_(mask.nonzero()[0], mask.nonzero()[0])]
+            kl = np.real(sla.logm(sub.T))
+            kappa[np.ix_(mask.nonzero()[0], mask.nonzero()[0])] = kl
+        kappa = 0.5 * (kappa - kappa.T)
+        mps = load_mps(os.path.join(scr, "mps.KET.npz"))
+        dt = float(str(dic.get("delta_t", 0.05)))
+        n_steps = max(1, int(round(1.0 / dt)))
+        bond_dims, _, _ = expand_schedule(dic, 1)
+        drv = DMRGDriver(SymmetryTypes.SZ)
+        drv.initialize_system(L, mps.info.target[0],
+                              mps.info.target[1], orb_sym=osym,
+                              pg_irrep=mps.info.target[2])
+        drv.orbital_rotation(mps, kappa, bond_dim=bond_dims[0],
+                             n_steps=n_steps, iprint=min(iprint, 1))
+        nrm2 = float(np.real(mps_overlap(mps, mps)))
+        print("<Norm^2> = %20.15f" % nrm2)
+        tag = str(dic.get("mps_tags", "BRA")).split()[0] or "BRA"
+        save_mps(mps, os.path.join(scr, "mps.%s.npz" % tag))
+        return nrm2
+
     fd_path = str(dic["orbitals"])
     if not os.path.isabs(fd_path):
         for cand in (os.path.join(os.getcwd(), fd_path),
@@ -64,7 +99,11 @@ def run(config_path: str) -> float:
     # orbital reordering
     if "noreorder" not in dic:
         kmat = kmat_from_fcidump(fd)
-        if "gaopt" in dic:
+        if "irrep_reorder" in dic:
+            # group orbitals by irrep (reference block2main
+            # irrep_reorder; stable within each irrep)
+            order = np.argsort(np.asarray(fd.orb_sym), kind="stable")
+        elif "gaopt" in dic:
             order = ga_opt(kmat, n_generations=2000)
         else:
             order = fiedler(kmat)
@@ -109,12 +148,107 @@ def run(config_path: str) -> float:
                   "restart_onepdm", "restart_twopdm", "restart_threepdm",
                   "restart_fourpdm", "delta_t", "orbital_entropy",
                   "sample", "spin_penalty", "extrapolation",
-                  "fp_cps_cutoff", "nevpt2", "mrrept", "backend")
+                  "fp_cps_cutoff", "nevpt2", "mrrept", "backend",
+                  "compression", "diag_twopdm", "restart_diag_twopdm")
     if "nonspinadapted" not in dic \
             and not any(k in dic for k in su2_extras):
         from ..utils.io import load_su2_tensors, save_su2_tensors
         scratch = str(dic.get("prefix", "."))
         ipr = min(iprint, 1) if iprint else 0
+        tag = str(dic.get("mps_tags", "KET")).split()[0] or "KET"
+
+        def _su2_shim(tensors):
+            # reconstruct engine metadata from stored reduced tensors:
+            # left boundary = ql of the first site (the fictitious
+            # multiplet for singlet-embedded MPSs), target = terminal qr
+            from types import SimpleNamespace
+            lv = next(iter(tensors[0]))[0]
+            t_ = next(iter(tensors[-1]))[2]
+            return SimpleNamespace(
+                _forward_next=False, L=len(tensors), T=t_, LV=lv,
+                tensors=tensors,
+                site_pgs=[int(x) for x in fd.orb_sym])
+
+        def _to_sz(tensors, tjz=None, normalize=False):
+            from ..dmrg.expect import mps_overlap
+            from ..utils.transform import su2_to_sz_mps
+            mz = su2_to_sz_mps(_su2_shim(tensors), tjz=tjz)
+            if normalize:
+                nrm = float(mps_overlap(mz, mz)) ** 0.5
+                ct = mz.tensors[mz.center]
+                for k in list(ct.blocks):
+                    ct.blocks[k] = ct.blocks[k] / nrm
+            return mz
+
+        tags_all = str(dic.get("mps_tags", "KET")).split()
+        if len(tags_all) >= 2 and any(
+                k in dic for k in ("restart_tran_onepdm",
+                                   "restart_tran_twopdm")):
+            # restart-only transition PDMs between two separately
+            # converged tagged states, possibly in different irreps
+            # (reference main_test/021 restart_tran_* workflow); the
+            # exact SZ expansions feed the abelian string sweeps
+            from ..dmrg.expect import pdm1, pdm2_spatial
+            mzs = [_to_sz(load_su2_tensors(
+                os.path.join(scratch, "mps.%s.su2.npz" % t)))
+                for t in tags_all[:2]]
+            if "restart_tran_onepdm" in dic:
+                np.save("1pdm-0-1.npy", pdm1(mzs[1], bra=mzs[0]))
+            if "restart_tran_twopdm" in dic:
+                np.save("2pdm-0-1.npy",
+                        pdm2_spatial(mzs[1], bra=mzs[0]))
+            return 0.0
+
+        if "restart_copy_mps" in dic:
+            # restart-only copy/transform of a stored MPS (reference
+            # block2main restart_copy_mps + trans_mps_to_sz /
+            # trans_mps_from_singlet_embedding + resolve_twosz /
+            # normalize_mps workflows, main_test/028-039)
+            from ..utils.io import save_mps
+            new_tag = str(dic["restart_copy_mps"]).split()[0]
+            src = os.path.join(scratch, "mps.%s.su2.npz" % tag)
+            tensors = load_su2_tensors(src)
+            if "trans_mps_to_sz" in dic:
+                rt = dic.get("resolve_twosz")
+                tjz = int(str(rt)) if rt not in (None, "") else None
+                mz = _to_sz(tensors, tjz=tjz,
+                            normalize="normalize_mps" in dic)
+                save_mps(mz, os.path.join(scratch,
+                                          "mps.%s.npz" % new_tag))
+            elif "trans_mps_from_singlet_embedding" in dic:
+                # physical (non-embedded) state extracted at highest
+                # weight; stored as the exact SZ expansion (every
+                # spin-free observable of the NSE SU(2) MPS is
+                # reproduced; reference mps.hpp:1869)
+                mz = _to_sz(tensors, tjz=None, normalize=True)
+                save_mps(mz, os.path.join(scratch,
+                                          "mps.%s.npz" % new_tag))
+            else:
+                import shutil
+                shutil.copy(src, os.path.join(
+                    scratch, "mps.%s.su2.npz" % new_tag))
+            return 0.0
+
+        if "restart_oh" in dic:
+            # spin-adapted expectation-only restart (main_test/034):
+            # <psi|H|psi> of a stored MPS; H is spin-free so the SZ
+            # expansion gives the identical value
+            from ..dmrg.expect import mpo_expectation, mps_overlap
+            from ..utils.io import load_mps
+            fn_su2 = os.path.join(scratch, "mps.%s.su2.npz" % tag)
+            if os.path.exists(fn_su2):
+                mz = _to_sz(load_su2_tensors(fn_su2))
+            else:
+                mz = load_mps(os.path.join(scratch, "mps.%s.npz" % tag))
+            mpoz = drv.get_qc_mpo(fcidump=fd)
+            e = float(np.real(mpo_expectation(mpoz, mz))) \
+                / float(np.real(mps_overlap(mz, mz)))
+            print("OH Energy = %20.15f" % e)
+            if "restart_onepdm" in dic:
+                from ..dmrg.expect import pdm1
+                dm = pdm1(mz, orb_sym=fd.orb_sym)
+                np.save("1pdm.npy", dm)
+            return e
         drv2 = DMRGDriver(SymmetryTypes.SU2)
         drv2.initialize_system(fd.n_sites, drv.n_elec, drv.spin,
                                orb_sym=fd.orb_sym, pg_irrep=drv.pg_irrep)
@@ -128,7 +262,6 @@ def run(config_path: str) -> float:
             if pw_key not in (None, "") else None
         if proj_mpss and proj_w is not None and len(proj_w) == 1:
             proj_w = proj_w * len(proj_mpss)
-        tag = str(dic.get("mps_tags", "KET")).split()[0] or "KET"
         ket2 = drv2.get_random_mps(bond_dims[0])
         if "fullrestart" in dic:
             # resume from the persisted MPS (reference block2main
@@ -150,6 +283,12 @@ def run(config_path: str) -> float:
                       proj_weights=proj_w if proj_mpss else None)
         eng = ket2.engine
         energies = np.atleast_1d(e)
+        tgt = tuple(ket2.target)
+        s_str = str(tgt[1] // 2) if tgt[1] % 2 == 0 else "%d/2" % tgt[1]
+        # canonical summary consumed by main_test 031/032 check scripts
+        print("MPS = %s %d %d < N=%d S=%s PG=%d >"
+              % ("C" + "R" * (fd.n_sites - 1), 0, 2,
+                 tgt[0], s_str, tgt[2]))
         if "statespecific" in dic and n_roots > 1:
             # reference block2main:2247-2330: extract each root from the
             # state-averaged solve, re-optimize with lower roots
@@ -263,21 +402,60 @@ def run(config_path: str) -> float:
     if proj_mpss and proj_w is not None and len(proj_w) == 1:
         proj_w = proj_w * len(proj_mpss)
 
-    solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0,
+    tag = str(dic.get("mps_tags", "KET")).split()[0] or "KET"
+    if "compression" in dic:
+        # MPS compression workflow (reference block2main `compression` +
+        # `overlap` + `read_mps_tags`, main_test/042): fit |BRA> ~ |KET>
+        # through the shrinking bond-dimension schedule, print the final
+        # overlap with the source state
+        from ..dmrg.expect import mps_overlap
+        from ..dmrg.linear import Linear, identity_mpo
+        ket_tag = str(dic.get("read_mps_tags", "KET")).split()[0]
+        ket_c = load_mps(os.path.join(scratch, "mps.%s.npz" % ket_tag))
+        bra = drv.get_random_mps(bond_dims[0], target=ket_c.info.target)
+        lin = Linear(bra, [(identity_mpo(mpo), ket_c)],
+                     iprint=min(iprint, 1) if iprint else 0)
+        for bd in bond_dims:
+            lin.solve(bd, n_sweeps=2, tol=0.0)
+        ovlp = float(np.real(mps_overlap(bra, ket_c))) \
+            / float(np.real(mps_overlap(bra, bra))) ** 0.5
+        print("Compression overlap = %20.15f" % ovlp)
+        if scratch and not os.path.isdir(scratch):
+            os.makedirs(scratch, exist_ok=True)
+        save_mps(bra, os.path.join(scratch, "mps.%s.npz" % tag))
+        return ovlp
+
+    if "restart_oh" in dic:
+        # expectation-only restart (reference block2main restart_oh,
+        # main_test/027): load the tagged MPS and print <bra|H|bra>
+        # without re-optimizing; PDM restarts below reuse the same MPS
+        from ..dmrg.expect import mpo_expectation, mps_overlap
+        mps = load_mps(os.path.join(scratch, "mps.%s.npz" % tag))
+        e = float(np.real(mpo_expectation(mpo, mps))) \
+            / float(np.real(mps_overlap(mps, mps)))
+        print("OH Energy = %20.15f" % e)
+        energies = np.atleast_1d(e)
+        solver = None
+    else:
+        solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0,
                   n_roots=n_roots, backend=backend, dtype=cli_dtype,
                   proj_mpss=proj_mpss,
                   proj_weights=proj_w if proj_mpss else None)
-    restart_dir = dic.get("restart_dir")
-    e = solver.solve(bond_dims, noises, dav_thrds, n_sweeps=n_sweeps,
-                     tol=sweep_tol, twodot_to_onedot=t2o,
-                     restart_dir=str(restart_dir) if restart_dir else None)
-    energies = np.atleast_1d(e)
+    if solver is not None:
+        restart_dir = dic.get("restart_dir")
+        e = solver.solve(
+            bond_dims, noises, dav_thrds, n_sweeps=n_sweeps,
+            tol=sweep_tol, twodot_to_onedot=t2o,
+            restart_dir=str(restart_dir) if restart_dir else None)
+        energies = np.atleast_1d(e)
 
     # state-specific refinement of each state-averaged root (reference
     # block2main:2247-2330 statespecific workflow: extract each root,
     # re-optimize with lower roots projected out — or penalized when
     # proj_weights is given)
-    if "statespecific" in dic and n_roots > 1:
+    if solver is None:
+        pass
+    elif "statespecific" in dic and n_roots > 1:
         import copy
         roots: List = []
         ss_energies = []
@@ -305,10 +483,10 @@ def run(config_path: str) -> float:
             print("DMRG Energy for root %4d = %20.15f" % (i, energies[i]))
         print("DMRG Energy = %20.15f" % energies[0])
 
-    # persist the solved MPS under its tag (reference block2main
-    # mps_tags; consumed by later proj_mps_tags / fullrestart decks)
-    if "mps_tags" in dic:
-        tag = str(dic.get("mps_tags", "KET")).split()[0] or "KET"
+    # persist the solved MPS under its tag (reference block2main always
+    # keeps the MPS in scratch; consumed by later proj_mps_tags /
+    # fullrestart / orbital_rotation / restart_oh decks)
+    if solver is not None:
         if scratch and not os.path.isdir(scratch):
             os.makedirs(scratch, exist_ok=True)
         save_mps(mps, os.path.join(scratch, "mps.%s.npz" % tag))
@@ -321,11 +499,80 @@ def run(config_path: str) -> float:
                 dm)
         if iprint:
             print("1PDM trace = %15.10f" % np.trace(dm[0] + dm[1]))
+    if dic.get("nat_orbs") not in (None, "") and \
+            ("onepdm" in dic or "restart_onepdm" in dic):
+        # natural orbitals from the spatial 1PDM, per-irrep (reference
+        # block2main:2973-3060: block eigendecomposition, optional
+        # Kuhn-Munkres reorder to resemble the input orbitals, sign
+        # fixing, rotated-integral FCIDUMP written to the given path)
+        spdm = dm[0] + dm[1]
+        L = fd.n_sites
+        osym = np.asarray(fd.orb_sym)
+        nat_occs = np.zeros(L)
+        rot = np.zeros((L, L))
+        for isym in sorted(set(osym.tolist())):
+            mask = osym == isym
+            w, v = np.linalg.eigh(spdm[np.ix_(mask, mask)])
+            w, v = w[::-1], v[:, ::-1]          # descending occupation
+            nat_occs[mask] = w
+            rr = np.zeros((L, len(w)))
+            rr[mask] = v
+            rot[:, mask] = rr
+        print("NAT OCC = " + "".join("%9.6f" % x for x in nat_occs))
+        if "nat_km_reorder" in dic:
+            from scipy.optimize import linear_sum_assignment
+            for isym in sorted(set(osym.tolist())):
+                mask = osym == isym
+                sub = rot[mask][:, mask]
+                _, col = linear_sum_assignment(1 - sub ** 2)
+                idx = np.argsort(col)
+                cols = np.nonzero(mask)[0]
+                rot[:, cols] = rot[:, cols[idx]]
+                nat_occs[mask] = nat_occs[mask][idx]
+            print("REORDERED NAT OCC = "
+                  + "".join("%9.6f" % x for x in nat_occs))
+        # sign fixing: positive determinant per irrep block
+        for isym in sorted(set(osym.tolist())):
+            mask = osym == isym
+            cols = np.nonzero(mask)[0]
+            if "nat_positive_def" in dic:
+                for j in range(len(cols)):
+                    sub = rot[np.ix_(cols[:j + 1], cols[:j + 1])]
+                    if np.linalg.det(sub) < 0:
+                        rot[:, cols[j]] = -rot[:, cols[j]]
+            elif np.linalg.det(rot[np.ix_(cols, cols)]) < 0:
+                rot[:, cols[0]] = -rot[:, cols[0]]
+        assert np.linalg.norm(
+            rot @ np.diag(nat_occs) @ rot.T - spdm) < 1e-8
+        h2 = rot.T @ fd.h1e @ rot
+        g2n = np.einsum("pi,qj,rk,sl,pqrs->ijkl", rot, rot, rot, rot,
+                        fd.g2e, optimize=True)
+        import copy as _copy
+        fdn = _copy.copy(fd)
+        fdn.h1e, fdn.g2e = h2, g2n
+        path = str(dic["nat_orbs"])
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fdn.write(path)
+        scr = str(dic.get("prefix", "."))
+        np.save(os.path.join(scr, "nat_occs.npy"), nat_occs)
+        np.save(os.path.join(scr, "nat_rotation.npy"), rot)
+        np.save(os.path.join(scr, "nat_orb_sym.npy"), osym)
     if "twopdm" in dic or "restart_twopdm" in dic:
         from ..dmrg.expect import pdm2_spatial
         dm2 = pdm2_spatial(mps, orb_sym=fd.orb_sym,
                            assume_singlet=drv.spin == 0)
         np.save("2pdm.npy", dm2)
+    if "diag_twopdm" in dic or "restart_diag_twopdm" in dic:
+        # diagonal two-body correlation functions (reference
+        # block2main:3212: e_pqqp / e_pqpq via B/BD correlation MPOs;
+        # contracted here from the spatial 2PDM, main_test/022)
+        from ..dmrg.expect import pdm1, pdm2_spatial
+        dm_d = pdm1(mps, orb_sym=fd.orb_sym)
+        np.save("1pdm.npy", dm_d)
+        dm2_d = pdm2_spatial(mps, orb_sym=fd.orb_sym,
+                             assume_singlet=drv.spin == 0)
+        np.save("e_pqqp.npy", np.einsum("pqqp->pq", dm2_d))
+        np.save("e_pqpq.npy", np.einsum("pqpq->pq", dm2_d))
     if "threepdm" in dic or "restart_threepdm" in dic:
         from ..dmrg.expect import pdm3_spatial
         np.save("3pdm.npy", pdm3_spatial(mps))
@@ -354,7 +601,8 @@ def run(config_path: str) -> float:
         np.save("mutual_information.npy", minfo)
         if iprint:
             print("MAX MUTUAL INFORMATION = %12.8f" % minfo.max())
-    if "extrapolation" in dic and len(solver.discarded_weights) >= 2:
+    if "extrapolation" in dic and solver is not None \
+            and len(solver.discarded_weights) >= 2:
         from ..dmrg.extrapolate import extrapolate_energy
         per_sweep = [float(np.min(es)) for es in solver.energies]
         k = min(len(per_sweep), len(solver.discarded_weights))
@@ -362,11 +610,23 @@ def run(config_path: str) -> float:
                                       per_sweep[-k:])
         print("Extrapolated Energy = %20.15f +/- %.2e" % (e_x, err))
     if dic.get("sample") not in (None, ""):
-        from ..dmrg.determinant import sample_determinants
-        n_samp = int(str(dic["sample"]))
-        samples = sample_determinants(mps, n_samp)
-        np.save("sample_dets.npy",
-                np.array([occ for occ, _ in samples], dtype=np.int8))
+        sval = str(dic["sample"])
+        if "." in sval:
+            # fractional value = coefficient cutoff: deterministic
+            # enumeration of dominant configurations (reference
+            # block2main `sample <cutoff>` CSF sampling, main_test/041)
+            from ..dmrg.determinant import dominant_determinants
+            doms = dominant_determinants(mps, cutoff=float(sval),
+                                         max_dets=100000)
+            np.save("sample_dets.npy",
+                    np.array([occ for _, occ in doms], dtype=np.int8))
+            np.save("sample_vals.npy",
+                    np.array([c for c, _ in doms]))
+        else:
+            from ..dmrg.determinant import sample_determinants
+            samples = sample_determinants(mps, int(sval))
+            np.save("sample_dets.npy",
+                    np.array([occ for occ, _ in samples], dtype=np.int8))
     return float(energies[0])
 
 

@@ -24,6 +24,13 @@ KNOWN_KEYS = {
     "copy_mps", "split_states",
     "tran_onepdm", "tran_twopdm", "restart_tran_onepdm",
     "restart_tran_twopdm",
+    "nat_orbs", "nat_km_reorder", "nat_positive_def",
+    "irrep_reorder", "orbital_rotation", "restart_oh",
+    "restart_copy_mps", "trans_mps_to_sz",
+    "trans_mps_from_singlet_embedding", "resolve_twosz",
+    "normalize_mps", "conventional_npdm", "diag_twopdm",
+    "restart_diag_twopdm",
+    "compression", "overlap", "read_mps_tags",
 }
 
 

@@ -240,9 +240,142 @@ def evaluate(expr: WickExpr, tensors: Dict[str, np.ndarray],
     return total
 
 
+class ContractionCache:
+    """Cross-term common-subexpression memo for Wick-generated equation
+    sets — the analog of the reference's WickGraph term factorization
+    (src/ic/wick.hpp:2692 WickGraph): identical binary sub-contractions
+    appearing in many terms (e.g. v*t2 intermediates across the CCSD
+    residual) are computed once and reused.
+
+    Intermediates that depend on a tensor named in `volatile` are kept
+    in a per-epoch store, cleared by `new_epoch()` — so an EOM sigma
+    evaluation can cache all H-bar intermediates persistently while the
+    trial-vector-dependent pieces are rebuilt each matvec.
+
+    Validity: persistent entries assume the non-volatile arrays in
+    `tensors` are unchanged between calls; pass a fresh cache otherwise.
+    """
+
+    def __init__(self, volatile: Sequence[str] = ()):
+        self.volatile = set(volatile)
+        self.data: Dict = {}
+        self.vol_data: Dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    def new_epoch(self) -> None:
+        self.vol_data.clear()
+
+    def get_or(self, key, vol: bool, fn):
+        store = self.vol_data if vol else self.data
+        ent = store.get(key)
+        if ent is not None:
+            self.hits += 1
+            return ent
+        self.misses += 1
+        ent = store[key] = fn()
+        return ent
+
+
+def _factored_einsum(specs, arrays, keys, out_sub, cache: ContractionCache):
+    """Evaluate einsum(specs -> out_sub) as greedy binary contractions
+    with canonical-key memoization in `cache`.  `keys` carries a
+    (hashable key, volatile flag) per input array."""
+    # nodes: [letters, key, array, volatile]
+    nodes = []
+    for sub, arr, (key, vol) in zip(specs, arrays, keys):
+        if len(set(sub)) != len(sub):         # internal trace/diagonal
+            uniq = "".join(dict.fromkeys(sub))
+            pat = tuple(sub.index(c) for c in sub)
+            k2 = ("diag", key, pat)
+            arr = cache.get_or(
+                k2, vol, lambda s=sub, u=uniq, a=arr:
+                np.einsum(f"{s}->{u}", a))
+            sub, key = uniq, k2
+        nodes.append([sub, key, arr, vol])
+
+    def letter_counts():
+        cnt: Dict[str, int] = {}
+        for c in out_sub:
+            cnt[c] = cnt.get(c, 0) + 1
+        for nd in nodes:
+            for c in nd[0]:
+                cnt[c] = cnt.get(c, 0) + 1
+        return cnt
+
+    def reduce_lone(nd, others):
+        # sum axes whose letter appears neither in the output nor in
+        # any OTHER node (nd itself is deliberately not counted)
+        used = set(out_sub)
+        for o in others:
+            used.update(o[0])
+        lone = [c for c in nd[0] if c not in used]
+        if not lone:
+            return nd
+        keep = "".join(c for c in nd[0] if c not in lone)
+        axes = tuple(i for i, c in enumerate(nd[0]) if c in lone)
+        k2 = ("sum", nd[1], axes)
+        arr = cache.get_or(k2, nd[3],
+                           lambda a=nd[2], ax=axes: a.sum(axis=ax))
+        return [keep, k2, arr, nd[3]]
+
+    nodes = [reduce_lone(nd, nodes[:k] + nodes[k + 1:])
+             for k, nd in enumerate(nodes)]
+    while len(nodes) > 1:
+        # pick the pair with the smallest result size (prefer shared)
+        best = None
+        for i in range(len(nodes)):
+            for j in range(i + 1, len(nodes)):
+                if not set(nodes[i][0]) & set(nodes[j][0]) \
+                        and best is not None:
+                    continue
+                cnt = letter_counts()
+                la, lb = nodes[i][0], nodes[j][0]
+                shared = set(la) & set(lb)
+                summed = {c for c in shared if cnt[c] == 2}
+                size = 1
+                for c in dict.fromkeys(la + lb):
+                    if c not in summed:
+                        d = (nodes[i][2].shape[la.index(c)]
+                             if c in la else
+                             nodes[j][2].shape[lb.index(c)])
+                        size *= d
+                if best is None or size < best[0]:
+                    best = (size, i, j)
+        _, i, j = best
+        a, b = nodes[i], nodes[j]
+        if (b[1], b[0]) < (a[1], a[0]):        # canonical child order
+            a, b = b, a
+        la, lb = a[0], b[0]
+        cnt = letter_counts()
+        shared = set(la) & set(lb)
+        summed = sorted(c for c in shared if cnt[c] == 2)
+        kept = sorted(c for c in shared if cnt[c] > 2)
+        pairs_sum = tuple((la.index(c), lb.index(c)) for c in summed)
+        pairs_keep = tuple((la.index(c), lb.index(c)) for c in kept)
+        key = ("bin", a[1], b[1], pairs_sum, pairs_keep)
+        out_letters = "".join(
+            [c for c in la if c not in summed]
+            + [c for c in lb if c not in shared])
+        vol = a[3] or b[3]
+        arr = cache.get_or(
+            key, vol,
+            lambda la=la, lb=lb, ol=out_letters, x=a[2], y=b[2]:
+            np.einsum(f"{la},{lb}->{ol}", x, y, optimize=True))
+        nodes = [nd for k, nd in enumerate(nodes) if k not in (i, j)]
+        nodes.append(reduce_lone([out_letters, key, arr, vol], nodes))
+    sub, key, arr, vol = nodes[0]
+    if sub == out_sub:
+        return arr
+    k2 = ("perm", key, sub, out_sub)
+    return cache.get_or(k2, vol,
+                        lambda: np.einsum(f"{sub}->{out_sub}", arr))
+
+
 def evaluate_tensor(expr: WickExpr, tensors: Dict[str, np.ndarray],
                     spaces: Dict[str, np.ndarray],
-                    free: Sequence[str]) -> np.ndarray:
+                    free: Sequence[str],
+                    cache: Optional[ContractionCache] = None) -> np.ndarray:
     """Like `evaluate` but with FREE indices kept open: returns an
     ndarray over the free indices' LOCAL spaces (occ/vir positions, not
     global orbitals) — the machinery behind machine-generated projected
@@ -318,6 +451,7 @@ def evaluate_tensor(expr: WickExpr, tensors: Dict[str, np.ndarray],
             out_sub += letters[r]
         specs = []
         arrays = []
+        fac_keys = []
         for name, ixs in facs:
             sub = ""
             for x in ixs:
@@ -328,17 +462,29 @@ def evaluate_tensor(expr: WickExpr, tensors: Dict[str, np.ndarray],
             specs.append(sub)
             arr = tensors[name]
             slicers = []
+            ax_spaces = []
             for x in ixs:
                 sp = cls_space.get(find(x), GEN)
+                ax_spaces.append(sp)
                 slicers.append(spaces.get(sp, np.arange(arr.shape[0])))
-            arrays.append(arr[np.ix_(*slicers)])
+            if cache is not None:
+                vol = name in cache.volatile
+                key = ("leaf", name, tuple(ax_spaces))
+                arrays.append(cache.get_or(
+                    key, vol,
+                    lambda a=arr, s=slicers: a[np.ix_(*s)]))
+                fac_keys.append((key, vol))
+            else:
+                arrays.append(arr[np.ix_(*slicers)])
         for (x, y) in eye_facs:
             for z in (x, y):
                 if z not in letters:
                     letters[z] = next(alphabet)
             specs.append(letters[x] + letters[y])
-            nsp = len(spaces[cls_space.get(x, space_of(x))])
+            sp_e = cls_space.get(x, space_of(x))
+            nsp = len(spaces[sp_e])
             arrays.append(np.eye(nsp))
+            fac_keys.append((("eye", sp_e), False))
         # dummy classes not bound to any factor: multiply their sizes
         mult = 1.0
         bound = set()
@@ -360,8 +506,12 @@ def evaluate_tensor(expr: WickExpr, tensors: Dict[str, np.ndarray],
             # contribution)
             total += term.coeff * mult
             continue
-        val = np.einsum(",".join(specs) + "->" + out_sub, *arrays,
-                        optimize=True)
+        if cache is not None:
+            val = _factored_einsum(specs, arrays, fac_keys, out_sub,
+                                   cache)
+        else:
+            val = np.einsum(",".join(specs) + "->" + out_sub, *arrays,
+                            optimize=True)
         total += term.coeff * mult * val
     return total
 

@@ -129,7 +129,15 @@ _SU2_STATES = {0: [(0, 0)], 1: [(1, 1), (2, -1)], 2: [(3, 0)]}
 
 def su2_to_sz_mps(engine, tjz: int = None) -> MPS:
     """Expand a solved spin-adapted MPS (SU2FermionDMRG) into an abelian SZ
-    MPS for the 2Sz = tjz projection (default: highest weight 2Sz = 2S).
+    MPS for the *physical* 2Sz = tjz projection (default: highest weight).
+
+    Singlet-embedded MPSs (engine.LV != vacuum, reference
+    mps.hpp:1869 from_singlet_embedding_wfn semantics) are supported:
+    the fictitious left boundary multiplet is fixed to the projection
+    2m = T[1] - tjz and subtracted from every bond label afterwards, so
+    the result is the physical non-embedded SZ component (its norm is
+    the Clebsch-Gordan weight, 1/sqrt(2S+1) for a singlet embedding —
+    normalize afterwards if a unit state is wanted).
 
     Requires the engine's stored tensors to be in left-fusion form with the
     center absorbed at the last site — i.e. the last completed sweep was a
@@ -146,9 +154,17 @@ def su2_to_sz_mps(engine, tjz: int = None) -> MPS:
         engine.sweep(True, dav_thrd=1e-12)
     L = engine.L
     T = engine.T
+    LV = tuple(getattr(engine, "LV", (0, 0, 0)))
     if tjz is None:
-        tjz = T[1]
-    assert abs(tjz) <= T[1] and (tjz - T[1]) % 2 == 0
+        tjz = T[1] if LV == (0, 0, 0) else LV[1]
+    if LV == (0, 0, 0):
+        assert abs(tjz) <= T[1] and (tjz - T[1]) % 2 == 0
+        mz0 = 0
+        tjz_tot = tjz
+    else:
+        tjz_tot = T[1]          # highest weight of the embedded total
+        mz0 = tjz_tot - tjz     # fictitious-multiplet projection
+        assert abs(mz0) <= LV[1] and (mz0 - LV[1]) % 2 == 0
 
     # SZ bond sector layouts: (N, mz, pg) -> [(su2 sector q, offset, dim)]
     def bond_layout(dims_su2):
@@ -164,17 +180,24 @@ def su2_to_sz_mps(engine, tjz: int = None) -> MPS:
 
     # per-bond SU2 sector dims from the tensors
     bond_dims: List[Dict] = [dict() for _ in range(L + 1)]
-    bond_dims[0] = {(0, 0, 0): 1}
+    bond_dims[0] = {LV: 1}
     for t in range(L):
         for (ql, m, qr), mat in engine.tensors[t].items():
             bond_dims[t].setdefault(ql, mat.shape[0])
             bond_dims[t + 1].setdefault(qr, mat.shape[1])
     layouts = [bond_layout(bd) for bd in bond_dims]
-    # restrict the terminal bond to the requested projection
-    layouts[L] = {(T[0], tjz, T[2]): [(T, 0, 1)]}
+    # fix the boundaries: fictitious multiplet projection on the left,
+    # requested total projection on the right
+    layouts[0] = {(LV[0], mz0, LV[2]): [(LV, 0, 1)]}
+    layouts[L] = {(T[0], tjz_tot, T[2]): [(T, 0, 1)]}
 
+    # physical (non-embedded) labels: subtract the fictitious boundary
+    def _phys(q):
+        return (q[0] - LV[0], q[1] - mz0, q[2] ^ LV[2])
+
+    target_phys = _phys((T[0], tjz_tot, T[2]))
     site_quanta = [sz_site_basis_quanta(int(p)) for p in engine.site_pgs]
-    info = MPSInfo(SZ_GROUP, site_quanta, (T[0], tjz, T[2]),
+    info = MPSInfo(SZ_GROUP, site_quanta, target_phys,
                    max(sum(r[2] for r in runs)
                        for lay in layouts for runs in lay.values()))
     tensors: List[MPSTensor] = []
@@ -207,7 +230,7 @@ def su2_to_sz_mps(engine, tjz: int = None) -> MPS:
                         continue
                     dl_tot = sum(r[2] for r in layouts[t][kl])
                     dr_tot = sum(r[2] for r in layouts[t + 1][kr])
-                    key = (kl, qp, kr)
+                    key = (_phys(kl), qp, _phys(kr))
                     blk = blocks.get(key)
                     if blk is None:
                         blk = np.zeros((dl_tot, 1, dr_tot))
