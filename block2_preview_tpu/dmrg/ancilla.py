@@ -70,6 +70,67 @@ def thermal_mps(fd: FCIDUMP) -> MPS:
     return MPS(info, tensors, center=0)
 
 
+def ft_greens_function(fd: FCIDUMP, beta: float, omega: float, eta: float,
+                       isite: int, jsite: int, n_time_steps: int = 10,
+                       bond_dim: int = 200, gf_bond_dim: int = 200,
+                       n_sweeps: int = 6, alpha: bool = True,
+                       addition: bool = False, iprint: int = 0) -> complex:
+    """Finite-temperature dynamical Green's function via ancilla
+    purification (reference pyblock2/ft_gfdmrg.py:87 greens_function):
+
+        G_ij(w + i*eta) = <rho| V_i^dag (w + E_beta + i*eta - H)^{-1}
+                          V_j |rho>
+
+    |rho> is the normalized purification at inverse temperature beta
+    (grand canonical, mu = 0, full Fock space), E_beta = <rho|H|rho>,
+    and V = a_{j,sigma} (removal part; addition=True uses a^dag).  The
+    reference's sign convention (ft_gfdmrg.py:103-105 solves
+    (H - E0 + w + i*eta)^{-1}) maps onto this with w -> -w.
+    """
+    from ..ops.local_ops import CRE_A, CRE_B, DES_A, DES_B
+    from .expect import mps_overlap
+    from .greens import GreensFunction
+    from .linear import Linear
+
+    mpo = ancilla_qc_mpo(fd)
+    rho = thermal_mps(fd)
+    te = TimeEvolution(mpo, rho, imaginary=True, normalize=True,
+                       iprint=max(iprint - 1, 0))
+    e0 = te.solve(n_time_steps, (beta / 2.0) / n_time_steps, bond_dim)
+    if iprint:
+        print(f"ft_gf: E(beta={beta}) = {e0:.10f}")
+
+    g = SZ_GROUP
+    L2 = 2 * fd.n_sites
+    pgs = np.repeat(np.asarray(fd.orb_sym, dtype=np.int64), 2)
+    opid = (CRE_A if alpha else CRE_B) if addition \
+        else (DES_A if alpha else DES_B)
+
+    def _site_mpo(site: int) -> MPO:
+        tt = build_term_table(L2, [(1.0, [(2 * site, opid)])], group=g)
+        return build_mpo(tt, site_pgs=pgs)
+
+    def _apply(site: int, seed: int) -> MPS:
+        smpo = _site_mpo(site)
+        dq = smpo.bond_dqs[-1][0]
+        tb = g.add(rho.info.target, dq)
+        info = MPSInfo(g, rho.info.site_quanta, tb, gf_bond_dim)
+        b = MPS.random(info, seed=seed)
+        Linear(b, [(smpo, rho)]).solve(gf_bond_dim, n_sweeps=n_sweeps)
+        return b
+
+    b_j = _apply(jsite, seed=11)
+    info_x = MPSInfo(g, rho.info.site_quanta, b_j.info.target,
+                     gf_bond_dim)
+    x = MPS.random(info_x, seed=13)
+    gf = GreensFunction(mpo, b_j, x, iprint=iprint)
+    val = gf.solve(omega + e0, eta, gf_bond_dim, n_sweeps=n_sweeps)
+    if isite == jsite:
+        return val
+    b_i = _apply(isite, seed=17)
+    return complex(mps_overlap(b_i, gf.x))
+
+
 def ft_energy(fd: FCIDUMP, beta: float, n_steps: int, bond_dim: int,
               iprint: int = 0) -> Tuple[float, TimeEvolution]:
     """E(beta) = Tr(H exp(-beta H)) / Tr(exp(-beta H)) over the full Fock

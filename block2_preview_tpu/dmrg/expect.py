@@ -51,13 +51,16 @@ def mpo_expectation(mpo: MPO, ket: MPS, bra: Optional[MPS] = None) -> float:
 
 
 def mps_overlap(bra: MPS, ket: MPS) -> float:
-    """<bra|ket> via identity transfer."""
+    """<bra|ket> via identity transfer (complex preserved when the
+    imaginary part is significant)."""
     g = bra.group
     e: EnvBlocks = {(g.zero, g.zero): np.ones((1, 1))}
     for t in range(bra.n_sites):
         e = _transfer_identity(e, bra.tensors[t], ket.tensors[t])
     target = ket.info.target
-    return float(e.get((target, target), np.zeros((1, 1)))[0, 0])
+    val = complex(e.get((target, target), np.zeros((1, 1)))[0, 0])
+    return val if abs(val.imag) > 1e-10 * max(abs(val.real), 1.0) \
+        else float(val.real)
 
 
 def _transfer_identity(e: EnvBlocks, Tb, Tk) -> EnvBlocks:

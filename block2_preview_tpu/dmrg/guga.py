@@ -216,3 +216,56 @@ class CSFSpace:
             idx[i] = v
         hd = h[np.ix_(idx, idx)].toarray()
         return C.T @ hd @ C
+
+
+def su2_csf_coefficients(engine, cutoff: float = 1e-8,
+                         max_csfs: int = 100000
+                         ) -> List[Tuple[float, Tuple[int, ...]]]:
+    """CSF (Gelfand / DRT-basis) coefficients of a spin-adapted MPS.
+
+    The SU(2) engine's reduced MPS *is* a DRT-MPS (reference
+    src/big_site/drt_mps.hpp:31 DRTMPS; DRT rows = the bond sectors
+    (N, 2S, pg)): each GUGA step d in {0,1,2,3} picks the site
+    multiplet (empty / singly with 2S' = 2S+1 / singly with 2S' = 2S-1
+    / doubly occupied), and the coefficient of a CSF is the product of
+    reduced matrix elements along its DRT path (machine-verified
+    against the determinant expansion in tests/test_drt_mps.py).
+
+    Returns [(coeff, steps)] sorted by |coeff| descending, filtered at
+    `cutoff`.  Requires left-fusion form (center absorbed at the last
+    site); a forward sweep is run if the engine last swept backward.
+    """
+    if engine._forward_next:
+        engine.sweep(True, dav_thrd=1e-12)
+    L = engine.L
+    T = tuple(engine.T)
+    LV = tuple(getattr(engine, "LV", (0, 0, 0)))
+    pgs = [int(p) for p in engine.site_pgs]
+    results: List[Tuple[float, Tuple[int, ...]]] = []
+
+    def dfs(t: int, q, vec, steps):
+        if len(results) >= max_csfs:
+            return
+        if t == L:
+            if q == T and abs(vec[0]) >= cutoff:
+                results.append((float(vec[0]), steps))
+            return
+        n, s2, pg = q
+        for d, (m, q2) in enumerate((
+                (0, (n, s2, pg)),
+                (1, (n + 1, s2 + 1, pg ^ pgs[t])),
+                (1, (n + 1, s2 - 1, pg ^ pgs[t])),
+                (2, (n + 2, s2, pg ^ pgs[t])))):
+            if q2[1] < 0:
+                continue
+            blk = engine.tensors[t].get((q, m, q2))
+            if blk is None:
+                continue
+            v2 = vec @ blk
+            if float(np.abs(v2).max(initial=0.0)) < 1e-14:
+                continue
+            dfs(t + 1, q2, v2, steps + (d,))
+
+    dfs(0, LV, np.ones(1), ())
+    results.sort(key=lambda x: -abs(x[0]))
+    return results

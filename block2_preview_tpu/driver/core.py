@@ -374,7 +374,14 @@ class DMRGDriver:
     def get_csf_coefficients(self, ket: MPS, cutoff: float = 0.05,
                              max_dets: int = 200):
         """Dominant configurations and coefficients
-        (reference pyblock2/driver/core.py:6083)."""
+        (reference pyblock2/driver/core.py:6083).  Spin-adapted MPSs
+        (SU2MPSSpec) return true CSF/Gelfand-basis step vectors via
+        the DRT-MPS path expansion (reference drt_mps.hpp:31);
+        abelian MPSs return determinants."""
+        if isinstance(ket, SU2MPSSpec) and ket.engine is not None:
+            from ..dmrg.guga import su2_csf_coefficients
+            return su2_csf_coefficients(ket.engine, cutoff=cutoff,
+                                        max_csfs=max_dets)
         from ..dmrg.determinant import dominant_determinants
         return dominant_determinants(ket, cutoff=cutoff, max_dets=max_dets)
 
