@@ -131,6 +131,43 @@ def cr2_leg(dev_kind: str):
     return res
 
 
+def mixed_precision_leg(dev_kind: str):
+    """f32 warmup + f64 polish accuracy demo (VERDICT r1 item 7): the
+    polished N2 D=250 device run must reach <= 1e-6 Ha vs block2."""
+    import os
+    import re
+    import subprocess
+    import sys
+    if dev_kind == "cpu" and not os.environ.get("B2TPU_BENCH_MIXED"):
+        return {"skipped": "cpu device"}
+    if os.environ.get("B2TPU_BENCH_MIXED") == "0":
+        return {"skipped": "disabled"}
+    budget = float(os.environ.get("B2TPU_BENCH_MIXED_BUDGET", "1500"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        p = subprocess.run(
+            [sys.executable,
+             os.path.join(here, "scripts", "run_mixed_precision.py"),
+             "n2", "250"],
+            capture_output=True, text=True, timeout=budget, env=env)
+        out = p.stdout
+    except subprocess.TimeoutExpired:
+        return {"done": False, "skipped": "budget exceeded"}
+    res = {}
+    for leg in ("f32_leg", "final"):
+        m = re.search(rf"MIXED n2 {leg} (-?[\d.]+) err (-?[\d.e+-]+) "
+                      rf"t ([\d.]+)", out)
+        if m:
+            res[leg] = {"energy": float(m.group(1)),
+                        "err_ha": float(m.group(2)),
+                        "seconds": float(m.group(3))}
+    m = re.search(r"MIXED n2 pass (\w+)", out)
+    res["pass_1e6"] = (m.group(1) == "True") if m else False
+    return res
+
+
 def main():
     _ensure_device_alive()
     from block2_preview_tpu.ops.exec_jax import FusedPlanExecutor
@@ -202,6 +239,9 @@ def main():
     # energy if the sweep finishes within the budget
     cr2 = cr2_leg(dev_kind)
 
+    # mixed-precision accuracy demo (f32 warmup + f64 polish <= 1e-6)
+    mixed = mixed_precision_leg(dev_kind)
+
     print(json.dumps({
         "metric": "sigma_matvec_effective_gflops",
         "value": round(gf_dev, 2),
@@ -219,6 +259,7 @@ def main():
         "n2_sto3g_d250_solve_seconds": round(t_solve, 2),
         "tpu_smoke": smoke,
         "cr2_svp_sweep0_d250": cr2,
+        "mixed_precision_n2_d250": mixed,
         "baseline_note": "vs_baseline = device f32 bucketed executor GFLOP/s "
                          "over host numpy f64 per-triple BLAS executor",
     }))

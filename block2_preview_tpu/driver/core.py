@@ -371,6 +371,26 @@ class DMRGDriver:
             gf = GreensFunction(h_mpo, b, x, iprint=iprint)
         return gf.solve(omega + e0, eta, bond_dim, n_sweeps=n_sweeps)
 
+    def lt_dmrg(self, mpo: MPO, ket, beta: float, bond_dims, noises,
+                thrds, n_roots: int = 4, n_sweeps: int = 10,
+                tol: float = 1e-9, iprint: int = 0):
+        """Low-temperature finite-T averages via the multi-target
+        state-averaged excited-state approach (reference
+        pyblock2/ltdmrg.py; Boltzmann PartitionWeights,
+        sweep_algorithm.hpp:5233): solve the n_roots lowest states in
+        the target sector, then average with canonical weights
+        w_i = exp(-beta E_i)/Z.  Complements the ancilla purification
+        (dmrg/ancilla.py), which is the high-T/grand-canonical tool.
+
+        Returns (E(beta), per-root energies, weights)."""
+        e = self.dmrg(mpo, ket, bond_dims, noises, thrds,
+                      n_sweeps=n_sweeps, tol=tol, iprint=iprint,
+                      n_roots=n_roots)
+        es = np.atleast_1d(np.asarray(e, dtype=np.float64))
+        w = np.exp(-beta * (es - es.min()))
+        w /= w.sum()
+        return float((w * es).sum()), es, w
+
     def get_csf_coefficients(self, ket: MPS, cutoff: float = 0.05,
                              max_dets: int = 200):
         """Dominant configurations and coefficients
