@@ -43,36 +43,62 @@ def fock_site_spec(member_pgs: Sequence[int],
     DES_B}.  quanta(pg) ignores its argument (member pgs are baked in).
     """
     k = len(member_pgs)
-    base_q = SZ_SITE.quanta(0)
-    # enumerate product states (site-major kron order) with summed quanta
-    quanta_full: List[QN] = []
-    for occ in iproduct(range(4), repeat=k):
+    cap = 2 * k if max_n is None else max_n
+    n_of_p = [q[group.fermion_index] for q in SZ_SITE.quanta(0)]
+    par_p = np.diag(PARITY)
+    # enumerate the windowed product states directly (site-major order,
+    # identical to the previous kron-then-slice layout) — never build a
+    # 4^k intermediate, so MRCI external spaces with many members stay
+    # cheap: dim = sum_{n<=cap} C-combinatorics, not 4^k
+    states: List[Tuple[int, ...]] = []
+    if 4 ** k <= 1 << 20:
+        for occ in iproduct(range(4), repeat=k):
+            if min_n <= sum(n_of_p[p] for p in occ) <= cap:
+                states.append(occ)
+    else:
+        # large member counts: enumerate only the windowed states by
+        # choosing the occupied members (the full 4^k scan is the
+        # bottleneck long before the output dim is)
+        from itertools import combinations
+        cand: List[Tuple[int, ...]] = []
+        for m in range(0, min(k, cap) + 1):
+            for pos in combinations(range(k), m):
+                for codes in iproduct((1, 2, 3), repeat=m):
+                    n = sum(n_of_p[c] for c in codes)
+                    if min_n <= n <= cap:
+                        occ = [0] * k
+                        for i, c in zip(pos, codes):
+                            occ[i] = c
+                        cand.append(tuple(occ))
+        states = sorted(cand)
+    quanta_list: List[QN] = []
+    for occ in states:
         q = group.zero
         for u, p in enumerate(occ):
-            qu = SZ_SITE.quanta(int(member_pgs[u]))[p]
-            q = group.add(q, qu)
-        quanta_full.append(q)
-    n_of = np.array([q[group.fermion_index] for q in quanta_full])
-    cap = 2 * k if max_n is None else max_n
-    keep = np.nonzero((n_of >= min_n) & (n_of <= cap))[0]
-
-    def _kron(mats):
-        out = np.eye(1)
-        for m in mats:
-            out = np.kron(out, m)
-        return out
+            q = group.add(q, SZ_SITE.quanta(int(member_pgs[u]))[p])
+        quanta_list.append(q)
+    index = {occ: i for i, occ in enumerate(states)}
+    dim = len(states)
 
     elem: Dict[int, np.ndarray] = {}
     for u in range(k):
+        # JW sign over members < u (kron of PARITY factors is diagonal)
+        signs = np.array([np.prod([par_p[p] for p in occ[:u]])
+                          if u else 1.0 for occ in states])
         for e, m4 in ELEM_MATS.items():
-            mats = [PARITY] * u + [m4] + [IDENT] * (k - u - 1)
-            full = _kron(mats)
-            elem[4 * u + e] = np.ascontiguousarray(full[np.ix_(keep, keep)])
-    ident = np.eye(len(keep))
-    parity = np.ascontiguousarray(
-        _kron([PARITY] * k)[np.ix_(keep, keep)])
-    quanta_list = [quanta_full[i] for i in keep]
-    return SiteBasisSpec(name, len(keep), elem, ident, parity,
+            m = np.zeros((dim, dim))
+            for j, occ in enumerate(states):
+                col = m4[:, occ[u]]
+                for new_p in np.nonzero(col)[0]:
+                    occ2 = occ[:u] + (int(new_p),) + occ[u + 1:]
+                    i = index.get(occ2)
+                    if i is not None:
+                        m[i, j] += col[new_p] * signs[j]
+            elem[4 * u + e] = m
+    ident = np.eye(dim)
+    parity = np.diag(np.array(
+        [np.prod([par_p[p] for p in occ]) for occ in states]))
+    return SiteBasisSpec(name, dim, elem, ident, parity,
                          lambda pg: list(quanta_list), fermionic=True)
 
 
@@ -194,7 +220,11 @@ def big_site_aqcc(fd, groups, caps, bond_dim: int = 120,
         mpo = mpo_sum(mpo_h, mpo_scale(mpo_p, sigma)) if sigma != 0.0 \
             else mpo_h
         info = MPSInfo(SZ_GROUP, sq, target, bond_dim)
-        dmrg = DMRG(mpo, MPS.random(info), iprint=0)
+        # a trailing big site gets one-site updates (reference
+        # sweep_algorithm_big_site.hpp:44 last_site_1site): the external
+        # space is never fused with the neighbor's physical dimension
+        dmrg = DMRG(mpo, MPS.random(info), iprint=0,
+                    last_site_1site=(big == L - 1))
         e_shift = dmrg.solve([bond_dim], [1e-4, 1e-5, 0], [1e-10],
                              n_sweeps=10, tol=1e-11)
         # <P_ext> for the shift bookkeeping: E = E_shifted - sigma * <P>

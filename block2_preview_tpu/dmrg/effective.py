@@ -467,27 +467,15 @@ class EffectiveHamiltonian1:
         active_r = {qc for (_, qc) in self.keys}
         quanta = mpo.site_quanta[s]
 
-        LW: Dict[int, Dict[Key2, np.ndarray]] = {}
-        for (i, m), w in mpo.tensors[s].items():
-            if i not in env_l:
-                continue
-            e = env_l[i]
-            for pb, pk in zip(*np.nonzero(w)):
-                coef = w[pb, pk]
-                qpb, qpk = quanta[int(pb)], quanta[int(pk)]
-                for (qlb, qlk), eb in e.blocks.items():
-                    qLb, qLk = g.add(qlb, qpb), g.add(qlk, qpk)
-                    if qLb not in active_l or qLk not in active_l:
-                        continue
-                    ob, dlb, _ = self.fl.sub_offset(qLb, qlb, qpb)
-                    ok, dlk, _ = self.fl.sub_offset(qLk, qlk, qpk)
-                    dm = LW.setdefault(m, {})
-                    blk = dm.get((qLb, qLk))
-                    if blk is None:
-                        blk = np.zeros((self.fl.info[qLb],
-                                        self.fl.info[qLk]), dtype=self.dtype)
-                        dm[(qLb, qLk)] = blk
-                    blk[ob:ob + dlb, ok:ok + dlk] += coef * eb
+        # degenerate-quanta-safe vectorized assembly (the hand-rolled
+        # per-element loop placed every site state at the start of its
+        # quanta run, corrupting the operator whenever a site quantum has
+        # multiplicity > 1 — i.e. every big site)
+        from ..ops.blocking import assemble_fused_ops
+        LW = assemble_fused_ops(
+            env_l, mpo.tensors[s], quanta, self.fl, bond_is_first=True,
+            join_on_input=True, group=g, active=active_l,
+            fused_ket=self.fl, active_ket=active_l, dtype=self.dtype)
         RW: Dict[int, Dict[Key2, np.ndarray]] = {}
         for m, bm in env_r.items():
             dm = RW.setdefault(m, {})
@@ -648,30 +636,15 @@ class EffectiveHamiltonian1R:
                 if qb2 in active_l and qk2 in active_l:
                     dm[(qb2, qk2)] = eb
         # RW[m] assembled from W_s and E_R[s+1] on the right-fused basis
-        RW: Dict[int, Dict[Key2, np.ndarray]] = {}
-        for (m, o), w in mpo.tensors[s].items():
-            if o not in env_r:
-                continue
-            e = env_r[o]
-            for pb, pk in zip(*np.nonzero(w)):
-                coef = w[pb, pk]
-                qpb, qpk = quanta[int(pb)], quanta[int(pk)]
-                for (qb2, qk2), eb in e.blocks.items():
-                    qRb = g.add(qpb, g.sub(self.target, qb2))
-                    qRk = g.add(qpk, g.sub(self.target, qk2))
-                    if qRb not in active_r or qRk not in active_r:
-                        continue
-                    ob, _, dbb = self.fr.sub_offset(
-                        qRb, qpb, g.sub(self.target, qb2))
-                    ok, _, dbk = self.fr.sub_offset(
-                        qRk, qpk, g.sub(self.target, qk2))
-                    dm = RW.setdefault(m, {})
-                    blk = dm.get((qRb, qRk))
-                    if blk is None:
-                        blk = np.zeros((self.fr.info[qRb],
-                                        self.fr.info[qRk]), dtype=self.dtype)
-                        dm[(qRb, qRk)] = blk
-                    blk[ob:ob + dbb, ok:ok + dbk] += coef * eb
+        # (assemble_fused_ops handles degenerate site quanta — the old
+        # per-element loop broke for big-site multiplicities > 1)
+        from ..ops.blocking import assemble_fused_ops
+        RW = assemble_fused_ops(
+            env_r, mpo.tensors[s], quanta, self.fr, bond_is_first=False,
+            join_on_input=False, comp_target=self.target, group=g,
+            active=active_r, fused_ket=self.fr,
+            comp_target_ket=self.target, active_ket=active_r,
+            dtype=self.dtype)
         self.LW, self.RW = LW, RW
 
         triples = []

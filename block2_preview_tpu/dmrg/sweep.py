@@ -261,9 +261,16 @@ class DMRG:
                  proj_mpss: Optional[Sequence[MPS]] = None,
                  proj_weights: Optional[Sequence[float]] = None,
                  env_disk_dir: Optional[str] = None,
-                 env_disk_window: int = 2):
+                 env_disk_window: int = 2,
+                 last_site_1site: bool = False):
         self.mpo = mpo
         self.mps = mps
+        # big-site specialization (reference
+        # sweep_algorithm_big_site.hpp:44 DMRGBigSite last_site_1site):
+        # in a two-site sweep the last site gets a one-site update, so a
+        # big site at the chain end is never fused with its neighbor's
+        # physical dimension (the two-dot tensor would be d_prev x d_big)
+        self.last_site_1site = last_site_1site
         if backend not in ("numpy", "jax", "jax_device", "jax_stacked",
                            "jax_tiled", "jax_resident"):
             raise ValueError(f"unknown backend '{backend}' "
@@ -749,13 +756,17 @@ class DMRG:
               dav_thrd: float, dot: int = 2) -> SweepResults:
         L = self.mpo.n_sites
         res = SweepResults()
+        ls1 = self.last_site_1site and dot == 2 and self.n_roots == 1
         if dot == 1:
             rng = range(L) if forward else range(L - 1, -1, -1)
+        elif ls1:
+            rng = range(L - 2) if forward else range(L - 3, -1, -1)
         else:
             rng = range(L - 1) if forward else range(L - 2, -1, -1)
-        for t in rng:
+
+        def _site(t, one_dot):
             tsite = time.time()
-            if dot == 1:
+            if one_dot:
                 e, dw, nmv = self.update_one_dot(t, forward, bond_dim, noise,
                                                  dav_thrd)
             else:
@@ -771,6 +782,26 @@ class DMRG:
                 print(f"   {'-->' if forward else '<--'} site {t:3d} "
                       f"E = {estr}  dw = {dw:.2e}  nmv = {nmv}  "
                       f"t = {time.time() - tsite:.2f}s", flush=True)
+
+        if ls1 and not forward:
+            # the backward sweep opens with the one-site big-site update;
+            # its decimation moves the center onto site L-2 and the
+            # two-dot windows continue from (L-3, L-2)
+            _site(L - 1, True)
+        for t in rng:
+            _site(t, dot == 1)
+        if ls1 and forward:
+            # move the center from the last two-dot window onto the big
+            # site (canonicalization only — the reference's zero-
+            # iteration blocking pass), then one-site update there
+            self.mps.left_canonicalize_site(L - 2)
+            self.me.invalidate_right(L - 1)
+            self.me.update_left(L - 2)
+            self._center_tensors = [self.mps.tensors[L - 1]]
+            self._center_pos = L - 1
+            for p in self._proj:
+                p.dirty(L - 2, L - 1)
+            _site(L - 1, True)
         return res
 
     def solve(self, bond_dims: List[int], noises: List[float],
@@ -781,7 +812,11 @@ class DMRG:
         def sched(lst, i):
             return lst[min(i, len(lst) - 1)]
 
-        forward = True
+        # start away from the current center: a previous solve() that
+        # converged on a forward sweep leaves the center at the right end
+        # with the right environments consumed — a forward restart would
+        # hit empty envs (gauge/direction state across repeated solves)
+        forward = self._center_pos <= 0
         last_e = np.full(self.n_roots, np.inf)
         for isw in range(n_sweeps):
             bd = sched(bond_dims, isw)
@@ -808,9 +843,11 @@ class DMRG:
                 self.timings.reset()
             if restart_dir is not None:
                 # per-sweep checkpoint (reference allocator.hpp:342
-                # restart_dir semantics)
+                # restart_dir semantics); record the true center so a
+                # restart can repair/trust the canonical form
                 import os
                 from ..utils.io import save_mps
+                self.mps.center = max(self._center_pos, 0)
                 save_mps(self.mps, os.path.join(restart_dir, "mps.KET.npz"))
             if np.max(np.abs(e - last_e)) < tol and ns == 0:
                 break

@@ -403,6 +403,16 @@ def run(config_path: str) -> float:
         proj_w = proj_w * len(proj_mpss)
 
     tag = str(dic.get("mps_tags", "KET")).split()[0] or "KET"
+    if "fullrestart" in dic and "compression" not in dic \
+            and "restart_oh" not in dic:
+        # resume from the persisted MPS, repairing a half-written
+        # canonical form first (reference block2main fullrestart +
+        # pyblock2/driver/core.py:7100 fix_restarting_mps)
+        from ..utils.io import fix_restarting_mps
+        fn = os.path.join(scratch, "mps.%s.npz" % tag)
+        if not os.path.exists(fn):
+            raise FileNotFoundError(f"fullrestart: no stored MPS '{fn}'")
+        mps = fix_restarting_mps(load_mps(fn))
     if "compression" in dic:
         # MPS compression workflow (reference block2main `compression` +
         # `overlap` + `read_mps_tags`, main_test/042): fit |BRA> ~ |KET>

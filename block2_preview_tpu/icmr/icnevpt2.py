@@ -56,8 +56,17 @@ PATTERN_NAMES = {(2, 2): "V(0)", (1, 0): "V(+1)", (2, 0): "V(+2)",
 def ic_nevpt2_full(fd: FCIDUMP, ncore: int, ncas: int,
                    h0: str = "dyall",
                    gammas: Optional[Dict[str, np.ndarray]] = None,
-                   s_tol: float = 1e-8, iprint: int = 0):
-    """Returns (E2, E_casci, per-pattern dict)."""
+                   s_tol: float = 1e-8, iprint: int = 0,
+                   method: str = "ortho"):
+    """Returns (E2, E_casci, per-pattern dict).
+
+    method: 'ortho' solves each perturber block in the canonically
+    orthogonalized basis (reference icnevpt2_ortho.py / iccmrrept2_ortho
+    strategy); 'full' solves the generalized system in the raw
+    internally contracted basis via a min-norm least-squares (reference
+    icnevpt2_full.py CG in the non-orthogonal basis).  Both agree to
+    numerical precision — the null directions of the metric carry no
+    right-hand side."""
     n = fd.n_sites
     e_cas, c0m, ix, mask = casci_root(fd, ncore, ncas)
     if gammas is None:
@@ -175,15 +184,25 @@ def ic_nevpt2_full(fd: FCIDUMP, ncore: int, ncas: int,
                 if b != a:
                     S[offs[b]:offs[b + 1], offs[a]:offs[a + 1]] = sv.T
                     M[offs[b]:offs[b + 1], offs[a]:offs[a + 1]] = hv.T
-        w, U = np.linalg.eigh(0.5 * (S + S.T))
-        keep = w > s_tol * max(w.max(), 1.0)
-        if not np.any(keep):
-            continue
-        X = U[:, keep] / np.sqrt(w[keep])
-        Mp = X.T @ (0.5 * (M + M.T)) @ X
-        y = X.T @ rhs
-        z = np.linalg.solve(Mp, y)
-        e2p = -float(y @ z)
+        if method == "ortho":
+            w, U = np.linalg.eigh(0.5 * (S + S.T))
+            keep = w > s_tol * max(w.max(), 1.0)
+            if not np.any(keep):
+                continue
+            X = U[:, keep] / np.sqrt(w[keep])
+            Mp = X.T @ (0.5 * (M + M.T)) @ X
+            y = X.T @ rhs
+            z = np.linalg.solve(Mp, y)
+            e2p = -float(y @ z)
+        elif method == "full":
+            # raw-basis generalized solve: min-norm lstsq of M z = rhs;
+            # the metric's null space (shared by M on the physical
+            # block) is annihilated by the rcond cut
+            Msym = 0.5 * (M + M.T)
+            z = np.linalg.lstsq(Msym, rhs, rcond=s_tol)[0]
+            e2p = -float(rhs @ z)
+        else:
+            raise ValueError("method must be ortho | full")
         name = PATTERN_NAMES[pat]
         res[name] = res.get(name, 0.0) + e2p
         e2 += e2p

@@ -171,3 +171,55 @@ def load_su2_tensors(path: str) -> List[Dict]:
         qr = (int(row[6]), int(row[7]), int(row[8]))
         tensors[t][(ql, m, qr)] = data[f"b_{t}_{j}"]
     return tensors
+
+
+def fix_restarting_mps(mps: MPS, tol: float = 1e-10) -> MPS:
+    """Repair the canonical form of a checkpointed MPS in place
+    (reference pyblock2/driver/core.py:7100 fix_restarting_mps): an
+    interrupted run can leave a gauge inconsistent with the stored
+    center.  The true center is detected from the per-site left/right
+    isometry deviations, the flanks are re-canonicalized toward it
+    (state-preserving QR/LQ gauge moves), and the center tensor is
+    normalized.  Returns the same MPS object."""
+    L = mps.n_sites
+
+    def _dev_left(T) -> float:
+        by_qr: Dict[tuple, list] = {}
+        for (ql, qp, qr), b in T.blocks.items():
+            by_qr.setdefault(qr, []).append(b.reshape(-1, b.shape[2]))
+        dev = 0.0
+        for mats in by_qr.values():
+            m = np.concatenate(mats, axis=0)
+            g = m.conj().T @ m
+            dev = max(dev, float(np.abs(g - np.eye(g.shape[0])).max()))
+        return dev
+
+    def _dev_right(T) -> float:
+        by_ql: Dict[tuple, list] = {}
+        for (ql, qp, qr), b in T.blocks.items():
+            by_ql.setdefault(ql, []).append(b.reshape(b.shape[0], -1))
+        dev = 0.0
+        for mats in by_ql.values():
+            m = np.concatenate(mats, axis=1)
+            g = m @ m.conj().T
+            dev = max(dev, float(np.abs(g - np.eye(g.shape[0])).max()))
+        return dev
+
+    dl = np.array([_dev_left(t) for t in mps.tensors])
+    dr = np.array([_dev_right(t) for t in mps.tensors])
+    # center c minimizing canonical-form violations (ties -> stored
+    # center, then leftmost)
+    viol = [int((dl[:c] > tol).sum()) + int((dr[c + 1:] > tol).sum())
+            for c in range(L)]
+    best = min(viol)
+    cands = [c for c in range(L) if viol[c] == best]
+    c = mps.center if mps.center in cands else cands[0]
+    for t in range(c):
+        mps.left_canonicalize_site(t)
+    for t in range(L - 1, c, -1):
+        mps.right_canonicalize_site(t)
+    mps.center = c
+    nrm = mps.tensors[c].norm()
+    if nrm > 0:
+        mps.tensors[c] = mps.tensors[c].scaled(1.0 / nrm)
+    return mps

@@ -16,7 +16,8 @@ from block2_preview_tpu.dmrg.sweep import DMRG
 from block2_preview_tpu.utils.ed import sector_indices, term_table_to_sparse
 
 
-def _solve_grouped(fd, groups, caps=None, bond_dim=80, target_twos=0):
+def _solve_grouped(fd, groups, caps=None, bond_dim=80, target_twos=0,
+                   **dmrg_kw):
     raw = qc_raw_terms(fd)
     grouped = regroup_raw_terms(raw, groups)
     specs = grouped_site_specs(groups, fd.orb_sym, caps=caps)
@@ -26,7 +27,7 @@ def _solve_grouped(fd, groups, caps=None, bond_dim=80, target_twos=0):
     sq = [specs[t].quanta(0) for t in range(len(groups))]
     info = MPSInfo(SZ_GROUP, sq, (fd.n_elec, target_twos, 0), bond_dim)
     mps = MPS.random(info)
-    return DMRG(mpo, mps, iprint=0).solve(
+    return DMRG(mpo, mps, iprint=0, **dmrg_kw).solve(
         [bond_dim], [1e-4, 1e-5, 0], [1e-10], n_sweeps=10, tol=1e-10)
 
 
@@ -89,4 +90,34 @@ def test_big_site_restricted_mrci_style():
     keep = ix[np.array(n_ext) <= 2]
     e_ed = float(np.linalg.eigvalsh(h[np.ix_(keep, keep)].toarray())[0])
     e = _solve_grouped(fd, groups, caps=caps, bond_dim=120)
+    assert abs(e - e_ed) < 1e-9, (e, e_ed)
+
+
+def test_big_site_last_site_1site():
+    """DMRGBigSite semantics (reference sweep_algorithm_big_site.hpp:44
+    last_site_1site): in a two-site sweep the trailing big site gets a
+    one-site update, so the big-site basis is never fused with the
+    neighbor's physical dimension.  Energy parity with the plain two-dot
+    big-site run and with ED restricted to the same space."""
+    fd = FCIDUMP.hubbard(6, t=1.0, u=4.0)
+    groups = [[0], [1], [2], [3, 4, 5]]
+    caps = {3: (0, 2)}
+    h = term_table_to_sparse(qc_term_table(fd))
+    ix = sector_indices(6, 6, 0)
+    from block2_preview_tpu.ops.local_ops import SZ_SITE
+    n_state = [q[0] for q in SZ_SITE.quanta(0)]
+    keep = []
+    for state in ix:
+        occ = []
+        s = int(state)
+        for _ in range(6):
+            occ.append(s % 4)
+            s //= 4
+        occ = occ[::-1]
+        if sum(n_state[o] for o in occ[3:]) <= 2:
+            keep.append(state)
+    keep = np.array(keep)
+    e_ed = float(np.linalg.eigvalsh(h[np.ix_(keep, keep)].toarray())[0])
+    e = _solve_grouped(fd, groups, caps=caps, bond_dim=120,
+                       last_site_1site=True)
     assert abs(e - e_ed) < 1e-9, (e, e_ed)

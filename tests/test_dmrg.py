@@ -54,3 +54,18 @@ def test_dmrg_n2_sto3g_vs_block2():
     fd = FCIDUMP.parse("/root/reference/data/N2.STO3G.FCIDUMP")
     e = run_dmrg(fd, [250, 500], [1e-4, 1e-5, 1e-5, 0], n_sweeps=8)
     assert abs(e - (-107.654122447525)) < 1e-8
+
+
+def test_dmrg_repeated_solve():
+    """solve() twice on one engine instance: a solve converging on a
+    forward sweep used to leave the right environments consumed, so the
+    next solve's forward start hit empty envs (gauge/direction state)."""
+    fd = FCIDUMP.hubbard(6, t=1.0, u=4.0)
+    tt = qc_term_table(fd)
+    mpo = build_mpo(tt, site_pgs=fd.orb_sym, const_e=fd.const_e)
+    info = MPSInfo(mpo.group, mpo.site_quanta, (6, 0, 0), 120)
+    dmrg = DMRG(mpo, MPS.random(info), iprint=0)
+    # odd sweep budget with early convergence -> forward-final state
+    e1 = dmrg.solve([120], [1e-4, 1e-5, 0], [1e-10], n_sweeps=7, tol=1e-10)
+    e2 = dmrg.solve([120], [0], [1e-10], n_sweeps=2, tol=1e-12)
+    assert abs(e1 - e2) < 1e-9, (e1, e2)

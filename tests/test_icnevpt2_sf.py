@@ -80,3 +80,17 @@ def test_sf_ic_mrcisd():
     assert abs(e_so - e_sf) < 1e-10
     assert d_sf < d_so
     assert e_sf <= ecas + 1e-10      # variational below CASCI
+
+
+@pytest.mark.parametrize("h0", ["dyall", "fink"])
+def test_ortho_vs_full_solver_routes(h0):
+    """The canonically orthogonalized ('ortho', reference
+    icnevpt2_ortho.py) and raw-basis generalized ('full', reference
+    icnevpt2_full.py) solves agree: the metric's null directions carry
+    no right-hand side."""
+    fd = _rand_fd(4, 4, seed=7)
+    e_o, _, r_o = ic_nevpt2_full(fd, 1, 2, h0=h0, method="ortho")
+    e_f, _, r_f = ic_nevpt2_full(fd, 1, 2, h0=h0, method="full")
+    assert abs(e_o - e_f) < 1e-8, (e_o, e_f)
+    for k in r_o:
+        assert abs(r_o[k] - r_f.get(k, 0.0)) < 1e-7, k
