@@ -667,6 +667,46 @@ class DMRGDriver:
         return extrapolate_energy(discarded_weights, energies)
 
 
+class SOCDMRGDriver(DMRGDriver):
+    """DMRG with spin-orbit coupling (reference SOCDMRGDriver,
+    pyblock2/driver/core.py:8122).
+
+    One-step route: `hybrid_mpo_dmrg` optimizes against the sum of a
+    real scalar-relativistic MPO and a complex SOC MPO (SGF mode).
+    Two-step route: solve scalar SU(2)/SZ roots first, then
+    `soc_two_step` reconstructs the state-interaction matrix from
+    reduced triplet transition densities via Wigner-Eckart.
+    """
+
+    def hybrid_mpo_dmrg(self, mpo: MPO, mpo_cpx: MPO, ket: MPS,
+                        bond_dims=None, noises=None, thrds=None,
+                        n_sweeps: int = 10, tol: float = 1e-8,
+                        iprint: int = 0, **kwargs):
+        """Ground/excited states of H = mpo + mpo_cpx (reference
+        hybrid_mpo_dmrg, core.py:8130 — there the two MPOs are kept as
+        separate moving environments; here the complex sum is a single
+        MPO, the engine's complex path handles it)."""
+        from ..dmrg.mpo_algebra import mpo_sum
+        h = mpo_sum(mpo, mpo_cpx)
+        return self.dmrg(h, ket, bond_dims=bond_dims, noises=noises,
+                         thrds=thrds, n_sweeps=n_sweeps, tol=tol,
+                         iprint=iprint, **kwargs)
+
+    @staticmethod
+    def soc_two_step(energies, twoss, pdms_dict, hsomo, iprint: int = 0):
+        """See dmrg/soc.soc_two_step (reference core.py:8192)."""
+        from ..dmrg.soc import soc_two_step
+        return soc_two_step(energies, twoss, pdms_dict, hsomo,
+                            iprint=iprint)
+
+    @staticmethod
+    def soc_state_interaction(roots, energies, hso):
+        """One-shot SI-SOC over explicit (SZ-mode) root MPSs
+        (dmrg/soc.soc_state_interaction; reference sidmrg.py)."""
+        from ..dmrg.soc import soc_state_interaction
+        return soc_state_interaction(roots, energies, hso)
+
+
 class SU2MPO:
     """Compiled spin-adapted MPO handle (driver SU2 mode): per-site symbol
     entries + reduced-operator registry for SU2FermionDMRG
