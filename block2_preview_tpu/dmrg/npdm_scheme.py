@@ -128,11 +128,21 @@ class _Flat:
 
 
 def pooled_gram(mps: MPS, order: int, bra: Optional[MPS] = None,
-                dtype=np.float64) -> Tuple[np.ndarray, np.ndarray]:
+                dtype=np.float64, device: bool = False,
+                device_min_flop: float = 2e7
+                ) -> Tuple[np.ndarray, np.ndarray]:
     """Gram matrix G[A, B] = <bra| c+_{a_k}..c+_{a_1} c_{b_1}..c_{b_k}
     |ket> over all sorted spin-orbital k-subsets, via pooled sweeps.
-    Returns (G, combos)."""
+    Returns (G, combos).
+
+    device=True closes the middle [n, X] @ [X, m] class GEMMs on the
+    accelerator (the reference runs PDMs through the same parallel
+    engine as DMRG, sweep_algorithm.hpp:5280 Expect — here the PDM hot
+    loop shares the device the sigma-vector uses): each bond's flat
+    right-pool matrix uploads once and serves every class close at that
+    site; closes smaller than device_min_flop stay on host BLAS."""
     k = order
+    jmm = _device_gemm() if device else None
     eng = StringExpectation(mps, bra=bra)
     L = eng.L
     L2 = 2 * L
@@ -302,7 +312,11 @@ def pooled_gram(mps: MPS, order: int, bra: Optional[MPS] = None,
         for cls, rows in batches.items():
             M, cre3, ann3 = grp_r[cls]
             V = np.stack([r[0] for r in rows], axis=1)    # [X, m]
-            allv = M @ V                                  # [n, m]
+            if jmm is not None and 2.0 * M.shape[0] * M.shape[1] \
+                    * V.shape[1] >= device_min_flop:
+                allv = jmm(t + 1, cls, M, V)              # [n, m]
+            else:
+                allv = M @ V                              # [n, m]
             bcre = np.stack([r[1] for r in rows])          # [m, ncb]
             bann = np.stack([r[2] for r in rows])
             _scatter_class(allv, cre3, ann3, bcre, bann)
@@ -332,6 +346,35 @@ def pooled_gram(mps: MPS, order: int, bra: Optional[MPS] = None,
                     new[c1 + tuple(4 * t + r for r in p)] = e2
         LP = new
     return G, combos
+
+
+def _device_gemm():
+    """Device close for the middle class GEMMs: per-(bond, class) M
+    uploads are cached (each serves every left row batch at that site);
+    f32 inputs would break PDM parity, so f64/complex pass through as
+    stored and einsum precision is pinned."""
+    import jax
+    import jax.numpy as jnp
+    # without x64 jnp.asarray silently downcasts the f64 pool matrices
+    # to f32 and degrades PDMs to ~1e-7 (same guard as dmrg/sweep.py:286)
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
+    @jax.jit
+    def _mm(a, b):
+        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+    cache: Dict[tuple, object] = {}
+
+    def close(bond, cls, M, V):
+        key = (bond, cls)
+        dM = cache.get(key)
+        if dM is None or dM.shape != M.shape:
+            dM = jnp.asarray(M)
+            cache[key] = dM
+        return np.asarray(_mm(dM, jnp.asarray(V)))
+
+    return close
 
 
 def _transfer_right_op(eng: StringExpectation, e: EnvBlocks, t: int,
@@ -368,10 +411,10 @@ def _transfer_right_op(eng: StringExpectation, e: EnvBlocks, t: int,
     return out
 
 
-def npdm_spatial_poly(mps: MPS, order: int, bra: Optional[MPS] = None
-                      ) -> np.ndarray:
+def npdm_spatial_poly(mps: MPS, order: int, bra: Optional[MPS] = None,
+                      device: bool = False) -> np.ndarray:
     """Spatial k-PDM via the polynomial pooled-sweep engine; same
     convention as dmrg/npdm.py npdm_spatial (block2 get_npdm)."""
     from .npdm import gram_to_spatial
-    G, combos = pooled_gram(mps, order, bra=bra)
+    G, combos = pooled_gram(mps, order, bra=bra, device=device)
     return gram_to_spatial(G, combos, mps.n_sites, order)

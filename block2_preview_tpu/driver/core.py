@@ -451,7 +451,7 @@ class DMRGDriver:
         return load_mps(os.path.join(self.scratch, f"mps.{tag}.npz"))
 
     def get_npdm(self, ket: MPS, pdm_type: int = 1, bra: MPS = None,
-                 algo: str = "auto"):
+                 algo: str = "auto", device: bool = False):
         """1-4+PDM; pass bra for transition densities
         (reference pyblock2/driver/core.py:5504 get_npdm / get_trans_1pdm).
         In SU2 mode the solved spin-adapted MPS is expanded to SZ first
@@ -463,6 +463,9 @@ class DMRGDriver:
         reference general_npdm.hpp:43); 'det' = exact determinant-space
         reconstruction (exponential, small spaces); 'auto' picks det only
         when the determinant expansion is clearly cheaper (tiny chains).
+        device=True closes the poly engine's middle class GEMMs on the
+        accelerator (the reference's Expect runs PDM sweeps through the
+        same parallel engine as DMRG, sweep_algorithm.hpp:5280).
         """
         from ..dmrg.expect import pdm1, pdm2_spatial, pdm3_spatial
         if isinstance(ket, SU2MPSSpec):
@@ -484,7 +487,8 @@ class DMRGDriver:
                 from ..dmrg.npdm import npdm_spatial
                 return npdm_spatial(ket, pdm_type, bra=bra)
             from ..dmrg.npdm_scheme import npdm_spatial_poly
-            return npdm_spatial_poly(ket, pdm_type, bra=bra)
+            return npdm_spatial_poly(ket, pdm_type, bra=bra,
+                                     device=device)
         raise NotImplementedError(f"pdm order {pdm_type}")
 
     def get_trans_1pdm(self, bra: MPS, ket: MPS):

@@ -67,3 +67,15 @@ def test_poly_4pdm_l8():
     ref = npdm_spatial(mps, 4)
     got = npdm_spatial_poly(mps, 4)
     assert np.abs(got - ref).max() < 1e-10
+
+
+def test_poly_device_gemm_parity():
+    """device=True closes the middle class GEMMs on the accelerator
+    (CPU-jax in tests); exact parity with the host BLAS path."""
+    from block2_preview_tpu.dmrg.npdm_scheme import pooled_gram
+    _drv, mps = _solved_mps()
+    g_ref, combos_ref = pooled_gram(mps, 2)
+    g_dev, combos_dev = pooled_gram(mps, 2, device=True,
+                                    device_min_flop=0.0)
+    assert np.array_equal(combos_ref, combos_dev)
+    assert np.abs(g_dev - g_ref).max() < 1e-12
