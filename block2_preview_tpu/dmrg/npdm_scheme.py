@@ -140,9 +140,15 @@ def pooled_gram(mps: MPS, order: int, bra: Optional[MPS] = None,
     engine as DMRG, sweep_algorithm.hpp:5280 Expect — here the PDM hot
     loop shares the device the sigma-vector uses): each bond's flat
     right-pool matrix uploads once and serves every class close at that
-    site; closes smaller than device_min_flop stay on host BLAS."""
+    site; closes smaller than device_min_flop stay on host BLAS.
+    Passing a jax.sharding.Mesh as `device` additionally shards the
+    combo-row axis of each pool matrix over the mesh (distributed PDM
+    sweeps)."""
     k = order
-    jmm = _device_gemm() if device else None
+    jmm = None
+    if device:
+        jmm = _device_gemm(mesh=None if isinstance(device, bool)
+                           else device)
     eng = StringExpectation(mps, bra=bra)
     L = eng.L
     L2 = 2 * L
@@ -348,11 +354,18 @@ def pooled_gram(mps: MPS, order: int, bra: Optional[MPS] = None,
     return G, combos
 
 
-def _device_gemm():
+def _device_gemm(mesh=None):
     """Device close for the middle class GEMMs: per-(bond, class) M
     uploads are cached (each serves every left row batch at that site);
     f32 inputs would break PDM parity, so f64/complex pass through as
-    stored and einsum precision is pinned."""
+    stored and einsum precision is pinned.
+
+    With a jax.sharding.Mesh, M's combo-row axis is sharded over the
+    mesh's first axis and V is replicated — the PDM sweep's hot GEMMs
+    distribute like the sigma-vector does (the reference runs Expect
+    through the same parallel rules as DMRG,
+    src/dmrg/sweep_algorithm.hpp:5280 + parallel_rule.hpp); each device
+    owns a combo slice, the gather is the only collective."""
     import jax
     import jax.numpy as jnp
     # without x64 jnp.asarray silently downcasts the f64 pool matrices
@@ -364,15 +377,37 @@ def _device_gemm():
     def _mm(a, b):
         return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
-    cache: Dict[tuple, object] = {}
+    row_sh = rep_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        ax = mesh.axis_names[0]
+        row_sh = NamedSharding(mesh, P(ax, None))
+        rep_sh = NamedSharding(mesh, P())
+
+    cache: Dict[tuple, tuple] = {}
 
     def close(bond, cls, M, V):
         key = (bond, cls)
-        dM = cache.get(key)
-        if dM is None or dM.shape != M.shape:
-            dM = jnp.asarray(M)
-            cache[key] = dM
-        return np.asarray(_mm(dM, jnp.asarray(V)))
+        ent = cache.get(key)
+        if ent is None or ent[1] != M.shape:
+            nrows = M.shape[0]
+            if row_sh is not None:
+                # pad rows to a multiple of the mesh size (even shards)
+                pad = (-nrows) % row_sh.mesh.devices.size
+                if pad:
+                    M = np.concatenate(
+                        [M, np.zeros((pad, M.shape[1]), M.dtype)])
+                dM = jax.device_put(M, row_sh)
+            else:
+                dM = jnp.asarray(M)
+            ent = (dM, (nrows, int(M.shape[1])))
+            cache[key] = ent
+        dM, (nrows, _) = ent
+        dV = jnp.asarray(V) if rep_sh is None \
+            else jax.device_put(V, rep_sh)
+        out = np.asarray(_mm(dM, dV))
+        return out[:nrows] if out.shape[0] != nrows else out
 
     return close
 

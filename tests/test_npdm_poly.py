@@ -79,3 +79,16 @@ def test_poly_device_gemm_parity():
                                     device_min_flop=0.0)
     assert np.array_equal(combos_ref, combos_dev)
     assert np.abs(g_dev - g_ref).max() < 1e-12
+
+
+def test_poly_mesh_sharded_gemm_parity():
+    """Passing a Mesh as `device` shards the combo-row axis of the pool
+    matrices over the mesh (distributed PDM sweeps); exact parity."""
+    import jax
+    from jax.sharding import Mesh
+    from block2_preview_tpu.dmrg.npdm_scheme import pooled_gram
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("op",))
+    _drv, mps = _solved_mps()
+    g_ref, _ = pooled_gram(mps, 2)
+    g_dev, _ = pooled_gram(mps, 2, device=mesh, device_min_flop=0.0)
+    assert np.abs(g_dev - g_ref).max() < 1e-12
