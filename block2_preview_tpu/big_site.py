@@ -41,44 +41,73 @@ def fock_site_spec(member_pgs: Sequence[int],
 
     Elementary operator ids: 4 * member_index + {CRE_A, DES_A, CRE_B,
     DES_B}.  quanta(pg) ignores its argument (member pgs are baked in).
+
+    The elementary matrices live on a WORK basis that pads the window by
+    2 electrons on both sides so composite products in term_row keep
+    intermediate states exactly (reference csf_big_site.hpp builds
+    composites before restricting); SiteBasisSpec.proj selects the
+    physical window.
     """
     k = len(member_pgs)
     cap = 2 * k if max_n is None else max_n
+    wmin, wmax = max(0, min_n - 2), min(2 * k, cap + 2)
     n_of_p = [q[group.fermion_index] for q in SZ_SITE.quanta(0)]
     par_p = np.diag(PARITY)
     # enumerate the windowed product states directly (site-major order,
-    # identical to the previous kron-then-slice layout) — never build a
+    # identical to the previous kron-then-slice layout) -- never build a
     # 4^k intermediate, so MRCI external spaces with many members stay
     # cheap: dim = sum_{n<=cap} C-combinatorics, not 4^k
     states: List[Tuple[int, ...]] = []
     if 4 ** k <= 1 << 20:
         for occ in iproduct(range(4), repeat=k):
-            if min_n <= sum(n_of_p[p] for p in occ) <= cap:
+            if wmin <= sum(n_of_p[p] for p in occ) <= wmax:
                 states.append(occ)
-    else:
-        # large member counts: enumerate only the windowed states by
-        # choosing the occupied members (the full 4^k scan is the
-        # bottleneck long before the output dim is)
+    elif wmax <= 2 * k - wmin:
+        # particle-side enumeration is the cheaper of the two windows:
+        # enumerate only the work-window states by choosing the occupied
+        # members (the full 4^k scan is the bottleneck long before the
+        # output dim is)
         from itertools import combinations
         cand: List[Tuple[int, ...]] = []
-        for m in range(0, min(k, cap) + 1):
+        for m in range(0, min(k, wmax) + 1):
             for pos in combinations(range(k), m):
                 for codes in iproduct((1, 2, 3), repeat=m):
                     n = sum(n_of_p[c] for c in codes)
-                    if min_n <= n <= cap:
+                    if wmin <= n <= wmax:
                         occ = [0] * k
                         for i, c in zip(pos, codes):
                             occ[i] = c
                         cand.append(tuple(occ))
         states = sorted(cand)
+    else:
+        # hole-side window (nearly full site, e.g. the occupied big
+        # site of single-reference CI with <= order holes): choose the
+        # members NOT doubly occupied (deficit 2 for empty, 1 for
+        # singly occupied)
+        from itertools import combinations
+        max_def = 2 * k - wmin
+        cand = []
+        for m in range(0, min(k, max_def) + 1):
+            for pos in combinations(range(k), m):
+                for codes in iproduct((0, 1, 2), repeat=m):
+                    n = 2 * (k - m) + sum(n_of_p[c] for c in codes)
+                    if wmin <= n <= wmax:
+                        occ = [3] * k
+                        for i, c in zip(pos, codes):
+                            occ[i] = c
+                        cand.append(tuple(occ))
+        states = sorted(cand)
+    n_of_state = [sum(n_of_p[p] for p in occ) for occ in states]
+    phys = [i for i, n in enumerate(n_of_state) if min_n <= n <= cap]
     quanta_list: List[QN] = []
-    for occ in states:
+    for i in phys:
+        occ = states[i]
         q = group.zero
         for u, p in enumerate(occ):
             q = group.add(q, SZ_SITE.quanta(int(member_pgs[u]))[p])
         quanta_list.append(q)
     index = {occ: i for i, occ in enumerate(states)}
-    dim = len(states)
+    wdim, dim = len(states), len(phys)
 
     elem: Dict[int, np.ndarray] = {}
     for u in range(k):
@@ -86,7 +115,7 @@ def fock_site_spec(member_pgs: Sequence[int],
         signs = np.array([np.prod([par_p[p] for p in occ[:u]])
                           if u else 1.0 for occ in states])
         for e, m4 in ELEM_MATS.items():
-            m = np.zeros((dim, dim))
+            m = np.zeros((wdim, wdim))
             for j, occ in enumerate(states):
                 col = m4[:, occ[u]]
                 for new_p in np.nonzero(col)[0]:
@@ -95,11 +124,18 @@ def fock_site_spec(member_pgs: Sequence[int],
                     if i is not None:
                         m[i, j] += col[new_p] * signs[j]
             elem[4 * u + e] = m
-    ident = np.eye(dim)
-    parity = np.diag(np.array(
+    work_parity = np.diag(np.array(
         [np.prod([par_p[p] for p in occ]) for occ in states]))
-    return SiteBasisSpec(name, dim, elem, ident, parity,
-                         lambda pg: list(quanta_list), fermionic=True)
+    if dim == wdim:
+        return SiteBasisSpec(name, dim, elem, np.eye(dim), work_parity,
+                             lambda pg: list(quanta_list), fermionic=True)
+    proj = np.zeros((dim, wdim))
+    for r, i in enumerate(phys):
+        proj[r, i] = 1.0
+    parity = proj @ work_parity @ proj.T
+    return SiteBasisSpec(name, dim, elem, np.eye(dim), parity,
+                         lambda pg: list(quanta_list), fermionic=True,
+                         proj=proj, work_parity=work_parity)
 
 
 def regroup_raw_terms(raw_terms, groups: Sequence[Sequence[int]]):

@@ -105,7 +105,14 @@ def term_row(n_sites: int, coeff: float, ops: Sequence[Tuple[int, int]],
         mat = st.elem_mats[here[0]]
         for e in here[1:]:
             mat = mat @ st.elem_mats[e]
-        if n_right & 1:
+        if st.proj is not None:
+            # windowed big site: the product ran on the padded work
+            # basis (intermediates outside the window survive); dress
+            # with the work-space Z, then project to the physical window
+            if n_right & 1:
+                mat = mat @ st.work_parity
+            mat = st.proj @ mat @ st.proj.T
+        elif n_right & 1:
             mat = mat @ st.parity
         if not np.any(mat):
             return None

@@ -102,7 +102,7 @@ def build_mpo(tt: TermTable, site_pgs: Sequence[int] | None = None,
     # match a site never occur there (heterogeneous chains)
     nreg = len(tt.registry)
     dq_table = [[g.zero if i < 2 else
-                 (op_delta_quantum(g, tt.registry[i], site_quanta[t])
+                 (op_delta_quantum(g, tt.registry[i], site_quanta[t], strict=False)
                   if tt.registry[i].shape[0] == len(site_quanta[t]) else None)
                  for i in range(nreg)] for t in range(L)]
 
@@ -272,7 +272,7 @@ def build_mpo_svd(tt: TermTable, site_pgs: Sequence[int] | None = None,
 
     nreg = len(tt.registry)
     dq_table = [[g.zero if i < 2 else
-                 (op_delta_quantum(g, tt.registry[i], site_quanta[t])
+                 (op_delta_quantum(g, tt.registry[i], site_quanta[t], strict=False)
                   if tt.registry[i].shape[0] == len(site_quanta[t]) else None)
                  for i in range(nreg)] for t in range(L)]
 

@@ -43,10 +43,16 @@ def sz_site_basis_quanta(pg: int = 0) -> List[QN]:
 
 
 def op_delta_quantum(group: SymmetryGroup, mat: np.ndarray,
-                     site_quanta: List[QN]) -> QN:
+                     site_quanta: List[QN], strict: bool = True):
     """Infer the (unique) delta quantum of a 4x4 site operator from its
     nonzero pattern against the site basis quanta.  Identity-like all-zero
-    patterns return the group zero."""
+    patterns return the group zero.
+
+    strict=False returns None when the pattern mixes delta quanta —
+    used by the MPO builder's per-site tables, where a registry op can
+    be probed against a DIFFERENT site's basis that happens to share
+    its dimension (heterogeneous big-site chains): mixing there just
+    means 'this op never occurs at this site'."""
     dq = None
     for b in range(len(site_quanta)):
         for k in range(len(site_quanta)):
@@ -54,8 +60,10 @@ def op_delta_quantum(group: SymmetryGroup, mat: np.ndarray,
                 d = group.sub(site_quanta[b], site_quanta[k])
                 if dq is None:
                     dq = d
-                else:
-                    assert dq == d, "operator mixes delta quanta"
+                elif dq != d:
+                    if strict:
+                        raise AssertionError("operator mixes delta quanta")
+                    return None
     return dq if dq is not None else group.zero
 
 
@@ -121,6 +129,14 @@ class SiteBasisSpec:
     parity: np.ndarray
     quanta: Callable[[int], List[QN]]    # pg label -> basis quanta
     fermionic: bool = True               # reorder signs + JW strings
+    # big sites with particle-number windows: elem_mats live on a WORK
+    # basis that pads the window so composite products keep intermediate
+    # states (reference csf_big_site.hpp builds composites exactly, then
+    # restricts); proj (dim x work_dim) selects the physical subset and
+    # work_parity is the JW Z on the work basis.  term_row multiplies in
+    # work space and projects the finished product.
+    proj: "np.ndarray" = None
+    work_parity: "np.ndarray" = None
 
     def registry(self) -> OpRegistry:
         return OpRegistry(self.ident, self.parity)
