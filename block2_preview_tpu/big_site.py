@@ -42,38 +42,36 @@ def fock_site_spec(member_pgs: Sequence[int],
     Elementary operator ids: 4 * member_index + {CRE_A, DES_A, CRE_B,
     DES_B}.  quanta(pg) ignores its argument (member pgs are baked in).
 
-    The elementary matrices live on a WORK basis that pads the window by
-    2 electrons on both sides so composite products in term_row keep
-    intermediate states exactly (reference csf_big_site.hpp builds
-    composites before restricting); SiteBasisSpec.proj selects the
-    physical window.
+    Composite site operators are built EXACTLY by walking occupancy
+    states (`compose` hook consumed by core/expr.term_row) — products of
+    the window-projected elementary matrices would clip intermediate
+    states outside [min_n, max_n] (reference csf_big_site.hpp constructs
+    composites before restricting).
     """
     k = len(member_pgs)
     cap = 2 * k if max_n is None else max_n
-    wmin, wmax = max(0, min_n - 2), min(2 * k, cap + 2)
     n_of_p = [q[group.fermion_index] for q in SZ_SITE.quanta(0)]
     par_p = np.diag(PARITY)
     # enumerate the windowed product states directly (site-major order,
-    # identical to the previous kron-then-slice layout) -- never build a
-    # 4^k intermediate, so MRCI external spaces with many members stay
-    # cheap: dim = sum_{n<=cap} C-combinatorics, not 4^k
+    # identical to a kron-then-slice layout) -- never build a 4^k
+    # intermediate, so MRCI external spaces with many members stay
+    # cheap: dim = windowed combinatorics, not 4^k
     states: List[Tuple[int, ...]] = []
     if 4 ** k <= 1 << 20:
         for occ in iproduct(range(4), repeat=k):
-            if wmin <= sum(n_of_p[p] for p in occ) <= wmax:
+            if min_n <= sum(n_of_p[p] for p in occ) <= cap:
                 states.append(occ)
-    elif wmax <= 2 * k - wmin:
+    elif cap <= 2 * k - min_n:
         # particle-side enumeration is the cheaper of the two windows:
-        # enumerate only the work-window states by choosing the occupied
-        # members (the full 4^k scan is the bottleneck long before the
-        # output dim is)
+        # choose the occupied members (the full 4^k scan is the
+        # bottleneck long before the output dim is)
         from itertools import combinations
         cand: List[Tuple[int, ...]] = []
-        for m in range(0, min(k, wmax) + 1):
+        for m in range(0, min(k, cap) + 1):
             for pos in combinations(range(k), m):
                 for codes in iproduct((1, 2, 3), repeat=m):
                     n = sum(n_of_p[c] for c in codes)
-                    if wmin <= n <= wmax:
+                    if min_n <= n <= cap:
                         occ = [0] * k
                         for i, c in zip(pos, codes):
                             occ[i] = c
@@ -85,57 +83,78 @@ def fock_site_spec(member_pgs: Sequence[int],
         # members NOT doubly occupied (deficit 2 for empty, 1 for
         # singly occupied)
         from itertools import combinations
-        max_def = 2 * k - wmin
+        max_def = 2 * k - min_n
         cand = []
         for m in range(0, min(k, max_def) + 1):
             for pos in combinations(range(k), m):
                 for codes in iproduct((0, 1, 2), repeat=m):
                     n = 2 * (k - m) + sum(n_of_p[c] for c in codes)
-                    if wmin <= n <= wmax:
+                    if min_n <= n <= cap:
                         occ = [3] * k
                         for i, c in zip(pos, codes):
                             occ[i] = c
                         cand.append(tuple(occ))
         states = sorted(cand)
-    n_of_state = [sum(n_of_p[p] for p in occ) for occ in states]
-    phys = [i for i, n in enumerate(n_of_state) if min_n <= n <= cap]
     quanta_list: List[QN] = []
-    for i in phys:
-        occ = states[i]
+    for occ in states:
         q = group.zero
         for u, p in enumerate(occ):
             q = group.add(q, SZ_SITE.quanta(int(member_pgs[u]))[p])
         quanta_list.append(q)
     index = {occ: i for i, occ in enumerate(states)}
-    wdim, dim = len(states), len(phys)
+    dim = len(states)
+
+    # elementary-operator columns: code -> (new_code, amplitude) or None
+    elem_col = {}
+    for e, m4 in ELEM_MATS.items():
+        cols = []
+        for c in range(4):
+            nz = np.nonzero(m4[:, c])[0]
+            cols.append((int(nz[0]), float(m4[nz[0], c])) if len(nz)
+                        else None)
+        elem_col[e] = cols
+
+    def _compose(here: Tuple[int, ...], z: bool) -> np.ndarray:
+        """Exact composite of elementary ops `here` (term order; the
+        rightmost acts first) x optional trailing JW Z, on the windowed
+        basis — intermediates walk freely outside the window."""
+        m = np.zeros((dim, dim))
+        for j, occ0 in enumerate(states):
+            amp = 1.0
+            if z:
+                for p in occ0:
+                    amp *= par_p[p]
+            occ = list(occ0)
+            ok = True
+            for oid in reversed(here):
+                u, e = divmod(int(oid), 4)
+                step = elem_col[e][occ[u]]
+                if step is None:
+                    ok = False
+                    break
+                new_p, a = step
+                # JW sign over members < u at application time
+                for p in occ[:u]:
+                    a *= par_p[p]
+                occ[u] = new_p
+                amp *= a
+            if not ok:
+                continue
+            i = index.get(tuple(occ))
+            if i is not None:
+                m[i, j] += amp
+        return m
 
     elem: Dict[int, np.ndarray] = {}
     for u in range(k):
-        # JW sign over members < u (kron of PARITY factors is diagonal)
-        signs = np.array([np.prod([par_p[p] for p in occ[:u]])
-                          if u else 1.0 for occ in states])
-        for e, m4 in ELEM_MATS.items():
-            m = np.zeros((wdim, wdim))
-            for j, occ in enumerate(states):
-                col = m4[:, occ[u]]
-                for new_p in np.nonzero(col)[0]:
-                    occ2 = occ[:u] + (int(new_p),) + occ[u + 1:]
-                    i = index.get(occ2)
-                    if i is not None:
-                        m[i, j] += col[new_p] * signs[j]
-            elem[4 * u + e] = m
-    work_parity = np.diag(np.array(
+        for e in ELEM_MATS:
+            elem[4 * u + e] = _compose((4 * u + e,), False)
+    ident = np.eye(dim)
+    parity = np.diag(np.array(
         [np.prod([par_p[p] for p in occ]) for occ in states]))
-    if dim == wdim:
-        return SiteBasisSpec(name, dim, elem, np.eye(dim), work_parity,
-                             lambda pg: list(quanta_list), fermionic=True)
-    proj = np.zeros((dim, wdim))
-    for r, i in enumerate(phys):
-        proj[r, i] = 1.0
-    parity = proj @ work_parity @ proj.T
-    return SiteBasisSpec(name, dim, elem, np.eye(dim), parity,
+    return SiteBasisSpec(name, dim, elem, ident, parity,
                          lambda pg: list(quanta_list), fermionic=True,
-                         proj=proj, work_parity=work_parity)
+                         compose=_compose)
 
 
 def regroup_raw_terms(raw_terms, groups: Sequence[Sequence[int]]):

@@ -102,18 +102,17 @@ def term_row(n_sites: int, coeff: float, ops: Sequence[Tuple[int, int]],
             continue
         st = spec[t] if per_site_spec else spec
         n_right -= len(here)
-        mat = st.elem_mats[here[0]]
-        for e in here[1:]:
-            mat = mat @ st.elem_mats[e]
-        if st.proj is not None:
-            # windowed big site: the product ran on the padded work
-            # basis (intermediates outside the window survive); dress
-            # with the work-space Z, then project to the physical window
+        if st.compose is not None:
+            # windowed big site: exact composite via occupancy walks
+            # (projected-elementary products would clip intermediates
+            # outside the particle-number window)
+            mat = st.compose(tuple(here), bool(n_right & 1))
+        else:
+            mat = st.elem_mats[here[0]]
+            for e in here[1:]:
+                mat = mat @ st.elem_mats[e]
             if n_right & 1:
-                mat = mat @ st.work_parity
-            mat = st.proj @ mat @ st.proj.T
-        elif n_right & 1:
-            mat = mat @ st.parity
+                mat = mat @ st.parity
         if not np.any(mat):
             return None
         row[t] = registry.register(mat)

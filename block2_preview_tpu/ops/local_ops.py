@@ -129,14 +129,13 @@ class SiteBasisSpec:
     parity: np.ndarray
     quanta: Callable[[int], List[QN]]    # pg label -> basis quanta
     fermionic: bool = True               # reorder signs + JW strings
-    # big sites with particle-number windows: elem_mats live on a WORK
-    # basis that pads the window so composite products keep intermediate
-    # states (reference csf_big_site.hpp builds composites exactly, then
-    # restricts); proj (dim x work_dim) selects the physical subset and
-    # work_parity is the JW Z on the work basis.  term_row multiplies in
-    # work space and projects the finished product.
-    proj: "np.ndarray" = None
-    work_parity: "np.ndarray" = None
+    # big sites with particle-number windows: products of the projected
+    # elementary matrices clip intermediate states outside the window,
+    # so windowed specs provide `compose(elem_ids, z)` building the
+    # composite matrix EXACTLY by walking occupancy states (reference
+    # csf_big_site.hpp constructs composites before restricting);
+    # term_row calls it instead of multiplying elem_mats.
+    compose: Callable = None
 
     def registry(self) -> OpRegistry:
         return OpRegistry(self.ident, self.parity)
