@@ -168,6 +168,34 @@ def mixed_precision_leg(dev_kind: str):
     return res
 
 
+def sharded_sanity_leg():
+    """Full sharded sweep vs single program on the 8-device virtual CPU
+    mesh (VERDICT r1 item 2: measured timing sanity + energy parity)."""
+    import os
+    import re
+    import subprocess
+    import sys
+    if os.environ.get("B2TPU_BENCH_SHARDED") == "0":
+        return {"skipped": "disabled"}
+    budget = float(os.environ.get("B2TPU_BENCH_SHARDED_BUDGET", "900"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        p = subprocess.run(
+            [sys.executable,
+             os.path.join(here, "scripts", "run_sharded_sanity.py")],
+            capture_output=True, text=True, timeout=budget, env=env)
+    except subprocess.TimeoutExpired:
+        return {"done": False, "skipped": "budget exceeded"}
+    m = re.search(r"SHARDED_SANITY (\{.*\})", p.stdout)
+    if not m:
+        return {"done": False, "stderr": p.stderr[-200:]}
+    import json as _json
+    return _json.loads(m.group(1))
+
+
 def main():
     _ensure_device_alive()
     from block2_preview_tpu.ops.exec_jax import FusedPlanExecutor
@@ -242,6 +270,9 @@ def main():
     # mixed-precision accuracy demo (f32 warmup + f64 polish <= 1e-6)
     mixed = mixed_precision_leg(dev_kind)
 
+    # multi-device program sanity (virtual CPU mesh, subprocess)
+    sharded = sharded_sanity_leg()
+
     print(json.dumps({
         "metric": "sigma_matvec_effective_gflops",
         "value": round(gf_dev, 2),
@@ -260,6 +291,7 @@ def main():
         "tpu_smoke": smoke,
         "cr2_svp_sweep0_d250": cr2,
         "mixed_precision_n2_d250": mixed,
+        "sharded_sweep_sanity_8dev": sharded,
         "baseline_note": "vs_baseline = device f32 bucketed executor GFLOP/s "
                          "over host numpy f64 per-triple BLAS executor",
     }))

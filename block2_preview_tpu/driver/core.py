@@ -671,6 +671,16 @@ class DMRGDriver:
         return extrapolate_energy(discarded_weights, energies)
 
 
+class FermionTransform:
+    """Fermion -> spin operator transforms (reference FermionTransform,
+    pyblock2/driver/core.py:9198); see models/qubit.jordan_wigner."""
+
+    @staticmethod
+    def jordan_wigner(h1e, g2e=None, cutoff: float = 1e-12):
+        from ..models.qubit import jordan_wigner
+        return jordan_wigner(h1e, g2e, cutoff=cutoff)
+
+
 class SOCDMRGDriver(DMRGDriver):
     """DMRG with spin-orbit coupling (reference SOCDMRGDriver,
     pyblock2/driver/core.py:8122).

@@ -108,3 +108,27 @@ def test_jordan_wigner_interacting_dmrg():
     e = DMRG(mpo, mps, iprint=0).solve([30], [1e-4, 0], [1e-10],
                                        n_sweeps=8, tol=1e-10)
     assert abs(e - e_ed) < 1e-8, (e, e_ed)
+
+
+def test_driver_fermion_transform_surface():
+    """Driver-level FermionTransform (reference core.py:9198)."""
+    import numpy as np
+    from block2_preview_tpu.driver.core import FermionTransform
+    h1 = np.array([[0.5, 0.2], [0.2, -0.3]])
+    strings = FermionTransform.jordan_wigner(h1)
+    from block2_preview_tpu.models.qubit import pauli_strings_dense
+    dense = pauli_strings_dense(2, strings)
+    # n_p = (1 - Z_p)/2; hopping via X/Y -> spectrum must match the
+    # 2-spin-orbital one-body Hamiltonian over the full Fock space
+    from block2_preview_tpu.core.expr import build_term_table
+    from block2_preview_tpu.ops.local_ops import SGF_SITE, CRE_A, DES_A
+    from block2_preview_tpu.utils.ed import term_table_to_sparse
+    raw = [(h1[p, q], [(p, CRE_A), (q, DES_A)]) for p in range(2)
+           for q in range(2) if h1[p, q] != 0]
+    from block2_preview_tpu.core.symmetry import SymmetryGroup
+    g = SymmetryGroup(("u1",), ("n",))
+    tt = build_term_table(2, raw, group=g, spec=SGF_SITE)
+    ref = term_table_to_sparse(tt).toarray()
+    wr = np.sort(np.linalg.eigvalsh(ref))
+    wd = np.sort(np.linalg.eigvalsh(dense))
+    assert np.abs(wr - wd).max() < 1e-12
