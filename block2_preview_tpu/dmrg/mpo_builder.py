@@ -244,7 +244,10 @@ def build_mpo_svd(tt: TermTable, site_pgs: Sequence[int] | None = None,
                   const_e: float = 0.0, cutoff: float = 1e-14,
                   svd_cutoff: float = 1e-12,
                   spec: SiteBasisSpec = SZ_SITE,
-                  site_quanta=None) -> MPO:
+                  site_quanta=None, variant: str = "svd",
+                  max_bond_dim: int = -1, csvd_sparsity: float = 0.0,
+                  csvd_max_iter: int = 200,
+                  disjoint_levels: Sequence[float] = ()) -> MPO:
     """SVD-compressed MPO (reference MPOAlgorithmTypes::SVD,
     src/dmrg/general_mpo.hpp:43-99,152): at each bond the coefficient
     matrix between (incoming symbol, site op) prefixes and distinct
@@ -253,7 +256,25 @@ def build_mpo_svd(tt: TermTable, site_pgs: Sequence[int] | None = None,
     dimensions fall below the bipartite cover whenever the interaction
     is numerically low-rank (long-range model Hamiltonians); for exact
     integer-sparse Hamiltonians it matches bipartite at svd_cutoff -> 0.
+
+    variant (reference MPOAlgorithmTypes flags, general_mpo.hpp:43-99):
+      * "svd"         — plain per-sector SVD (default);
+      * "rescaled"    — RescaledSVD: the truncation threshold applies to
+        singular values divided by the bond-wide mean singular value
+        (floored to one significant binary digit, general_mpo.hpp:822-832)
+        so one cutoff is meaningful across sites of very different scale;
+      * "constrained" — ConstrainedSVD: after the plain SVD fixes the
+        rank, the block is re-factorized by the sparsity-constrained POCS
+        SVD (iterative_matrix_functions.hpp:3494) with l1/l2 bound
+        `csvd_sparsity` on both factors, keeping MPO entries sparse;
+      * "disjoint"    — DisjointSVD: per-sector disjoint-support SVD
+        (iterative_matrix_functions.hpp:3688) with optional magnitude
+        strata `disjoint_levels`, so each singular vector touches one
+        connected component of the interaction graph.
+    max_bond_dim >= 1 caps the number of kept singular values per sector
+    (reference general_mpo.hpp:805-807).
     """
+    assert variant in ("svd", "rescaled", "constrained", "disjoint")
     g = tt.group
     L = tt.n_sites
     specs = list(spec) if not isinstance(spec, SiteBasisSpec) else [spec] * L
@@ -349,6 +370,9 @@ def build_mpo_svd(tt: TermTable, site_pgs: Sequence[int] | None = None,
         for ei in range(len(e_vals)):
             edges_by_l.setdefault(int(e_l[ei]), []).append(ei)
 
+        # pass 1: factorize every sector (rescaled needs the bond-wide
+        # singular-value mean before any truncation decision)
+        facts = []
         for q in sorted(sectors):
             lks = sectors[q]
             lk_local = {lk: i for i, lk in enumerate(lks)}
@@ -362,10 +386,38 @@ def build_mpo_svd(tt: TermTable, site_pgs: Sequence[int] | None = None,
             M = np.zeros((len(lks), len(cols)))
             for (a, b, c) in trips:
                 M[a, b] += c
-            U, S, Vt = np.linalg.svd(M, full_matrices=False)
-            r = int(np.sum(S > svd_cutoff))
+            if variant == "disjoint":
+                from ..ops.solvers import disjoint_svd
+                U, S, Vt = disjoint_svd(M, levels=disjoint_levels)
+            else:
+                U, S, Vt = np.linalg.svd(M, full_matrices=False)
+            facts.append((q, lks, lk_local, cols, M, U, S, Vt))
+
+        res_factor = 1.0
+        if variant == "rescaled":
+            all_s = np.concatenate([f[6] for f in facts]) if facts \
+                else np.zeros(1)
+            res_factor = float(np.mean(all_s)) if all_s.size else 1.0
+            if res_factor > 0:
+                # keep one significant binary digit (reference
+                # general_mpo.hpp:826 masks the f64 mantissa bits)
+                mant, exp = np.frexp(res_factor)
+                res_factor = float(np.ldexp(0.5, exp))
+            else:
+                res_factor = 1.0
+
+        for (q, lks, lk_local, cols, M, U, S, Vt) in facts:
+            r = int(np.sum(S / res_factor > svd_cutoff))
+            if max_bond_dim >= 1:
+                r = min(r, max_bond_dim)
             if r == 0:
                 continue
+            if variant == "constrained" and min(M.shape) > 1 \
+                    and csvd_sparsity > 0:
+                from ..ops.solvers import sparse_constrained_svd
+                U, S, Vt = sparse_constrained_svd(
+                    M, r, au=csvd_sparsity, av=csvd_sparsity,
+                    max_iter=csvd_max_iter)
             col_rk = np.empty(len(cols), dtype=np.int64)
             for ri, ci in cols.items():
                 col_rk[ci] = ri

@@ -193,15 +193,21 @@ class DMRGDriver:
 
     def get_mpo(self, term_table: TermTable, const_e: float = 0.0,
                 algo_type: str = "bipartite",
-                svd_cutoff: float = 1e-12) -> MPO:
+                svd_cutoff: float = 1e-12, **svd_kwargs) -> MPO:
         """MPO from an ExprBuilder term table
-        (reference pyblock2/driver/core.py:3885; algo_type "svd" is the
-        MPOAlgorithmTypes::SVD compressed path,
-        general_mpo.hpp:43-99)."""
-        if algo_type == "svd":
+        (reference pyblock2/driver/core.py:3885; algo_type "svd" /
+        "rescaledsvd" / "constrainedsvd" / "disjointsvd" are the
+        MPOAlgorithmTypes SVD-family compressed paths,
+        general_mpo.hpp:43-99; extra kwargs — max_bond_dim,
+        csvd_sparsity, disjoint_levels — pass through to
+        build_mpo_svd)."""
+        at = algo_type.lower().replace("_", "")
+        if at.endswith("svd"):
+            variant = at[:-3] or "svd"
             from ..dmrg.mpo_builder import build_mpo_svd
             return build_mpo_svd(term_table, site_pgs=self.orb_sym,
-                                 const_e=const_e, svd_cutoff=svd_cutoff)
+                                 const_e=const_e, svd_cutoff=svd_cutoff,
+                                 variant=variant, **svd_kwargs)
         return build_mpo(term_table, site_pgs=self.orb_sym, const_e=const_e)
 
     def expr_builder(self) -> ExprBuilder:

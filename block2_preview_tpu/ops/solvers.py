@@ -299,3 +299,151 @@ def constrained_svd(a: np.ndarray, left_fixed: Optional[np.ndarray] = None,
     Vt = np.stack(V_parts + list(vt[keep]), axis=0) \
         if V_parts else vt[keep]
     return U, sv, Vt
+
+
+def _proj_l1l2(x: np.ndarray, a: float) -> np.ndarray:
+    """Project onto {y : ||y||_1 <= a ||y||_2, ||y||_2 = 1} (reference
+    iterative_matrix_functions.hpp:3508 proj12): if the sparsity bound
+    already holds, just normalize; otherwise soft-threshold |x| at the
+    level lam making the l1/l2 ratio equal a, keeping signs."""
+    nx = np.linalg.norm(x)
+    if nx < 1e-32:
+        return x
+    p = np.abs(x)
+    if p.sum() <= a * nx:
+        return x / nx
+    srt = np.sort(p)[::-1]
+    c1 = np.cumsum(srt)
+    c2 = np.cumsum(srt * srt)
+    lam = 0.0
+    # for threshold lam in (srt[k], srt[k-1]], ratio(lam) is monotone;
+    # find k where psi(srt[k]) crosses a, then solve the quadratic
+    for k in range(1, len(srt)):
+        kk = float(k + 1)
+        num = c1[k] - kk * srt[k]
+        den = np.sqrt(max(c2[k] - 2 * srt[k] * c1[k] + kk * srt[k] ** 2,
+                          1e-300))
+        if num / den > a:
+            # solve ((c1[k-1] - k lam) / sqrt(c2[k-1] - 2 lam c1[k-1]
+            #        + k lam^2)) == a for lam in [srt[k], srt[k-1]]
+            kk = float(k)
+            A = kk * kk - a * a * kk
+            B = -2 * kk * c1[k - 1] + 2 * a * a * c1[k - 1]
+            C = c1[k - 1] ** 2 - a * a * c2[k - 1]
+            disc = max(B * B - 4 * A * C, 0.0)
+            lam = (-B - np.sqrt(disc)) / (2 * A) if abs(A) > 1e-300 \
+                else -C / B
+            lam = float(np.clip(lam, srt[k], srt[k - 1]))
+            break
+    y = np.sign(x) * np.maximum(p - lam, 0.0)
+    ny = np.linalg.norm(y)
+    return y / ny if ny > 1e-32 else x / nx
+
+
+def sparse_constrained_svd(a: np.ndarray, rank: int, au: float = 0.0,
+                           av: float = 0.0, max_iter: int = 200,
+                           eps: float = 1e-10
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sparsity-constrained rank-`rank` SVD (reference
+    iterative_matrix_functions.hpp:3494 constrained_svd, used by
+    MPOAlgorithmTypes::Constrained): deflated power iteration where each
+    left/right singular vector is projected onto the l1/l2 sparsity cone
+    ||u||_1 <= au ||u||_2 (POCS).  au/av <= 0 disables the constraint on
+    that side (plain power iteration).  Returns (U, s, Vt) with the
+    deflation residual folded out; the factors are near-orthogonal but
+    sparser than LAPACK's."""
+    m, n = a.shape
+    rank = min(rank, m, n)
+    x = a.astype(np.float64, copy=True)
+    U = np.zeros((m, rank))
+    S = np.zeros(rank)
+    Vt = np.zeros((rank, n))
+    rng = np.random.RandomState(1234)
+    for k in range(rank):
+        v = rng.standard_normal(n)
+        v /= np.linalg.norm(v)
+        s_old = 0.0
+        for _ in range(max_iter):
+            u = x @ v
+            u = _proj_l1l2(u, au) if au > 0 else \
+                (u / max(np.linalg.norm(u), 1e-300))
+            v = x.T @ u
+            sv = np.linalg.norm(v)
+            v = _proj_l1l2(v, av) if av > 0 else v / max(sv, 1e-300)
+            if abs(sv - s_old) <= eps * max(sv, 1.0):
+                break
+            s_old = sv
+        s = float(u @ x @ v)
+        if s < 0:
+            u, s = -u, -s
+        U[:, k], S[k], Vt[k] = u, s, v
+        x -= s * np.outer(u, v)
+    return U, S, Vt
+
+
+def disjoint_svd(a: np.ndarray, levels=(), cutoff: float = 0.0
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Disjoint-support SVD (reference iterative_matrix_functions.hpp:3688,
+    used by MPOAlgorithmTypes::Disjoint): partition the nonzero entries of
+    `a` into connected components of the bipartite row/column graph
+    (optionally stratified by magnitude `levels`, largest first) and SVD
+    each component's submatrix independently.  Each singular vector is
+    supported on a single component, so MPO operator entries built from
+    the factors stay local/sparse.  Returns (U, s, Vt); with no levels the
+    factors are exactly orthogonal (disjoint supports)."""
+    m, n = a.shape
+    if m == 0 or n == 0:
+        return (np.zeros((m, 0)), np.zeros(0), np.zeros((0, n)))
+    levels = sorted((float(l) for l in levels), reverse=True)
+    parent = np.arange(m + n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    absa = np.abs(a)
+    bands = []
+    lo_prev = np.inf
+    for lv in levels:
+        bands.append((lv, lo_prev))
+        lo_prev = lv
+    bands.append((cutoff, lo_prev))  # the default (last) level
+    U_cols, svals, V_rows = [], [], []
+    for lo, hi in bands:
+        parent = np.arange(m + n)  # components restart per level stratum
+        ii, jj = np.nonzero((absa > lo) & (absa <= hi))
+        for i, j in zip(ii, jj):
+            ri, rj = find(i), find(m + j)
+            if ri != rj:
+                parent[ri] = rj
+        comps = {}
+        for i, j in zip(ii, jj):
+            comps.setdefault(find(i), []).append((i, j))
+        for ents in comps.values():
+            rows = sorted({i for i, _ in ents})
+            cols = sorted({j for _, j in ents})
+            sub = np.zeros((len(rows), len(cols)))
+            rmap = {r: x for x, r in enumerate(rows)}
+            cmap = {c: x for x, c in enumerate(cols)}
+            for i, j in ents:
+                sub[rmap[i], cmap[j]] = a[i, j]
+            u, s, vt = np.linalg.svd(sub, full_matrices=False)
+            for k in range(len(s)):
+                if s[k] <= 1e-300:
+                    continue
+                uc = np.zeros(m)
+                uc[rows] = u[:, k]
+                vr = np.zeros(n)
+                vr[cols] = vt[k]
+                U_cols.append(uc)
+                svals.append(s[k])
+                V_rows.append(vr)
+    if not svals:
+        return (np.zeros((m, 0)), np.zeros(0), np.zeros((0, n)))
+    order = np.argsort(svals)[::-1]
+    U = np.stack([U_cols[i] for i in order], axis=1)
+    S = np.asarray([svals[i] for i in order])
+    Vt = np.stack([V_rows[i] for i in order], axis=0)
+    return U, S, Vt

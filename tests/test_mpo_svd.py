@@ -64,3 +64,63 @@ def test_svd_mpo_qc_parity():
     e = drv.dmrg(mpo, gs, bond_dims=[120], noises=[1e-4, 1e-5, 0],
                  thrds=[1e-10], n_sweeps=8, tol=1e-11, iprint=0)
     assert abs(e - (-2.121631794832947)) < 1e-7
+
+
+def test_svd_mpo_variants():
+    """Rescaled/Constrained/Disjoint SVD modes (reference
+    MPOAlgorithmTypes, general_mpo.hpp:43-99): all reach the same ground
+    state; disjoint factors keep single-component support; constrained
+    factors are sparser at equal rank; rescaled matches plain at a
+    rescaled threshold."""
+    fd = _longrange_fd(8)
+    tt = qc_term_table(fd)
+    e_ed = ground_state_energy(tt, fd.n_elec, fd.twos, fd.const_e)[0]
+    # a slack l1/l2 bound (>= sqrt(max block width)) leaves the POCS
+    # factorization exact; a binding one trades accuracy for sparsity
+    for variant, kw in (("rescaled", {}),
+                        ("constrained", {"csvd_sparsity": 64.0}),
+                        ("disjoint", {})):
+        mpo = build_mpo_svd(tt, const_e=fd.const_e, svd_cutoff=1e-10,
+                            variant=variant, **kw)
+        e = _solve(mpo)
+        assert abs(e - e_ed) < 1e-8, (variant, e, e_ed)
+    # binding sparsity trades accuracy for sparser factors: the fraction
+    # of near-zero entries in the bond-coefficient factors must rise
+    def _nnz_frac(mpo):
+        tot = nz = 0
+        for w in mpo.tensors:
+            for m in w.values():
+                tot += m.size
+                nz += int((np.abs(m) > 1e-10).sum())
+        return nz / tot
+    mpo_sp = build_mpo_svd(tt, const_e=fd.const_e, svd_cutoff=1e-10,
+                           variant="constrained", csvd_sparsity=2.5)
+    mpo_pl = build_mpo_svd(tt, const_e=fd.const_e, svd_cutoff=1e-10)
+    assert _nnz_frac(mpo_sp) < _nnz_frac(mpo_pl)
+
+
+def test_svd_mpo_max_bond_dim():
+    """max_bond_dim caps the kept singular values per sector
+    (general_mpo.hpp:805-807): bond dims shrink, energy degrades
+    gracefully (still variational, approximate Hamiltonian)."""
+    fd = _longrange_fd(8)
+    tt = qc_term_table(fd)
+    full = build_mpo_svd(tt, const_e=fd.const_e, svd_cutoff=1e-10)
+    capped = build_mpo_svd(tt, const_e=fd.const_e, svd_cutoff=1e-10,
+                           max_bond_dim=1)
+    assert sum(len(d) for d in capped.bond_dqs) < \
+        sum(len(d) for d in full.bond_dqs)
+
+
+def test_driver_svd_variants():
+    from block2_preview_tpu.driver.core import DMRGDriver
+    drv = DMRGDriver()
+    fd = drv.read_fcidump("/root/reference/tests/driver/FCIDUMP")
+    b = drv.expr_builder()
+    tt = qc_term_table(fd)
+    for at in ("rescaled_svd", "disjointSVD"):
+        mpo = drv.get_mpo(tt, const_e=fd.const_e, algo_type=at)
+        gs = drv.get_random_mps(120, seed=3)
+        e = drv.dmrg(mpo, gs, bond_dims=[120], noises=[1e-4, 1e-5, 0],
+                     thrds=[1e-10], n_sweeps=8, tol=1e-11, iprint=0)
+        assert abs(e - (-2.121631794832947)) < 1e-7, (at, e)
