@@ -8,6 +8,8 @@ from typing import Dict, List
 
 import numpy as np
 
+from ..ops.csr import w_nonzero as _w_nonzero
+
 from ..dmrg.mpo import MPO as EngineMPO
 from ..dmrg.mps import MPS as EngineMPS
 from .core import MPO, MPS, SubTensor, Tensor
@@ -68,7 +70,7 @@ def mpo_to_algebra(mpo: EngineMPO) -> MPO:
         for (i, o), w in sorted(mpo.tensors[t].items()):
             dqi = mpo.bond_dqs[t][i]
             dqo = mpo.bond_dqs[t + 1][o]
-            for pb, pk in zip(*np.nonzero(w)):
+            for pb, pk in zip(*_w_nonzero(w)):
                 qb, qk = quanta[int(pb)], quanta[int(pk)]
                 key = (dqi, qb, qk, dqo)
                 big = acc.get(key)

@@ -35,7 +35,8 @@ def fock_site_spec(member_pgs: Sequence[int],
                    group: SymmetryGroup = SZ_GROUP,
                    max_n: Optional[int] = None,
                    min_n: int = 0,
-                   name: str = "fock") -> SiteBasisSpec:
+                   name: str = "fock",
+                   sparse: Optional[bool] = None) -> SiteBasisSpec:
     """SiteBasisSpec for a determinant big site over len(member_pgs)
     spatial orbitals, optionally restricted to min_n <= N_site <= max_n.
 
@@ -114,11 +115,20 @@ def fock_site_spec(member_pgs: Sequence[int],
                         else None)
         elem_col[e] = cols
 
+    # operators above CSR_SITE_DIM are stored CSR: each occupancy walk
+    # touches at most one row per column, so composites/elementaries
+    # carry <= dim nonzeros in a dim x dim matrix (reference keeps
+    # big-site operators as CSRSparseMatrix, src/big_site/big_site.hpp +
+    # src/core/csr_sparse_matrix.hpp)
+    from .ops.csr import (CSR_SITE_DIM, csr_from_triplets, sparse_diag,
+                          sparse_identity)
+    use_csr = dim >= CSR_SITE_DIM if sparse is None else sparse
+
     def _compose(here: Tuple[int, ...], z: bool) -> np.ndarray:
         """Exact composite of elementary ops `here` (term order; the
         rightmost acts first) x optional trailing JW Z, on the windowed
         basis — intermediates walk freely outside the window."""
-        m = np.zeros((dim, dim))
+        rows, cols, vals = [], [], []
         for j, occ0 in enumerate(states):
             amp = 1.0
             if z:
@@ -142,16 +152,29 @@ def fock_site_spec(member_pgs: Sequence[int],
                 continue
             i = index.get(tuple(occ))
             if i is not None:
-                m[i, j] += amp
+                rows.append(i)
+                cols.append(j)
+                vals.append(amp)
+        if use_csr:
+            return csr_from_triplets(rows, cols, vals, (dim, dim))
+        m = np.zeros((dim, dim))
+        np.add.at(m, (np.asarray(rows, dtype=np.int64),
+                      np.asarray(cols, dtype=np.int64)),
+                  np.asarray(vals))
         return m
 
     elem: Dict[int, np.ndarray] = {}
     for u in range(k):
         for e in ELEM_MATS:
             elem[4 * u + e] = _compose((4 * u + e,), False)
-    ident = np.eye(dim)
-    parity = np.diag(np.array(
-        [np.prod([par_p[p] for p in occ]) for occ in states]))
+    par_diag = np.array([np.prod([par_p[p] for p in occ])
+                         for occ in states])
+    if use_csr:
+        ident = sparse_identity(dim)
+        parity = sparse_diag(par_diag)
+    else:
+        ident = np.eye(dim)
+        parity = np.diag(par_diag)
     return SiteBasisSpec(name, dim, elem, ident, parity,
                          lambda pg: list(quanta_list), fermionic=True,
                          compose=_compose)

@@ -113,7 +113,8 @@ def term_row(n_sites: int, coeff: float, ops: Sequence[Tuple[int, int]],
                 mat = mat @ st.elem_mats[e]
             if n_right & 1:
                 mat = mat @ st.parity
-        if not np.any(mat):
+        from ..ops.csr import mat_any
+        if not mat_any(mat):
             return None
         row[t] = registry.register(mat)
     return sign * coeff, row

@@ -30,6 +30,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..ops.csr import w_nonzero as _w_nonzero
+
 from ..core.blocks import FusedBasis
 from ..core.state_info import StateInfo
 from ..core.symmetry import QN
@@ -224,7 +226,7 @@ class EffectiveHamiltonian2:
             if i not in env_l:
                 continue
             e = env_l[i]
-            for pb, pk in zip(*np.nonzero(w)):
+            for pb, pk in zip(*_w_nonzero(w)):
                 coef = w[pb, pk]
                 qpb, qpk = quanta_l[int(pb)], quanta_l[int(pk)]
                 for (qlb, qlk), eb in e.blocks.items():
@@ -247,7 +249,7 @@ class EffectiveHamiltonian2:
             if o not in env_r:
                 continue
             e = env_r[o]
-            for pb, pk in zip(*np.nonzero(w)):
+            for pb, pk in zip(*_w_nonzero(w)):
                 coef = w[pb, pk]
                 qpb, qpk = quanta_r[int(pb)], quanta_r[int(pk)]
                 for (qb2, qk2), eb in e.blocks.items():

@@ -18,6 +18,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from ..ops.csr import w_nonzero as _w_nonzero
+
 from ..core.blocks import BlockMatrix
 from ..core.symmetry import QN
 from .mpo import MPO
@@ -249,6 +251,21 @@ class MovingEnvironment:
                 # v2: per-item descriptors, tile tasks derived in-kernel
                 # (the v1 engine's expanded task arrays crashed the TPU
                 # worker when carried through lax.scan at Cr2-scale bonds)
+                import os as _os
+                _dump = _os.environ.get("B2TPU_DUMP_BUILD_INPUTS")
+                if _dump:
+                    import pickle
+                    _os.makedirs(_dump, exist_ok=True)
+                    with open(f"{_dump}/bv2_{t}_{direction}.pkl",
+                              "wb") as fh:
+                        pickle.dump((meta_in, self.mpo.tensors[t],
+                                     self.mpo.site_quanta[t],
+                                     self.bra.tensors[t],
+                                     self.ket.tensors[t], self.g,
+                                     direction,
+                                     self.mpo.bond_dqs[src_bond],
+                                     self.mpo.bond_dqs[t + 1 if left
+                                                       else t]), fh)
                 from ..ops.blockv2 import build_blocking_v2
                 plan = build_blocking_v2(
                     meta_in, self.mpo.tensors[t], self.mpo.site_quanta[t],
@@ -477,7 +494,7 @@ class MovingEnvironment:
                 continue
             e = env[i]
             dq_o = self.mpo.bond_dqs[t + 1][o]
-            for pb, pk in zip(*np.nonzero(w)):
+            for pb, pk in zip(*_w_nonzero(w)):
                 coef = w[pb, pk]
                 for (qlb, qlk), eb in e.blocks.items():
                     ab = bra_blocks.get((qlb, int(pb)))
@@ -521,7 +538,7 @@ class MovingEnvironment:
                 continue
             e = env[o]
             dq_i = g.sub(self.mpo.bond_dqs[-1][0], self.mpo.bond_dqs[t][i])
-            for pb, pk in zip(*np.nonzero(w)):
+            for pb, pk in zip(*_w_nonzero(w)):
                 coef = w[pb, pk]
                 for (qb2, qk2), eb in e.blocks.items():
                     xb = bra_blocks.get((int(pb), qb2))

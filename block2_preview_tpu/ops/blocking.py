@@ -21,6 +21,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from .csr import w_nonzero as _w_nonzero
+
 from ..core.blocks import BlockMatrix
 from ..core.symmetry import QN
 
@@ -132,7 +134,7 @@ def contract_env_site(env: Dict[int, BlockMatrix], entries, quanta,
     wpk: List[int] = []
     wc: List[complex] = []
     for (i, o), w in entries.items():
-        for pb, pk in zip(*np.nonzero(w)):
+        for pb, pk in zip(*_w_nonzero(w)):
             wi.append(i)
             wo.append(o)
             wpb.append(int(pb))
@@ -569,7 +571,7 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
 
     wi, wo, wpb, wpk, wc = [], [], [], [], []
     for (i, o), w in entries.items():
-        for pb, pk in zip(*np.nonzero(w)):
+        for pb, pk in zip(*_w_nonzero(w)):
             wi.append(i)
             wo.append(o)
             wpb.append(int(pb))

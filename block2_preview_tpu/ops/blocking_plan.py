@@ -23,6 +23,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from .csr import w_nonzero as _w_nonzero
+
 from ..core.blocks import BlockMatrix
 from ..core.symmetry import QN
 from .blocking import _round_vec, pair_join
@@ -118,7 +120,7 @@ def build_plan(env: Dict[int, BlockMatrix], entries, quanta, bra_T, ket_T,
 
     wi, wo, wpb, wpk, wc = [], [], [], [], []
     for (i, o), w in sorted(entries.items()):
-        for pb, pk in zip(*np.nonzero(w)):
+        for pb, pk in zip(*_w_nonzero(w)):
             wi.append(i)
             wo.append(o)
             wpb.append(int(pb))

@@ -40,6 +40,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from .csr import w_nonzero as _w_nonzero
+
 from . import jit_cache  # noqa: F401
 import jax
 import jax.numpy as jnp
@@ -128,6 +130,8 @@ def _blk_scan(epool, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
         yi = o3 % ny3
         src = jnp.where(v3, fi[:, 12] + xi * ny3 + yi, ntp)
         vals = prod[src] * coef[j3][:, None, None]
+        # elementwise affine scatter: measured FASTER than the windowed
+        # lax.scatter_add form on v5e (21 vs 213 ms/group) — see _gtile
         ody = e[:, 3][:, None, None]
         idx = e[:, 1][:, None, None] + (xi[:, None, None] * T + r) * ody \
             + yi[:, None, None] * T + c
@@ -155,6 +159,25 @@ def _blk_exec(epool, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
     return _blk_scan(epool, bpool, kpool, it, ef, coef, cum1, cum2,
                      cum3, g1, g2, g3, e1, e2, e3, nt1, ntp, T, B,
                      left, ncap)
+
+
+@partial(jax.jit, static_argnames=("nt1", "ntp", "T", "B", "left",
+                                   "ncap"),
+         donate_argnums=(0,))
+def _blk_exec_chunk(out0, epool, bpool, kpool, it, ef, coef, cum1, cum2,
+                    cum3, g1, g2, g3, e1, e2, e3, nt1, ntp, T, B, left,
+                    ncap):
+    """One bounded-depth launch accumulating into a donated output pool.
+    Single giant launches (scan depth in the thousands at dense mid-chain
+    Cr2 bonds) run long enough to trip the TPU runtime's kernel watchdog
+    and kill the worker — the recurring 'TPU worker crashed' fault at
+    init_environments.  Splitting the task-group scan into fixed-depth
+    chunks keeps every launch short; out0 is donated so the accumulation
+    is in-place across chunks (one compile: the chunk shape is fixed)."""
+    acc = _blk_scan(epool, bpool, kpool, it, ef, coef, cum1, cum2,
+                    cum3, g1, g2, g3, e1, e2, e3, nt1, ntp, T, B,
+                    left, ncap)
+    return out0 + acc
 
 
 @partial(jax.jit, static_argnames=("nt1", "ntp", "T", "B", "left",
@@ -230,8 +253,11 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
     koffs = np.concatenate(
         [[0], np.cumsum([m.size for m in ket_mats])]).astype(np.int64)
 
-    # entries grouped by (env group, pb, pk) then symbol j
-    ent_by: Dict[Tuple[int, int, int], Dict[int, List]] = {}
+    # ---- flatten entries into flat arrays (vectorized over nonzeros;
+    # at Cr2 mid-chain bonds the python dict-of-lists form of this cost
+    # tens of seconds per bond) ----
+    from .csr import w_triplets
+    gl, jl, pbl, pkl, osl, cfl = [], [], [], [], [], []
     iscpx = any(np.iscomplexobj(m) for m in bra_mats + ket_mats)
     for (i, o), w in sorted(entries.items()):
         jsym = i if left else o
@@ -239,57 +265,157 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
         gp = meta_in.sym_pos.get(jsym)
         if gp is None:
             continue
-        g, j = gp
-        if np.iscomplexobj(w):
+        r, c, v = w_triplets(w)
+        n = len(r)
+        if n == 0:
+            continue
+        if np.iscomplexobj(v):
             iscpx = True
-        for pb, pk in zip(*np.nonzero(w)):
-            ent_by.setdefault((g, int(pb), int(pk)), {}).setdefault(
-                j, []).append((osym, complex(w[pb, pk]) if
-                               np.iscomplexobj(w) else float(w[pb, pk])))
+        g, j = gp
+        gl.append(np.full(n, g, np.int64))
+        jl.append(np.full(n, j, np.int64))
+        pbl.append(np.asarray(r, np.int64))
+        pkl.append(np.asarray(c, np.int64))
+        osl.append(np.full(n, osym, np.int64))
+        cfl.append(np.asarray(v))
+    if not gl:
+        return None
+    g_e = np.concatenate(gl)
+    j_e = np.concatenate(jl)
+    pb_e = np.concatenate(pbl)
+    pk_e = np.concatenate(pkl)
+    os_e = np.concatenate(osl)
+    cf_e = np.concatenate(cfl).astype(
+        np.complex128 if iscpx else np.float64)
+    # stable sort by (g, pb, pk, j); entries keep their insertion order
+    # within a combo (same accumulation order as the dict-based builder)
+    order = np.lexsort((j_e, pk_e, pb_e, g_e))
+    g_e, j_e = g_e[order], j_e[order]
+    pb_e, pk_e = pb_e[order], pk_e[order]
+    os_e, cf_e = os_e[order], cf_e[order]
+    P = len(quanta)
+    njmax = int(j_e.max()) + 1
+    ckey = ((g_e * P + pb_e) * P + pk_e) * njmax + j_e
+    newc = np.empty(len(ckey), bool)
+    newc[0] = True
+    np.not_equal(ckey[1:], ckey[:-1], out=newc[1:])
+    cstart = np.flatnonzero(newc)            # combo -> first entry
+    cend = np.concatenate([cstart[1:], [len(ckey)]])
+    c_g = g_e[cstart]
+    c_pb = pb_e[cstart]
+    c_pk = pk_e[cstart]
+    c_j = j_e[cstart]
+    c_ne = cend - cstart
 
-    out_sym_sectors: Dict[int, Dict[QN, Tuple[int, int]]] = {}
-    items = []   # (ebase, db, dk, mb_id, mk_id, dx, dy, ents, qrb)
-    dims = []
-    for (g, pb, pk), by_j in sorted(ent_by.items()):
-        dq_g, syms = meta_in.groups[g]
+    # ---- dense (qn id, phys) lookup tables for bra/ket site blocks ----
+    qn_ids: Dict[QN, int] = {}
+
+    def _qid(q):
+        i = qn_ids.get(q)
+        if i is None:
+            i = len(qn_ids)
+            qn_ids[q] = i
+        return i
+
+    for (ql, _p), (_m, _s, qr) in bra_tab.items():
+        _qid(ql)
+        _qid(qr)
+    for (ql, _p), (_m, _s, qr) in ket_tab.items():
+        _qid(ql)
+        _qid(qr)
+    sec_by_g = []
+    for g in range(len(meta_in.groups)):
+        dq_g = meta_in.groups[g][0]
+        rows = []
         for qlb, (eoff, db, dkk) in sorted(meta_in.sectors[g].items()):
             qlk = group.sub(qlb, dq_g)
-            vb = bra_tab.get((qlb, pb))
-            vk = ket_tab.get((qlk, pk))
-            if vb is None or vk is None:
-                continue
-            mb_id, (s1_, s2_), qrb = vb
-            mk_id, (t1_, t2_), _qrk = vk
-            if left:
-                dl, dx = s1_, s2_
-                dkk2, dy = t1_, t2_
-            else:
-                dx, dl = s1_, s2_
-                dy, dkk2 = t1_, t2_
-            assert dl == db and dkk2 == dkk
-            for j, ents in sorted(by_j.items()):
-                items.append((eoff + j * db * dkk, db, dkk, mb_id, mk_id,
-                              dx, dy, ents, qrb))
-                for (osym, _cf) in ents:
-                    d = out_sym_sectors.setdefault(osym, {})
-                    if qrb not in d:
-                        d[qrb] = (dx, dy)
-            dims += [db, dkk, dx, dy]
-    if not items:
+            rows.append((_qid(qlb), _qid(qlk), eoff, db, dkk))
+        sec_by_g.append(np.asarray(rows, np.int64).reshape(-1, 5))
+    NQ = len(qn_ids)
+
+    def _dense_tab(tab):
+        idx = np.full((NQ, P), -1, np.int64)
+        nm = len(tab)
+        tm = np.empty(nm, np.int64)
+        ts1 = np.empty(nm, np.int64)
+        ts2 = np.empty(nm, np.int64)
+        tqr = np.empty(nm, np.int64)
+        for k2, ((ql, p), (mid, (a, b), qrv)) in enumerate(tab.items()):
+            idx[qn_ids[ql], p] = k2
+            tm[k2] = mid
+            ts1[k2] = a
+            ts2[k2] = b
+            tqr[k2] = qn_ids[qrv]
+        return idx, tm, ts1, ts2, tqr
+
+    bidx_t, bm_t, bs1_t, bs2_t, bqr_t = _dense_tab(bra_tab)
+    kidx_t, km_t, ks1_t, ks2_t, _kqr_t = _dense_tab(ket_tab)
+
+    # ---- items = (combos x sectors of their group), tab-filtered ----
+    pe, pd, pk2, pm, pq, pc = [], [], [], [], [], []
+    for g in range(len(meta_in.groups)):
+        sel = np.flatnonzero(c_g == g)
+        sec = sec_by_g[g]
+        if len(sel) == 0 or len(sec) == 0:
+            continue
+        S = len(sec)
+        ci = np.repeat(sel, S)
+        si = np.tile(np.arange(S, dtype=np.int64), len(sel))
+        bi = bidx_t[sec[si, 0], c_pb[ci]]
+        ki = kidx_t[sec[si, 1], c_pk[ci]]
+        ok = (bi >= 0) & (ki >= 0)
+        if not ok.any():
+            continue
+        ci, si, bi, ki = ci[ok], si[ok], bi[ok], ki[ok]
+        db_i = sec[si, 3]
+        dk_i = sec[si, 4]
+        if left:
+            dl, dx_i = bs1_t[bi], bs2_t[bi]
+            dkk2, dy_i = ks1_t[ki], ks2_t[ki]
+        else:
+            dx_i, dl = bs1_t[bi], bs2_t[bi]
+            dy_i, dkk2 = ks1_t[ki], ks2_t[ki]
+        assert np.array_equal(dl, db_i) and np.array_equal(dkk2, dk_i)
+        pe.append(sec[si, 2] + c_j[ci] * db_i * dk_i)
+        pd.append(np.stack([db_i, dk_i, dx_i, dy_i], 1))
+        pk2.append(ci)
+        pm.append(np.stack([bm_t[bi], km_t[ki]], 1))
+        pq.append(bqr_t[bi])
+    if not pe:
         return None
+    eoff_a = np.concatenate(pe)
+    d4 = np.concatenate(pd)
+    db_a, dk_a, dx_a, dy_a = d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]
+    combo_a = np.concatenate(pk2)
+    m2 = np.concatenate(pm)
+    mb_a, mk_a = m2[:, 0], m2[:, 1]
+    qrb_a = np.concatenate(pq)
+    nent_a = c_ne[combo_a]
+    nit = len(eoff_a)
+
+    # ---- flat (item x entry) expansion: ef rows, coefficients ----
+    ne = int(nent_a.sum())
+    efc = np.concatenate([[0], np.cumsum(nent_a)]).astype(np.int64)
+    ef_item = np.repeat(np.arange(nit, dtype=np.int64), nent_a)
+    ef_ent = (np.arange(ne, dtype=np.int64)
+              - np.repeat(efc[:-1], nent_a)
+              + np.repeat(cstart[combo_a], nent_a))
+    ef_osym = os_e[ef_ent]
+    coef = cf_e[ef_ent]
+    ef_qrb = qrb_a[ef_item]
+
+    # ---- output layout from the unique (osym, out sector) pairs ----
+    id2qn = {v: k for k, v in qn_ids.items()}
+    pkey = ef_osym * NQ + ef_qrb
+    upk, ufirst = np.unique(pkey, return_index=True)
+    out_sym_sectors: Dict[int, Dict[QN, Tuple[int, int]]] = {}
+    for u, fi in zip(upk.tolist(), ufirst.tolist()):
+        it_ = int(ef_item[fi])
+        out_sym_sectors.setdefault(int(u) // NQ, {})[
+            id2qn[int(u) % NQ]] = (int(dx_a[it_]), int(dy_a[it_]))
     meta_out = StackedMeta.from_bond(bond_dqs_out, out_sym_sectors)
     if T is None:
-        T = pick_tile(np.asarray(dims))
-
-    nit = len(items)
-    eoff_a = np.fromiter((x[0] for x in items), np.int64, nit)
-    db_a = np.fromiter((x[1] for x in items), np.int64, nit)
-    dk_a = np.fromiter((x[2] for x in items), np.int64, nit)
-    mb_a = np.fromiter((x[3] for x in items), np.int64, nit)
-    mk_a = np.fromiter((x[4] for x in items), np.int64, nit)
-    dx_a = np.fromiter((x[5] for x in items), np.int64, nit)
-    dy_a = np.fromiter((x[6] for x in items), np.int64, nit)
-    nent_a = np.fromiter((len(x[7]) for x in items), np.int64, nit)
+        T = pick_tile(np.concatenate([db_a, dk_a, dx_a, dy_a]))
 
     while True:
         B, nt1, ntp = _CFG[T]
@@ -310,29 +436,32 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
             raise ValueError("block too large for any tile config")
         T *= 2
 
-    # greedy grouping under per-stage budgets
-    tb_a = np.empty(nit, dtype=np.int64)
-    pb_a = np.empty(nit, dtype=np.int64)
-    gfirst1, gfirst2, gfirst3 = [0], [0], [0]
+    # greedy grouping under per-stage budgets: each group is the maximal
+    # item prefix whose stage sums all fit, found by searchsorted on the
+    # prefix sums (identical groups to the sequential per-item scan)
     c1 = np.concatenate([[0], np.cumsum(n1_a)]).astype(np.int64)
     c2 = np.concatenate([[0], np.cumsum(n2_a)]).astype(np.int64)
     c3 = np.concatenate([[0], np.cumsum(n3_a)]).astype(np.int64)
-    tu = pu = u1 = u2 = u3 = 0
-    for i in range(nit):
-        if (tu + itmp[i] > nt1 or pu + iprod[i] > ntp
-                or u1 + n1_a[i] > B or u2 + n2_a[i] > B
-                or u3 + n3_a[i] > B):
-            gfirst1.append(int(c1[i]))
-            gfirst2.append(int(c2[i]))
-            gfirst3.append(int(c3[i]))
-            tu = pu = u1 = u2 = u3 = 0
-        tb_a[i] = tu
-        pb_a[i] = pu
-        tu += itmp[i]
-        pu += iprod[i]
-        u1 += n1_a[i]
-        u2 += n2_a[i]
-        u3 += n3_a[i]
+    cit = np.concatenate([[0], np.cumsum(itmp)]).astype(np.int64)
+    cip = np.concatenate([[0], np.cumsum(iprod)]).astype(np.int64)
+    starts = []
+    i0 = 0
+    while i0 < nit:
+        starts.append(i0)
+        e = min(int(np.searchsorted(cit, cit[i0] + nt1, "right")) - 1,
+                int(np.searchsorted(cip, cip[i0] + ntp, "right")) - 1,
+                int(np.searchsorted(c1, c1[i0] + B, "right")) - 1,
+                int(np.searchsorted(c2, c2[i0] + B, "right")) - 1,
+                int(np.searchsorted(c3, c3[i0] + B, "right")) - 1)
+        i0 = max(e, i0 + 1)
+    starts_a = np.asarray(starts, np.int64)
+    gfirst1 = [int(x) for x in c1[starts_a]]
+    gfirst2 = [int(x) for x in c2[starts_a]]
+    gfirst3 = [int(x) for x in c3[starts_a]]
+    gs_item = np.repeat(starts_a, np.diff(
+        np.concatenate([starts_a, [nit]])))
+    tb_a = cit[:-1] - cit[gs_item]
+    pb_a = cip[:-1] - cip[gs_item]
 
     it = np.zeros((nit, 13), dtype=np.int32)
     it[:, 0] = eoff_a
@@ -349,22 +478,32 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
     it[:, 11] = tb_a
     it[:, 12] = pb_a
 
-    # entries flat, in item order (cum3 counts iprod tiles per entry)
-    ne = int(nent_a.sum())
-    ef = np.zeros((ne, 4), dtype=np.int32)
-    coef = np.zeros(ne, dtype=np.complex128 if iscpx else np.float64)
-    k = 0
-    for i, x in enumerate(items):
-        qrb = x[8]
-        for (osym, cf) in x[7]:
-            go, jo = meta_out.sym_pos[osym]
-            ooff, odx, ody = meta_out.sectors[go][qrb]
-            ef[k, 0] = i
-            ef[k, 1] = ooff + jo * odx * ody
-            ef[k, 2] = odx
-            ef[k, 3] = ody
-            coef[k] = cf
-            k += 1
+    # entries flat, in item order (cum3 counts iprod tiles per entry);
+    # output offsets via dense (out group, out sector qn) tables
+    nos = int(os_e.max()) + 1
+    go_t = np.zeros(nos, np.int64)
+    jo_t = np.zeros(nos, np.int64)
+    for s, (go, jo) in meta_out.sym_pos.items():
+        go_t[s] = go
+        jo_t[s] = jo
+    ngo = len(meta_out.groups)
+    ooff_t = np.zeros((ngo, NQ), np.int64)
+    odx_t = np.ones((ngo, NQ), np.int64)
+    ody_t = np.ones((ngo, NQ), np.int64)
+    for go in range(ngo):
+        for qb, (ooff, odx, ody) in meta_out.sectors[go].items():
+            qi = qn_ids[qb]
+            ooff_t[go, qi] = ooff
+            odx_t[go, qi] = odx
+            ody_t[go, qi] = ody
+    go_e2 = go_t[ef_osym]
+    odx_e = odx_t[go_e2, ef_qrb]
+    ody_e = ody_t[go_e2, ef_qrb]
+    ef = np.empty((ne, 4), dtype=np.int32)
+    ef[:, 0] = ef_item
+    ef[:, 1] = ooff_t[go_e2, ef_qrb] + jo_t[ef_osym] * odx_e * ody_e
+    ef[:, 2] = odx_e
+    ef[:, 3] = ody_e
     cum3 = np.concatenate(
         [[0], np.cumsum(np.repeat(iprod, nent_a))]).astype(np.int32)
 
@@ -460,6 +599,40 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
             epool_dev, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
             g1, g2, g3, plan.nt1, plan.ntp, plan.T, plan.B, plan.left,
             plan.ncap, ng, mesh, axis)
-    return _blk_exec(epool_dev, bpool, kpool, it, ef, coef, cum1, cum2,
-                     cum3, g1, g2, g3, plan.nt1, plan.ntp, plan.T,
-                     plan.B, plan.left, plan.ncap, len(plan.g1))
+    import os as _os
+    nmax = int(_os.environ.get("B2TPU_BLK_NSCAN_MAX", "256"))
+    ns = len(plan.g1)
+    if ns <= nmax:
+        return _blk_exec(epool_dev, bpool, kpool, it, ef, coef, cum1,
+                         cum2, cum3, g1, g2, g3, plan.nt1, plan.ntp,
+                         plan.T, plan.B, plan.left, plan.ncap, ns)
+    # bounded-depth launches: dense mid-chain bonds produce thousands of
+    # task groups; one launch per <= nmax groups keeps each kernel under
+    # the TPU runtime's watchdog (the single-launch form killed the
+    # worker at Cr2 bond ~14, 5120 groups)
+    e1f = np.concatenate([plan.g1[1:], plan.cum1[-1:]]).astype(np.int32)
+    e2f = np.concatenate([plan.g2[1:], plan.cum2[-1:]]).astype(np.int32)
+    e3f = np.concatenate([plan.g3[1:], plan.cum3[-1:]]).astype(np.int32)
+    ng = -(-ns // nmax) * nmax
+    if ng > ns:
+        pad1 = np.full(ng - ns, plan.cum1[-1], np.int32)
+        pad2 = np.full(ng - ns, plan.cum2[-1], np.int32)
+        pad3 = np.full(ng - ns, plan.cum3[-1], np.int32)
+        g1f = np.concatenate([plan.g1, pad1])
+        g2f = np.concatenate([plan.g2, pad2])
+        g3f = np.concatenate([plan.g3, pad3])
+        e1f = np.concatenate([e1f, pad1])
+        e2f = np.concatenate([e2f, pad2])
+        e3f = np.concatenate([e3f, pad3])
+    else:
+        g1f, g2f, g3f = plan.g1, plan.g2, plan.g3
+    out = jnp.zeros(plan.ncap, dtype=dtype)
+    for lo in range(0, ng, nmax):
+        sl = slice(lo, lo + nmax)
+        out = _blk_exec_chunk(
+            out, epool_dev, bpool, kpool, it, ef, coef, cum1, cum2,
+            cum3, jnp.asarray(g1f[sl]), jnp.asarray(g2f[sl]),
+            jnp.asarray(g3f[sl]), jnp.asarray(e1f[sl]),
+            jnp.asarray(e2f[sl]), jnp.asarray(e3f[sl]), plan.nt1,
+            plan.ntp, plan.T, plan.B, plan.left, plan.ncap)
+    return out

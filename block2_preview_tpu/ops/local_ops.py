@@ -52,18 +52,20 @@ def op_delta_quantum(group: SymmetryGroup, mat: np.ndarray,
     used by the MPO builder's per-site tables, where a registry op can
     be probed against a DIFFERENT site's basis that happens to share
     its dimension (heterogeneous big-site chains): mixing there just
-    means 'this op never occurs at this site'."""
+    means 'this op never occurs at this site'.
+
+    Accepts CSR operators (big sites, reference
+    src/core/csr_sparse_matrix.hpp) — the scan is O(nnz) either way."""
+    from .csr import delta_quantum_pairs
     dq = None
-    for b in range(len(site_quanta)):
-        for k in range(len(site_quanta)):
-            if mat[b, k] != 0.0:
-                d = group.sub(site_quanta[b], site_quanta[k])
-                if dq is None:
-                    dq = d
-                elif dq != d:
-                    if strict:
-                        raise AssertionError("operator mixes delta quanta")
-                    return None
+    for b, k in delta_quantum_pairs(mat):
+        d = group.sub(site_quanta[b], site_quanta[k])
+        if dq is None:
+            dq = d
+        elif dq != d:
+            if strict:
+                raise AssertionError("operator mixes delta quanta")
+            return None
     return dq if dq is not None else group.zero
 
 
@@ -77,29 +79,35 @@ class OpRegistry:
     ID_Z = 1
 
     def __init__(self, ident: np.ndarray = None, parity: np.ndarray = None):
+        from .csr import is_sparse, mat_key
         self.mats: List[np.ndarray] = []
         self._index = {}
         ident = IDENT if ident is None else ident
         parity = PARITY if parity is None else parity
         # reserved slots (parity may equal identity for bosonic sites)
-        self.mats.append(np.asarray(ident, dtype=self._dt(ident)))
-        self.mats.append(np.asarray(parity, dtype=self._dt(parity)))
-        self._index[np.round(parity, 14).tobytes()] = self.ID_Z
-        self._index[np.round(ident, 14).tobytes()] = self.ID_I
+        self.mats.append(ident if is_sparse(ident)
+                         else np.asarray(ident, dtype=self._dt(ident)))
+        self.mats.append(parity if is_sparse(parity)
+                         else np.asarray(parity, dtype=self._dt(parity)))
+        self._index[mat_key(parity)] = self.ID_Z
+        self._index[mat_key(ident)] = self.ID_I
 
     @staticmethod
     def _dt(mat):
         return np.complex128 if np.iscomplexobj(mat) else np.float64
 
     def register(self, mat: np.ndarray) -> int:
+        from .csr import is_sparse, mat_any, mat_key
         # real-valued complex matrices dedupe against their real twins
-        if np.iscomplexobj(mat) and not np.any(mat.imag):
+        if np.iscomplexobj(mat) and not is_sparse(mat) \
+                and not np.any(mat.imag):
             mat = mat.real
-        key = np.round(mat, 14).tobytes()
+        key = mat_key(mat)
         idx = self._index.get(key)
         if idx is None:
             idx = len(self.mats)
-            self.mats.append(np.asarray(mat, dtype=self._dt(mat)))
+            self.mats.append(mat if is_sparse(mat)
+                             else np.asarray(mat, dtype=self._dt(mat)))
             self._index[key] = idx
         return idx
 

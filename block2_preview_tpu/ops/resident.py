@@ -35,6 +35,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from .csr import w_nonzero as _w_nonzero
+
 from . import jit_cache  # noqa: F401
 import jax
 import jax.numpy as jnp
@@ -144,7 +146,7 @@ def build_mix_plan(meta_env: StackedMeta, entries, quanta,
         osym = o if join_on_input else i
         if np.iscomplexobj(w):
             iscpx = True
-        for pb, pk in zip(*np.nonzero(w)):
+        for pb, pk in zip(*_w_nonzero(w)):
             ent_by.setdefault(jsym, []).append(
                 (osym, int(pb), int(pk), w[pb, pk]))
     if not ent_by:

@@ -31,6 +31,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .csr import w_nonzero as _w_nonzero
+
 from . import jit_cache  # noqa: F401  (persistent XLA cache)
 import jax
 import jax.numpy as jnp
@@ -326,7 +328,7 @@ def build_stacked_plan(meta_in: StackedMeta, entries, quanta, bra_T, ket_T,
         if gp is None:
             continue
         g, j = gp
-        for pb, pk in zip(*np.nonzero(w)):
+        for pb, pk in zip(*_w_nonzero(w)):
             ent_by.setdefault((g, int(pb), int(pk)), []).append(
                 (j, osym, float(w[pb, pk].real) if not np.iscomplexobj(w)
                  else w[pb, pk]))

@@ -31,6 +31,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from .csr import w_nonzero as _w_nonzero
+
 from . import jit_cache  # noqa: F401
 import jax
 import jax.numpy as jnp
@@ -157,7 +159,7 @@ def build_tiled_blocking_plan(meta_in: StackedMeta, entries, quanta,
         if gp is None:
             continue
         g, j = gp
-        for pb, pk in zip(*np.nonzero(w)):
+        for pb, pk in zip(*_w_nonzero(w)):
             ent_by.setdefault((g, int(pb), int(pk)), {}).setdefault(
                 j, []).append((osym, complex(w[pb, pk]) if
                                np.iscomplexobj(w) else float(w[pb, pk])))

@@ -61,6 +61,10 @@ def _quant(n: int, keep_bits: int = 2) -> int:
 
 
 def _gtile(pool, base, stride, rmax, cmax, T):
+    # elementwise affine gather: measured FASTER than the row-windowed
+    # vmapped-dynamic-slice form on v5e (15 vs 103 ms per 8192-task
+    # group) — XLA's gather simplifier already exploits the contiguous
+    # last axis; do not "optimize" this into slice windows
     r = jnp.arange(T, dtype=jnp.int32)[None, :, None]
     c = jnp.arange(T, dtype=jnp.int32)[None, None, :]
     idx = base[:, None, None] + r * stride[:, None, None] + c
