@@ -343,6 +343,11 @@ class DMRG:
         if self._plan_cache_dir:
             self._load_plan_caches()
         self.me.init_environments()
+        if self._plan_cache_dir:
+            # persist the env-init blocking plans immediately: on big
+            # decks they cost tens of minutes of host plan-building and
+            # must survive a mid-sweep crash
+            self.save_plan_caches()
         self.energies: List[np.ndarray] = []
         self.discarded_weights: List[float] = []
         self.timings = SweepTimings()
@@ -384,6 +389,9 @@ class DMRG:
                 data = pickle.load(f)
             self._tiled_cache = data.get("tiled", {})
             self.me._asm_cache = data.get("asm", {})
+            self.me._stk_plans = data.get("stk", {})
+            if hasattr(self, "_res_caches"):
+                self._res_caches.update(data.get("res", {}))
         except Exception:
             pass
 
@@ -398,10 +406,14 @@ class DMRG:
         import pickle
         os.makedirs(self._plan_cache_dir, exist_ok=True)
         data = {"tiled": getattr(self, "_tiled_cache", {}),
-                "asm": getattr(self.me, "_asm_cache", {})}
+                "asm": getattr(self.me, "_asm_cache", {}),
+                "stk": getattr(self.me, "_stk_plans", {}),
+                "res": getattr(self, "_res_caches", {})}
         try:
-            with open(self._cache_file(), "wb") as f:
+            fn = self._cache_file()
+            with open(fn + ".tmp", "wb") as f:
                 pickle.dump(data, f, protocol=4)
+            os.replace(fn + ".tmp", fn)
         except Exception:
             pass
 

@@ -215,6 +215,29 @@ class BlockingV2Plan:
                  "g1", "g2", "g3", "bra_pool", "ket_pool", "flops",
                  "_dev", "_src")
 
+    # cross-process persistence (B2TPU_PLAN_CACHE): strip device
+    # handles, keep host arrays
+    def __getstate__(self):
+        st = {}
+        for k in self.__slots__:
+            if k in ("_dev", "_src"):
+                continue
+            v = getattr(self, k, None)
+            if v is not None and not isinstance(
+                    v, (np.ndarray, int, float, bool, str, tuple, list,
+                        dict, type(None))) and hasattr(v, "__array__") \
+                    and not hasattr(v, "signature"):
+                v = np.asarray(v)
+            st[k] = v
+        return st
+
+    def __setstate__(self, st):
+        for k, v in st.items():
+            object.__setattr__(self, k, v)
+        object.__setattr__(self, "_dev", None)
+        if not hasattr(self, "_src"):
+            object.__setattr__(self, "_src", None)
+
 
 def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
                       bra_T, ket_T, group, direction: str,

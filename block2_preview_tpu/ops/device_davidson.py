@@ -37,20 +37,60 @@ def _masked_eigh(h, mask, M, dtype):
     return jnp.linalg.eigh(h)
 
 
-def device_davidson(matvec, diag, x0, conv_thrd=1e-8, max_iter=100,
-                    max_subspace=20, n_keep=4):
-    """Smallest eigenpair of a symmetric operator, fully on device.
-
-    matvec: jittable fn on padded vectors [n]
-    diag:   [n] preconditioner diagonal (pad region = 1.0)
-    x0:     [n] initial guess (pad region = 0)
-    n_keep: Ritz vectors retained at subspace compression (thick restart)
-    Returns (theta, x, n_iter) as device values.
-    """
+def davidson_state_init(x0, max_subspace):
+    """Initial on-device Davidson state tuple (V, S, m, theta, rn2, it)
+    for the chunked driver."""
     n = x0.shape[0]
     M = max_subspace
-    K = min(n_keep, M - 2)
     dtype = x0.dtype
+    V0 = jnp.zeros((M, n), dtype=dtype)
+    V0 = V0.at[0].set(x0 / jnp.linalg.norm(x0))
+    S0 = jnp.zeros((M, n), dtype=dtype)
+    return (V0, S0, jnp.asarray(1, jnp.int32), jnp.asarray(0.0, dtype),
+            jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32))
+
+
+def davidson_chunk(matvec, diag, state, conv_thrd=1e-8, it_cap=4,
+                   max_iter=100, n_keep=4):
+    """Advance the Davidson state by at most ``it_cap`` iterations (one
+    bounded device launch).  The target system's worker kills launches
+    that run for minutes (and the tunnel latency is highly variable), so
+    the subspace iteration must be split into bounded launches chained
+    from the host: state arrays stay on device, only the (rn2, it)
+    scalars are read between chunks.  Same numerics as
+    ``device_davidson`` — the while_loop condition just gains an
+    ``it < it0 + it_cap`` bound."""
+    M = state[0].shape[0]
+    dtype = state[0].dtype
+    body = _dav_body(matvec, diag, M, min(n_keep, M - 2), dtype)
+    it0 = state[5]
+
+    def cond(s):
+        return ((s[5] < max_iter) & (s[5] < it0 + it_cap)
+                & ((s[4] > conv_thrd) | (s[5] < 1)))
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def davidson_finalize(state):
+    """Final Ritz pair from a Davidson state: (theta, x, it)."""
+    V, S, m, theta, rn2, it = state
+    M = V.shape[0]
+    mask = (jnp.arange(M) < m)
+    Vm = V * mask[:, None]
+    Sm = S * mask[:, None]
+    h = Vm @ Sm.T
+    h = 0.5 * (h + h.T)
+    w, c = _masked_eigh(h, mask, M, V.dtype)
+    x = c[:, 0] @ Vm
+    x = x / jnp.linalg.norm(x)
+    return w[0], x, it
+
+
+def _dav_body(matvec, diag, M, K, dtype):
+    """One Davidson iteration (shared by the single-launch and chunked
+    drivers): expand, Rayleigh-Ritz, residual, Olsen precondition,
+    grow-or-thick-restart."""
 
     def body(state):
         V, S, m, theta, rn2, it = state
@@ -100,24 +140,26 @@ def device_davidson(matvec, diag, x0, conv_thrd=1e-8, max_iter=100,
         V, S, m = jax.lax.cond(m + 1 > M, restart, grow, (V, S, m))
         return V, S, m, theta, rn2, it + 1
 
+    return body
+
+
+def device_davidson(matvec, diag, x0, conv_thrd=1e-8, max_iter=100,
+                    max_subspace=20, n_keep=4):
+    """Smallest eigenpair of a symmetric operator, fully on device.
+
+    matvec: jittable fn on padded vectors [n]
+    diag:   [n] preconditioner diagonal (pad region = 1.0)
+    x0:     [n] initial guess (pad region = 0)
+    n_keep: Ritz vectors retained at subspace compression (thick restart)
+    Returns (theta, x, n_iter) as device values.
+    """
+    M = max_subspace
+    body = _dav_body(matvec, diag, M, min(n_keep, M - 2), x0.dtype)
+
     def cond(state):
         V, S, m, theta, rn2, it = state
         return (it < max_iter) & ((rn2 > conv_thrd) | (it < 1))
 
-    V0 = jnp.zeros((M, n), dtype=dtype)
-    V0 = V0.at[0].set(x0 / jnp.linalg.norm(x0))
-    S0 = jnp.zeros((M, n), dtype=dtype)
-    state = (V0, S0, jnp.asarray(1, jnp.int32),
-             jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype),
-             jnp.asarray(0, jnp.int32))
-    V, S, m, theta, rn2, it = jax.lax.while_loop(cond, body, state)
-    # final Ritz vector
-    mask = (jnp.arange(M) < m)
-    Vm = V * mask[:, None]
-    Sm = S * mask[:, None]
-    h = Vm @ Sm.T
-    h = 0.5 * (h + h.T)
-    w, c = _masked_eigh(h, mask, M, V.dtype)
-    x = c[:, 0] @ Vm
-    x = x / jnp.linalg.norm(x)
-    return w[0], x, it
+    state = davidson_state_init(x0, M)
+    state = jax.lax.while_loop(cond, body, state)
+    return davidson_finalize(state)

@@ -697,16 +697,24 @@ def build_diag_struct(space, meta_lw: StackedMeta, meta_rw: StackedMeta,
             "sig_idx": sig_idx}
 
 
+@partial(jax.jit, static_argnames=("max_subspace",))
+def _dav_init(x0, max_subspace):
+    from .device_davidson import davidson_state_init
+    return davidson_state_init(x0, max_subspace)
+
+
+@jax.jit
+def _dav_final(state):
+    from .device_davidson import davidson_finalize
+    return davidson_finalize(state)
+
+
 @partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan",
-                                   "conv_thrd", "max_iter",
-                                   "max_subspace"))
-def _v2_dav(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
-            g1, g2, nt1, nt2, T, B, nscan, conv_thrd, max_iter,
-            max_subspace):
-    """On-device Davidson around the v2 slab matvec (one jit whose
-    signature depends only on capacity classes; the task arrays are
-    data)."""
-    from .device_davidson import device_davidson
+                                   "conv_thrd", "it_cap", "max_iter"))
+def _v2_dav_chunk(state, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
+                  cum2, g1, g2, nt1, nt2, T, B, nscan, conv_thrd, it_cap,
+                  max_iter):
+    from .device_davidson import davidson_chunk
     from .tilev2 import _mv_exec
 
     def mv(v):
@@ -714,8 +722,71 @@ def _v2_dav(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
                        cum2, g1, g2, nt1, nt2, T, B, nscan)
         return jnp.concatenate([out, jnp.zeros(1, dtype=out.dtype)])
 
-    return device_davidson(mv, diag, x0, conv_thrd=conv_thrd,
-                           max_iter=max_iter, max_subspace=max_subspace)
+    return davidson_chunk(mv, diag, state, conv_thrd=conv_thrd,
+                          it_cap=it_cap, max_iter=max_iter)
+
+
+def _dav_chunk_cap():
+    import os
+    return max(1, int(os.environ.get("B2TPU_DAV_CHUNK", "4")))
+
+
+def _v2_dav(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
+            g1, g2, nt1, nt2, T, B, nscan, conv_thrd, max_iter,
+            max_subspace):
+    """On-device Davidson around the v2 slab matvec, chained from the
+    host in bounded launches of B2TPU_DAV_CHUNK (default 4) iterations.
+
+    A single-launch while_loop over the whole solve ran for minutes on
+    hard sites and was killed by the target system's worker watchdog
+    (reproducible worker crash past ~60 s launches on the Cr2 deck);
+    tunnel dispatch latency also varies wildly, so bounded launches with
+    the subspace state held on device are both safer and no slower —
+    only the (rn2, it) scalars cross the link between chunks."""
+    state = _dav_init(x0, max_subspace)
+    cap = _dav_chunk_cap()
+    while True:
+        state = _v2_dav_chunk(state, diag, lpool, rpool, psi_idx,
+                              sig_idx, it, cum1, cum2, g1, g2, nt1, nt2,
+                              T, B, nscan, conv_thrd, cap, max_iter)
+        itc = int(state[5])
+        rn2 = float(state[4])
+        if itc >= max_iter or (rn2 <= conv_thrd and itc >= 1):
+            break
+    return _dav_final(state)
+
+
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan",
+                                   "conv_thrd", "it_cap", "max_iter",
+                                   "mesh", "axis"))
+def _v2_dav_sharded_chunk(state, diag, lpool, rpool, psi_idx, sig_idx,
+                          it, cum1, cum2, g1, g2, nt1, nt2, T, B, nscan,
+                          conv_thrd, it_cap, max_iter, mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    from .device_davidson import davidson_chunk
+    from .tilev2 import _mv_scan
+    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
+    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
+
+    def local(g1s, g2s, e1s, e2s, st, dgl, lp, rp, pidx, sidx, itl,
+              c1, c2):
+        def mv(v):
+            sig = _mv_scan(v, lp, rp, pidx, itl, c1, c2, g1s, g2s,
+                           e1s, e2s, nt1, nt2, T, B, vary_axis=axis)
+            sig = jax.lax.psum(sig, axis)
+            out = sig.reshape(-1)[sidx]
+            return jnp.concatenate([out, jnp.zeros(1, dtype=out.dtype)])
+
+        return davidson_chunk(mv, dgl, st, conv_thrd=conv_thrd,
+                              it_cap=it_cap, max_iter=max_iter)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * 4 + (P(),) * 9,
+        out_specs=(P(),) * 6)
+    return fn(g1, g2, e1, e2, state, diag, lpool, rpool, psi_idx,
+              sig_idx, it, cum1, cum2)
 
 
 def _v2_dav_sharded(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
@@ -725,33 +796,20 @@ def _v2_dav_sharded(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
     replicated on every device (the reference's rank-redundant Davidson,
     src/core/iterative_matrix_functions.hpp:1181 pcomm semantics) while
     every matvec splits the task groups over the mesh axis and psums the
-    partial sigma tile pools (parallel_tensor_functions.hpp:219)."""
-    from jax.sharding import PartitionSpec as P
-
-    from .device_davidson import device_davidson
-    from .tilev2 import _mv_scan
-    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
-    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
-
-    def local(g1s, g2s, e1s, e2s, x0l, dgl, lp, rp, pidx, sidx, itl,
-              c1, c2):
-        def mv(v):
-            sig = _mv_scan(v, lp, rp, pidx, itl, c1, c2, g1s, g2s,
-                           e1s, e2s, nt1, nt2, T, B, vary_axis=axis)
-            sig = jax.lax.psum(sig, axis)
-            out = sig.reshape(-1)[sidx]
-            return jnp.concatenate([out, jnp.zeros(1, dtype=out.dtype)])
-
-        return device_davidson(mv, dgl, x0l, conv_thrd=conv_thrd,
-                               max_iter=max_iter,
-                               max_subspace=max_subspace)
-
-    fn = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis),) * 4 + (P(),) * 9,
-        out_specs=(P(), P(), P()))
-    return fn(g1, g2, e1, e2, x0, diag, lpool, rpool, psi_idx, sig_idx,
-              it, cum1, cum2)
+    partial sigma tile pools (parallel_tensor_functions.hpp:219).
+    Chained from the host in bounded launches like _v2_dav."""
+    state = _dav_init(x0, max_subspace)
+    cap = _dav_chunk_cap()
+    while True:
+        state = _v2_dav_sharded_chunk(
+            state, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
+            g1, g2, nt1, nt2, T, B, nscan, conv_thrd, cap, max_iter,
+            mesh, axis)
+        itc = int(state[5])
+        rn2 = float(state[4])
+        if itc >= max_iter or (rn2 <= conv_thrd and itc >= 1):
+            break
+    return _dav_final(state)
 
 
 def _mix_sig(meta_env, entries, fused, fused_ket, active, active_ket,
