@@ -101,6 +101,9 @@ def cr2_leg(dev_kind: str):
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    # persistent plan cache: env-init blocking plans cost tens of host
+    # minutes on this deck and are content-validated, so reruns warm-start
+    env.setdefault("B2TPU_PLAN_CACHE", "/tmp/b2tpu_plans")
     t0 = time.time()
     try:
         p = subprocess.run(

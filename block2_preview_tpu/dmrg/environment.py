@@ -379,10 +379,30 @@ class MovingEnvironment:
                 store[bond] = (meta, pool)
         return meta, pool
 
+    def _hbm_pool_budget(self) -> float:
+        """Byte budget for device-resident stacked pools.  The device<->host
+        tunnel on the target system is slow (~40-100 MB/s + high latency),
+        so consumed pools stay on the accelerator whenever HBM allows; past
+        the budget they spill to host mirrors.  Reference analog: DataFrame
+        stack quotas gating what stays in the memory arena
+        (src/core/allocator.hpp:335)."""
+        import os
+        return float(os.environ.get("B2TPU_POOL_BUDGET_GB", "4")) * (1 << 30)
+
+    def _device_pool_bytes(self) -> int:
+        n = 0
+        for store in (self._stk_l, self._stk_r):
+            for _meta, pool in store.values():
+                if not isinstance(pool, np.ndarray):
+                    n += pool.nbytes
+        return n
+
     def free_stk_device(self, side: str, bond: int,
                         keep_host: bool = False) -> None:
         """Release a bond's device pool (after consumption).  With
-        keep_host, a host mirror is kept so the bond stays available."""
+        keep_host, the pool stays device-resident while total pool HBM is
+        under budget (re-upload on the next visit costs seconds/bond over
+        the tunnel); past the budget it spills to a host mirror."""
         store = self._stk_l if side == "l" else self._stk_r
         ent = store.get(bond)
         if ent is None:
@@ -390,6 +410,11 @@ class MovingEnvironment:
         meta, pool = ent
         if not isinstance(pool, np.ndarray):
             if keep_host:
+                if self._device_pool_bytes() <= self._hbm_pool_budget():
+                    return          # stays device-resident
+                # NOTE: jax.Array.copy_to_host_async() wedges the axon
+                # remote worker persistently (reproduced in isolation on
+                # a 128 MB array) — the spill must stay synchronous
                 store[bond] = (meta, np.asarray(pool))
             else:
                 store.pop(bond, None)

@@ -40,8 +40,10 @@ occs = np.loadtxt("/root/reference/data/CR2.SVP.OCC")
 info.set_bond_dimension_using_occ(occs.ravel(), bias=2.0)
 mps = MPS.random(info)
 
+t_env = time.time()
 dmrg = DMRG(mpo, mps, backend=backend, dtype=dtype, iprint=2,
             dav_max_iter=30 if dtype == np.float32 else 100)
+print(f"env init: t={time.time()-t_env:.1f}s", flush=True)
 sched_d = [D] * n_sweeps
 sched_n = [1e-4, 1e-5] + [0] * max(n_sweeps - 2, 0)
 # f32: conv_thrd is on |r|^2; residual floor ~ eps_f32 * |H| — 1e-4 is the
