@@ -228,7 +228,11 @@ class MovingEnvironment:
             return False
         meta_in, pool_in = ent
         key = (t, direction)
-        sig = (tuple((dq, tuple(ss)) for dq, ss in meta_in.groups),
+        # leading int = plan-layout version: bump when the executor's
+        # quantization/layout changes so persisted plans (B2TPU_PLAN_CACHE)
+        # rebuild instead of resurrecting stale jit shape classes
+        sig = (2,
+               tuple((dq, tuple(ss)) for dq, ss in meta_in.groups),
                tuple(tuple(sorted(s.items())) for s in meta_in.sectors),
                tuple(sorted((k, b.shape) for k, b in
                             self.bra.tensors[t].blocks.items())),

@@ -48,9 +48,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.symmetry import QN
-from .stacked import StackedMeta, _cap_class
+from .stacked import StackedMeta, _cap_class, _pow2
 from .tiled import _pow2, pick_tile
-from .tilev2 import _gtile, _locate, _quant
+from .tilev2 import _gtile, _locate
 
 # per tile size: (stage task capacity B, tmp tiles, prod tiles)
 _CFG = {16: (8192, 16384, 16384), 32: (8192, 8192, 8192),
@@ -58,21 +58,24 @@ _CFG = {16: (8192, 16384, 16384), 32: (8192, 8192, 8192),
 
 
 def _blk_scan(epool, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
-              g1, g2, g3, e1, e2, e3, nt1, ntp, T, B, left, ncap,
+              g1, g2, g3, e1, e2, e3, ng, nt1, ntp, T, B, left, ncap,
               vary_axis=None):
-    """Scan over task groups; returns the accumulated output pool
+    """Loop over task groups; returns the accumulated output pool
     [ncap] (index ncap scatters are dropped).  it [n, 13] int32 item
     fields: ebase, dk, db, kbase, dy, bbase, dx, nl, nk, nx, ny,
     tb(tmp base), pb(prod base); ef [ne, 4]: item, obase, odx, ody;
     coef [ne]; cum1/cum2 [n+1] stage-1/2 task prefix sums; cum3 [ne+1]
-    stage-3 tile prefix sums; g1/g2/g3 [nscan] first task ids per scan
-    step, e1/e2/e3 the matching end ids."""
+    stage-3 tile prefix sums; g1/g2/g3 [gcap] first task ids per step
+    (capacity-padded), e1/e2/e3 the matching end ids.  ng is the LIVE
+    group count as a traced scalar so per-bond group counts never mint
+    a new jit signature (each costs a ~1-4 min remote compile)."""
     hi = lax.Precision.HIGHEST
     r = jnp.arange(T, dtype=jnp.int32)[None, :, None]
     c = jnp.arange(T, dtype=jnp.int32)[None, None, :]
 
-    def body(out, g):
-        g1s, g2s, g3s, e1s, e2s, e3s = g
+    def body(i, out):
+        g1s, g2s, g3s = g1[i], g2[i], g3[i]
+        e1s, e2s, e3s = e1[i], e2[i], e3[i]
         # stage 1: tasks (li, yi, ki) -> tmp tiles
         i1, o1, v1 = _locate(cum1, g1s, e1s, B)
         f = it[i1]
@@ -140,73 +143,60 @@ def _blk_scan(epool, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
             & (c < (ody - yi[:, None, None] * T))
         out = out.at[jnp.where(ok, idx, ncap)].add(
             jnp.where(ok, vals, 0), mode="drop")
-        return out, 0
+        return out
 
     out0 = jnp.zeros(ncap, dtype=epool.dtype)
     if vary_axis is not None:
         out0 = lax.pvary(out0, (vary_axis,))
-    out, _ = lax.scan(body, out0, (g1, g2, g3, e1, e2, e3))
-    return out
-
-
-@partial(jax.jit, static_argnames=("nt1", "ntp", "T", "B", "left",
-                                   "ncap", "nscan"))
-def _blk_exec(epool, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
-              g1, g2, g3, nt1, ntp, T, B, left, ncap, nscan):
-    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
-    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
-    e3 = jnp.concatenate([g3[1:], cum3[-1:]])
-    return _blk_scan(epool, bpool, kpool, it, ef, coef, cum1, cum2,
-                     cum3, g1, g2, g3, e1, e2, e3, nt1, ntp, T, B,
-                     left, ncap)
+    return lax.fori_loop(0, ng, body, out0)
 
 
 @partial(jax.jit, static_argnames=("nt1", "ntp", "T", "B", "left",
                                    "ncap"),
          donate_argnums=(0,))
 def _blk_exec_chunk(out0, epool, bpool, kpool, it, ef, coef, cum1, cum2,
-                    cum3, g1, g2, g3, e1, e2, e3, nt1, ntp, T, B, left,
-                    ncap):
+                    cum3, g1, g2, g3, e1, e2, e3, ng, nt1, ntp, T, B,
+                    left, ncap):
     """One bounded-depth launch accumulating into a donated output pool.
-    Single giant launches (scan depth in the thousands at dense mid-chain
-    Cr2 bonds) run long enough to trip the TPU runtime's kernel watchdog
-    and kill the worker — the recurring 'TPU worker crashed' fault at
-    init_environments.  Splitting the task-group scan into fixed-depth
-    chunks keeps every launch short; out0 is donated so the accumulation
-    is in-place across chunks (one compile: the chunk shape is fixed)."""
+    Single giant launches (group counts in the thousands at dense
+    mid-chain Cr2 bonds) run long enough to trip the TPU runtime's
+    kernel watchdog and kill the worker — the recurring 'TPU worker
+    crashed' fault at init_environments.  Splitting the group loop into
+    fixed-length chunks keeps every launch short; out0 is donated so
+    the accumulation is in-place across chunks, and ng (live groups in
+    this chunk) is traced so partial tail chunks reuse the compile."""
     acc = _blk_scan(epool, bpool, kpool, it, ef, coef, cum1, cum2,
-                    cum3, g1, g2, g3, e1, e2, e3, nt1, ntp, T, B,
+                    cum3, g1, g2, g3, e1, e2, e3, ng, nt1, ntp, T, B,
                     left, ncap)
     return out0 + acc
 
 
 @partial(jax.jit, static_argnames=("nt1", "ntp", "T", "B", "left",
-                                   "ncap", "nscan", "mesh", "axis"))
+                                   "ncap", "mesh", "axis"))
 def _blk_exec_sharded(epool, bpool, kpool, it, ef, coef, cum1, cum2,
-                      cum3, g1, g2, g3, nt1, ntp, T, B, left, ncap,
-                      nscan, mesh, axis):
+                      cum3, g1, g2, g3, e1, e2, e3, ng, nt1, ntp, T, B,
+                      left, ncap, mesh, axis):
     """Blocking with the task-group axis sharded over the mesh axis and
     partial output pools psum'd — block2's distributed left_contract
     (owner-computes per operator, reduce of partials,
-    src/core/parallel_tensor_functions.hpp)."""
+    src/core/parallel_tensor_functions.hpp).  g/e arrays are round-robin
+    interleaved per device (ends precomputed in GLOBAL group order) and
+    ng is the per-device live trip count, traced."""
     from jax.sharding import PartitionSpec as P
-    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
-    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
-    e3 = jnp.concatenate([g3[1:], cum3[-1:]])
 
     def local(g1s, g2s, g3s, e1s, e2s, e3s, ep, bp, kp, itl, efl, cf,
-              c1, c2, c3):
+              c1, c2, c3, ngl):
         out = _blk_scan(ep, bp, kp, itl, efl, cf, c1, c2, c3,
-                        g1s, g2s, g3s, e1s, e2s, e3s, nt1, ntp, T, B,
-                        left, ncap, vary_axis=axis)
+                        g1s, g2s, g3s, e1s, e2s, e3s, ngl, nt1, ntp,
+                        T, B, left, ncap, vary_axis=axis)
         return lax.psum(out, axis)
 
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P())(g1, g2, g3, e1, e2, e3, epool, bpool, kpool,
-                       it, ef, coef, cum1, cum2, cum3)
+                       it, ef, coef, cum1, cum2, cum3, ng)
 
 
 class BlockingV2Plan:
@@ -530,24 +520,23 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
     cum3 = np.concatenate(
         [[0], np.cumsum(np.repeat(iprod, nent_a))]).astype(np.int32)
 
-    ng = _quant(len(gfirst1))
-    gfirst1 += [int(c1[-1])] * (ng - len(gfirst1))
-    gfirst2 += [int(c2[-1])] * (ng - len(gfirst2))
-    gfirst3 += [int(c3[-1])] * (ng - len(gfirst3))
-
     plan = BlockingV2Plan()
     plan.meta_out = meta_out
     # quantize item/entry counts: the jit signature depends on the it /
     # ef / cum shapes, so exact per-site sizes would compile one kernel
     # per site per sweep-schedule change.  Padded items/entries span zero
     # tasks (repeated cum tail) and are never selected by searchsorted.
-    nit_q = _quant(nit)
+    # Full pow2 (padding is free at run time; every extra shape class
+    # costs a fresh ~1-4 min remote compile — the measured Cr2 sweep-0
+    # spent >80% of wall time compiling per-site size classes under the
+    # finer 1.25x quantization).
+    nit_q = _pow2(nit)
     it = np.concatenate(
         [it, np.zeros((nit_q - nit, 13), dtype=it.dtype)])
     it[nit:, 7:11] = 1
     c1 = np.concatenate([c1, np.full(nit_q - nit, c1[-1], c1.dtype)])
     c2 = np.concatenate([c2, np.full(nit_q - nit, c2[-1], c2.dtype)])
-    ne_q = _quant(ne)
+    ne_q = _pow2(ne)
     ef = np.concatenate([ef, np.zeros((ne_q - ne, 4), dtype=ef.dtype)])
     ef[ne:, 3] = 1
     coef = np.concatenate([coef, np.zeros(ne_q - ne, dtype=coef.dtype)])
@@ -607,48 +596,49 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
         plan._dev = dev
     (_dt, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
      g1, g2, g3) = dev
-    if mesh is not None:
-        nd = mesh.shape[axis]
-        ng = -(-len(plan.g1) // nd) * nd
-        pad = ng - len(plan.g1)
-        if pad:
-            g1 = jnp.concatenate(
-                [g1, jnp.full(pad, plan.cum1[-1], g1.dtype)])
-            g2 = jnp.concatenate(
-                [g2, jnp.full(pad, plan.cum2[-1], g2.dtype)])
-            g3 = jnp.concatenate(
-                [g3, jnp.full(pad, plan.cum3[-1], g3.dtype)])
-        return _blk_exec_sharded(
-            epool_dev, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
-            g1, g2, g3, plan.nt1, plan.ntp, plan.T, plan.B, plan.left,
-            plan.ncap, ng, mesh, axis)
-    import os as _os
-    nmax = int(_os.environ.get("B2TPU_BLK_NSCAN_MAX", "256"))
     ns = len(plan.g1)
-    if ns <= nmax:
-        return _blk_exec(epool_dev, bpool, kpool, it, ef, coef, cum1,
-                         cum2, cum3, g1, g2, g3, plan.nt1, plan.ntp,
-                         plan.T, plan.B, plan.left, plan.ncap, ns)
-    # bounded-depth launches: dense mid-chain bonds produce thousands of
-    # task groups; one launch per <= nmax groups keeps each kernel under
-    # the TPU runtime's watchdog (the single-launch form killed the
-    # worker at Cr2 bond ~14, 5120 groups)
     e1f = np.concatenate([plan.g1[1:], plan.cum1[-1:]]).astype(np.int32)
     e2f = np.concatenate([plan.g2[1:], plan.cum2[-1:]]).astype(np.int32)
     e3f = np.concatenate([plan.g3[1:], plan.cum3[-1:]]).astype(np.int32)
+    if mesh is not None:
+        nd = mesh.shape[axis]
+        ngl = -(-ns // nd)
+        cap = ngl * nd
+
+        def ilv(a, fill):
+            out = np.full(cap, fill, dtype=np.int32)
+            out[:ns] = a
+            return np.ascontiguousarray(
+                out.reshape(ngl, nd).T).reshape(-1)
+
+        return _blk_exec_sharded(
+            epool_dev, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
+            jnp.asarray(ilv(plan.g1, plan.cum1[-1])),
+            jnp.asarray(ilv(plan.g2, plan.cum2[-1])),
+            jnp.asarray(ilv(plan.g3, plan.cum3[-1])),
+            jnp.asarray(ilv(e1f, plan.cum1[-1])),
+            jnp.asarray(ilv(e2f, plan.cum2[-1])),
+            jnp.asarray(ilv(e3f, plan.cum3[-1])),
+            jnp.asarray(ngl, jnp.int32), plan.nt1, plan.ntp, plan.T,
+            plan.B, plan.left, plan.ncap, mesh, axis)
+    import os as _os
+    # bounded-depth launches: dense mid-chain bonds produce thousands of
+    # task groups; one launch per <= nmax groups keeps each kernel under
+    # the TPU runtime's watchdog (the single-launch form killed the
+    # worker at Cr2 bond ~14, 5120 groups).  Every chunk has the SAME
+    # fixed window length with a traced live count, so the whole engine
+    # compiles once per (item class, pool class) regardless of ns
+    nmax = int(_os.environ.get("B2TPU_BLK_NSCAN_MAX", "256"))
     ng = -(-ns // nmax) * nmax
-    if ng > ns:
-        pad1 = np.full(ng - ns, plan.cum1[-1], np.int32)
-        pad2 = np.full(ng - ns, plan.cum2[-1], np.int32)
-        pad3 = np.full(ng - ns, plan.cum3[-1], np.int32)
-        g1f = np.concatenate([plan.g1, pad1])
-        g2f = np.concatenate([plan.g2, pad2])
-        g3f = np.concatenate([plan.g3, pad3])
-        e1f = np.concatenate([e1f, pad1])
-        e2f = np.concatenate([e2f, pad2])
-        e3f = np.concatenate([e3f, pad3])
-    else:
-        g1f, g2f, g3f = plan.g1, plan.g2, plan.g3
+    pad1 = np.full(ng - ns, plan.cum1[-1], np.int32)
+    pad2 = np.full(ng - ns, plan.cum2[-1], np.int32)
+    pad3 = np.full(ng - ns, plan.cum3[-1], np.int32)
+    g1f = np.concatenate([plan.g1, pad1])
+    g2f = np.concatenate([plan.g2, pad2])
+    g3f = np.concatenate([plan.g3, pad3])
+    e1f = np.concatenate([e1f, pad1])
+    e2f = np.concatenate([e2f, pad2])
+    e3f = np.concatenate([e3f, pad3])
     out = jnp.zeros(plan.ncap, dtype=dtype)
     for lo in range(0, ng, nmax):
         sl = slice(lo, lo + nmax)
@@ -656,6 +646,7 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
             out, epool_dev, bpool, kpool, it, ef, coef, cum1, cum2,
             cum3, jnp.asarray(g1f[sl]), jnp.asarray(g2f[sl]),
             jnp.asarray(g3f[sl]), jnp.asarray(e1f[sl]),
-            jnp.asarray(e2f[sl]), jnp.asarray(e3f[sl]), plan.nt1,
+            jnp.asarray(e2f[sl]), jnp.asarray(e3f[sl]),
+            jnp.asarray(min(nmax, ns - lo), jnp.int32), plan.nt1,
             plan.ntp, plan.T, plan.B, plan.left, plan.ncap)
     return out

@@ -709,17 +709,20 @@ def _dav_final(state):
     return davidson_finalize(state)
 
 
-@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan",
-                                   "conv_thrd", "it_cap", "max_iter"))
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "it_cap",
+                                   "max_iter"))
 def _v2_dav_chunk(state, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
-                  cum2, g1, g2, nt1, nt2, T, B, nscan, conv_thrd, it_cap,
+                  cum2, g1, g2, ng, conv_thrd, nt1, nt2, T, B, it_cap,
                   max_iter):
+    """ng (live group count) and conv_thrd are traced operands: neither
+    per-site group counts nor per-sweep Davidson thresholds may mint a
+    new jit signature (each costs a fresh ~1-4 min remote compile)."""
     from .device_davidson import davidson_chunk
     from .tilev2 import _mv_exec
 
     def mv(v):
         out = _mv_exec(v, lpool, rpool, psi_idx, sig_idx, it, cum1,
-                       cum2, g1, g2, nt1, nt2, T, B, nscan)
+                       cum2, g1, g2, ng, nt1, nt2, T, B)
         return jnp.concatenate([out, jnp.zeros(1, dtype=out.dtype)])
 
     return davidson_chunk(mv, diag, state, conv_thrd=conv_thrd,
@@ -732,7 +735,7 @@ def _dav_chunk_cap():
 
 
 def _v2_dav(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
-            g1, g2, nt1, nt2, T, B, nscan, conv_thrd, max_iter,
+            g1, g2, ng, conv_thrd, nt1, nt2, T, B, max_iter,
             max_subspace):
     """On-device Davidson around the v2 slab matvec, chained from the
     host in bounded launches of B2TPU_DAV_CHUNK (default 4) iterations.
@@ -745,10 +748,12 @@ def _v2_dav(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
     only the (rn2, it) scalars cross the link between chunks."""
     state = _dav_init(x0, max_subspace)
     cap = _dav_chunk_cap()
+    ngj = jnp.asarray(ng, jnp.int32)
+    ct = jnp.asarray(conv_thrd, x0.dtype)
     while True:
         state = _v2_dav_chunk(state, diag, lpool, rpool, psi_idx,
-                              sig_idx, it, cum1, cum2, g1, g2, nt1, nt2,
-                              T, B, nscan, conv_thrd, cap, max_iter)
+                              sig_idx, it, cum1, cum2, g1, g2, ngj, ct,
+                              nt1, nt2, T, B, cap, max_iter)
         itc = int(state[5])
         rn2 = float(state[4])
         if itc >= max_iter or (rn2 <= conv_thrd and itc >= 1):
@@ -756,42 +761,44 @@ def _v2_dav(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
     return _dav_final(state)
 
 
-@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan",
-                                   "conv_thrd", "it_cap", "max_iter",
-                                   "mesh", "axis"))
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "it_cap",
+                                   "max_iter", "mesh", "axis"))
 def _v2_dav_sharded_chunk(state, diag, lpool, rpool, psi_idx, sig_idx,
-                          it, cum1, cum2, g1, g2, nt1, nt2, T, B, nscan,
-                          conv_thrd, it_cap, max_iter, mesh, axis):
+                          it, cum1, cum2, g1, g2, e1, e2, ng, conv_thrd,
+                          nt1, nt2, T, B, it_cap, max_iter, mesh, axis):
+    """g1/g2/e1/e2 are round-robin interleaved per-device group arrays
+    (tilev2.shard_groups) and ng the per-device live trip count; ng and
+    conv_thrd are traced so group counts / thresholds never mint a new
+    jit signature."""
     from jax.sharding import PartitionSpec as P
 
     from .device_davidson import davidson_chunk
     from .tilev2 import _mv_scan
-    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
-    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
 
     def local(g1s, g2s, e1s, e2s, st, dgl, lp, rp, pidx, sidx, itl,
-              c1, c2):
+              c1, c2, ngl, ct):
         def mv(v):
             sig = _mv_scan(v, lp, rp, pidx, itl, c1, c2, g1s, g2s,
-                           e1s, e2s, nt1, nt2, T, B, vary_axis=axis)
+                           e1s, e2s, ngl, nt1, nt2, T, B,
+                           vary_axis=axis)
             sig = jax.lax.psum(sig, axis)
             out = sig.reshape(-1)[sidx]
             return jnp.concatenate([out, jnp.zeros(1, dtype=out.dtype)])
 
-        return davidson_chunk(mv, dgl, st, conv_thrd=conv_thrd,
+        return davidson_chunk(mv, dgl, st, conv_thrd=ct,
                               it_cap=it_cap, max_iter=max_iter)
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis),) * 4 + (P(),) * 9,
+        in_specs=(P(axis),) * 4 + (P(),) * 11,
         out_specs=(P(),) * 6)
     return fn(g1, g2, e1, e2, state, diag, lpool, rpool, psi_idx,
-              sig_idx, it, cum1, cum2)
+              sig_idx, it, cum1, cum2, ng, conv_thrd)
 
 
 def _v2_dav_sharded(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
-                    cum2, g1, g2, nt1, nt2, T, B, nscan, conv_thrd,
-                    max_iter, max_subspace, mesh, axis="op"):
+                    cum2, g1, g2, e1, e2, ngl, nt1, nt2, T, B,
+                    conv_thrd, max_iter, max_subspace, mesh, axis="op"):
     """Sharded on-device Davidson: the subspace iteration runs
     replicated on every device (the reference's rank-redundant Davidson,
     src/core/iterative_matrix_functions.hpp:1181 pcomm semantics) while
@@ -800,10 +807,11 @@ def _v2_dav_sharded(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
     Chained from the host in bounded launches like _v2_dav."""
     state = _dav_init(x0, max_subspace)
     cap = _dav_chunk_cap()
+    ct = jnp.asarray(conv_thrd, x0.dtype)
     while True:
         state = _v2_dav_sharded_chunk(
             state, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
-            g1, g2, nt1, nt2, T, B, nscan, conv_thrd, cap, max_iter,
+            g1, g2, e1, e2, ngl, ct, nt1, nt2, T, B, cap, max_iter,
             mesh, axis)
         itc = int(state[5])
         rn2 = float(state[4])
@@ -961,25 +969,20 @@ class ResidentSite:
         diag_p = jnp.concatenate(
             [dg, jnp.zeros(s["size_p"] + 1 - dg.shape[0], dtype=dg.dtype)])
         if self.mesh is not None:
-            nd = self.mesh.shape[self.mesh_axis]
-            ng = -(-len(s["g1"]) // nd) * nd
-            pad = ng - len(s["g1"])
-            g1 = jnp.concatenate(
-                [d["g1"], jnp.full(pad, s["cum1"][-1], d["g1"].dtype)])
-            g2 = jnp.concatenate(
-                [d["g2"], jnp.full(pad, s["cum2"][-1], d["g2"].dtype)])
+            g1i, g2i, e1i, e2i, ngl = self.ex.sharded_groups(
+                self.mesh, self.mesh_axis)
             th, xv, it = _v2_dav_sharded(
                 jnp.asarray(self.ex.pad(x0)), diag_p, self.lw_pool,
                 self.rw_pool, d["psi_idx"], d["sig_idx"], d["it"],
-                d["cum1"], d["cum2"], g1, g2, s["nt1"], s["nt2"],
-                s["T"], s["B"], ng, conv_thrd, max_iter, max_subspace,
-                self.mesh, self.mesh_axis)
+                d["cum1"], d["cum2"], g1i, g2i, e1i, e2i, ngl,
+                s["nt1"], s["nt2"], s["T"], s["B"], conv_thrd,
+                max_iter, max_subspace, self.mesh, self.mesh_axis)
         else:
             th, xv, it = _v2_dav(
                 jnp.asarray(self.ex.pad(x0)), diag_p, self.lw_pool,
                 self.rw_pool, d["psi_idx"], d["sig_idx"], d["it"],
-                d["cum1"], d["cum2"], d["g1"], d["g2"], s["nt1"],
-                s["nt2"], s["T"], s["B"], len(s["g1"]), conv_thrd,
+                d["cum1"], d["cum2"], d["g1"], d["g2"], s["ng_live"],
+                conv_thrd, s["nt1"], s["nt2"], s["T"], s["B"],
                 max_iter, max_subspace)
         return (float(th), np.asarray(xv, dtype=np.float64)[:self.size],
                 int(it))

@@ -43,6 +43,11 @@ from .tiled import pick_tile
 _CFG = {16: (8192, 8192), 32: (8192, 8192), 64: (4096, 4096),
         128: (2048, 2048)}
 
+# struct layout version: folded into cached-struct signatures so
+# persisted plans built under an older quantization/layout rebuild
+# instead of resurrecting stale jit shape classes
+_V2_VER = 2
+
 
 def _grid(n, T):
     return -(-n // T)
@@ -94,16 +99,20 @@ def _locate(cum, g0, g1, B):
 # ---------------------------------------------------------------------------
 
 def _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
-             g1, g2, e1, e2, nt1, nt2, T, B, vary_axis=None):
-    """Scan over task groups; returns the pre-gather sigma tile pool
+             g1, g2, e1, e2, ng, nt1, nt2, T, B, vary_axis=None):
+    """Loop over task groups; returns the pre-gather sigma tile pool
     [(nt2 + 1), T, T].  it [n, 13] int32 item fields; cum1/cum2 [n+1]
-    stage task prefix sums; g1/g2 [nscan] first stage-1/2 task ids per
-    scan step; e1/e2 the matching end ids (next group's first)."""
+    stage task prefix sums; g1/g2 [gcap] first stage-1/2 task ids per
+    step (padded to a capacity class); e1/e2 the matching end ids (next
+    group's first).  ng is the LIVE group count as a traced scalar —
+    the trip count is dynamic so per-site group-count variation never
+    changes the jit signature (each distinct signature costs a fresh
+    ~1-4 min remote compile on the target system)."""
     pp = xp[psi_idx]
     hi = lax.Precision.HIGHEST
 
-    def body(sig, g):
-        g1s, g2s, e1s, e2s = g
+    def body(i, sig):
+        g1s, g2s, e1s, e2s = g1[i], g2[i], e1[i], e2[i]
         # stage 1: tasks (ai, ni, ki) -> tmp tiles
         i1, o1, v1 = _locate(cum1, g1s, e1s, B)
         f = it[i1]
@@ -138,53 +147,82 @@ def _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
         s2 = jnp.where(v2, f[:, 7] + ai * npp + pi, nt2)
         sig = sig + jax.ops.segment_sum(prod2, s2, num_segments=nt2 + 1,
                                         indices_are_sorted=False)
-        return sig, 0
+        return sig
 
     sig0 = jnp.zeros((nt2 + 1, T, T), dtype=xp.dtype)
     if vary_axis is not None:
         # under shard_map the carry must be marked varying over the
-        # sharded mesh axis or the scan in/out types disagree
+        # sharded mesh axis or the loop in/out types disagree
         sig0 = lax.pvary(sig0, (vary_axis,))
-    sig, _ = lax.scan(body, sig0, (g1, g2, e1, e2))
-    return sig
+    return lax.fori_loop(0, ng, body, sig0)
 
 
-@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan"))
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B"))
 def _mv_exec(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
-             g1, g2, nt1, nt2, T, B, nscan):
+             g1, g2, ng, nt1, nt2, T, B):
     e1 = jnp.concatenate([g1[1:], cum1[-1:]])
     e2 = jnp.concatenate([g2[1:], cum2[-1:]])
     sig = _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
-                   g1, g2, e1, e2, nt1, nt2, T, B)
+                   g1, g2, e1, e2, ng, nt1, nt2, T, B)
     return sig.reshape(-1)[sig_idx]
 
 
-@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "nscan",
-                                   "mesh", "axis"))
+@partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "mesh",
+                                   "axis"))
 def _mv_exec_sharded(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
-                     g1, g2, nt1, nt2, T, B, nscan, mesh, axis):
-    """Operator-sharded sigma matvec: the scan-group axis is split over
+                     g1, g2, e1, e2, ng, nt1, nt2, T, B, mesh, axis):
+    """Operator-sharded sigma matvec: the task-group axis is split over
     the mesh axis (each device runs its slice of task groups over the
     full replicated pools) and the partial sigma tile pools are summed
     with a psum — the TPU-native form of block2's owner-computes +
-    allreduce_sum(vmats) (src/core/parallel_tensor_functions.hpp:219)."""
-    from jax.sharding import PartitionSpec as P
-    e1 = jnp.concatenate([g1[1:], cum1[-1:]])
-    e2 = jnp.concatenate([g2[1:], cum2[-1:]])
+    allreduce_sum(vmats) (src/core/parallel_tensor_functions.hpp:219).
 
-    def local(g1s, g2s, e1s, e2s, xpl, lp, rp, pidx, itl, c1, c2):
+    g1/g2/e1/e2 here are [nd * L] arrays where device d's contiguous
+    slice holds the round-robin interleave (global groups d, d + nd,
+    ...; ends computed in GLOBAL group order before interleaving),
+    padded with no-op entries; ng is the per-device LIVE count
+    ceil(n/nd) (traced, so group-count variation keeps one jit
+    signature)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(g1s, g2s, e1s, e2s, xpl, lp, rp, pidx, itl, c1, c2, ngl):
         sig = _mv_scan(xpl, lp, rp, pidx, itl, c1, c2,
-                       g1s, g2s, e1s, e2s, nt1, nt2, T, B,
-                       vary_axis=axis)
+                       g1s, g2s, e1s, e2s, ngl, nt1, nt2,
+                       T, B, vary_axis=axis)
         return lax.psum(sig, axis)
 
     sig = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis),
-                  P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P())(g1, g2, e1, e2, xp, lpool, rpool, psi_idx,
-                       it, cum1, cum2)
+                       it, cum1, cum2, ng)
     return sig.reshape(-1)[sig_idx]
+
+
+def shard_groups(g1, g2, cum1, cum2, nd):
+    """Round-robin interleave + pad the group-start arrays for the
+    sharded matvec: returns (g1i, g2i, e1i, e2i [nd * L] int32, ngl)
+    with ngl = ceil(n_live / nd) the per-device live trip count.  Ends
+    are computed in global group order first (group i ends where group
+    i+1 starts), then interleaved with their groups — an end taken from
+    the next-in-slice group would span nd global groups and double-count
+    work across devices."""
+    n = len(g1)
+    e1 = np.concatenate([g1[1:], cum1[-1:]])
+    e2 = np.concatenate([g2[1:], cum2[-1:]])
+    ngl = -(-n // nd)
+    cap = ngl * nd
+
+    def ilv(a, fill):
+        out = np.full(cap, fill, dtype=np.int32)
+        out[:n] = a
+        # [ngl, nd] row-major -> transpose so device d's contiguous
+        # slice is (d, d + nd, ...)
+        return np.ascontiguousarray(out.reshape(ngl, nd).T).reshape(-1)
+
+    return (ilv(g1, cum1[-1]), ilv(g2, cum2[-1]),
+            ilv(e1, cum1[-1]), ilv(e2, cum2[-1]), ngl)
 
 
 class MatvecV2:
@@ -207,7 +245,7 @@ class MatvecV2:
         struct = None
         sig = None
         if cache is not None and cache_key is not None:
-            sig = hash((meta_lw.signature(), meta_rw.signature(),
+            sig = hash((_V2_VER, meta_lw.signature(), meta_rw.signature(),
                         tuple(space.keys),
                         tuple(sorted(space.shapes.items())),
                         tuple(self.bra_space.keys), T))
@@ -336,8 +374,12 @@ class MatvecV2:
             u2 += is2[i]
         # quantize the ITEM count too (jit signatures depend on the it /
         # cum shapes): padded items contribute zero tasks -> the repeated
-        # cum tail is never selected by searchsorted
-        np_q = _quant(n)
+        # cum tail is never selected by searchsorted.  Full pow2 (not
+        # 1.25x classes): padded items are FREE at run time while every
+        # extra shape class costs a fresh ~1-4 min remote compile — the
+        # measured Cr2 sweep-0 spent >80% of wall time compiling
+        # per-site (items, groups) classes under the finer quantization
+        np_q = _pow2(n)
         itf = np.zeros((np_q, 13), dtype=np.int32)
         itf[:n, :8] = it[:, :8]
         itf[:n, 8] = na
@@ -350,13 +392,17 @@ class MatvecV2:
         itf[n:, 8:12] = 1
         c1 = np.concatenate([c1, np.full(np_q - n, c1[-1], c1.dtype)])
         c2 = np.concatenate([c2, np.full(np_q - n, c2[-1], c2.dtype)])
-        # quantize group count (jit signature depends on scan length):
-        # padded groups start past cum[-1] -> all-invalid -> no-ops
-        ng = _quant(len(gfirst1))
-        gfirst1 += [int(c1[-1])] * (ng - len(gfirst1))
-        gfirst2 += [int(c2[-1])] * (ng - len(gfirst2))
+        # group arrays are padded to a pow2 CAPACITY class (min 64) while
+        # the LIVE count travels as a traced scalar (ng_live): the loop
+        # trip count is dynamic, so neither the group count nor its
+        # padding affects the jit signature, and padded entries are
+        # never visited
+        ng_live = len(gfirst1)
+        ng = max(64, _pow2(ng_live))
+        gfirst1 += [int(c1[-1])] * (ng - ng_live)
+        gfirst2 += [int(c2[-1])] * (ng - ng_live)
         return {"T": T, "B": B, "nt1": nt1, "nt2": nt2,
-                "size_p": size_p, "sizb_p": sizb_p,
+                "size_p": size_p, "sizb_p": sizb_p, "ng_live": ng_live,
                 "psi_idx": psi_idx, "sig_idx": sig_idx,
                 "it": itf,
                 "cum1": c1.astype(np.int32), "cum2": c2.astype(np.int32),
@@ -389,8 +435,38 @@ class MatvecV2:
         d = self.to_device()
         return _mv_exec(xp, lpool, rpool, d["psi_idx"], d["sig_idx"],
                         d["it"], d["cum1"], d["cum2"], d["g1"], d["g2"],
-                        s["nt1"], s["nt2"], s["T"], s["B"],
-                        len(s["g1"]))
+                        jnp.asarray(s["ng_live"], jnp.int32),
+                        s["nt1"], s["nt2"], s["T"], s["B"])
+
+    def sharded_groups(self, mesh, axis: str = "op"):
+        """Interleaved + capacity-padded group arrays for the sharded
+        matvec (cached per mesh): (g1i, g2i, e1i, e2i device arrays of
+        one pow2-class length, ngl traced live count)."""
+        s = self.struct
+        nd = mesh.shape[axis]
+        sh = getattr(self, "_sh", None)
+        if sh is None or sh[0] != (id(mesh), axis):
+            ngl_v = s["ng_live"]
+            g1i, g2i, e1i, e2i, ngl = shard_groups(
+                s["g1"][:ngl_v], s["g2"][:ngl_v], s["cum1"], s["cum2"],
+                nd)
+            # pad the per-device slice length to a pow2 class so mesh
+            # width x group count never mints a new jit signature
+            lcap = max(64 // nd if nd <= 64 else 1, _pow2(ngl))
+            if lcap > ngl:
+                def pad(a, fill):
+                    m = a.reshape(nd, -1)
+                    ext = np.full((nd, lcap - ngl), fill, np.int32)
+                    return np.concatenate([m, ext], 1).reshape(-1)
+                g1i = pad(g1i, s["cum1"][-1])
+                e1i = pad(e1i, s["cum1"][-1])
+                g2i = pad(g2i, s["cum2"][-1])
+                e2i = pad(e2i, s["cum2"][-1])
+            sh = ((id(mesh), axis), jnp.asarray(g1i), jnp.asarray(g2i),
+                  jnp.asarray(e1i), jnp.asarray(e2i),
+                  jnp.asarray(ngl, jnp.int32))
+            self._sh = sh
+        return sh[1:]
 
     def matvec_device_sharded(self, xp, lpool, rpool, mesh,
                               axis: str = "op"):
@@ -398,23 +474,11 @@ class MatvecV2:
         `axis` and partial sigma pools psum'd (exact, loss-free)."""
         s = self.struct
         d = self.to_device()
-        nd = mesh.shape[axis]
-        sh = getattr(self, "_sh", None)
-        if sh is None or sh[0] != (id(mesh), axis):
-            g1, g2 = s["g1"], s["g2"]
-            ng = -(-len(g1) // nd) * nd
-            pad = ng - len(g1)
-            g1p = np.concatenate(
-                [g1, np.full(pad, s["cum1"][-1], g1.dtype)])
-            g2p = np.concatenate(
-                [g2, np.full(pad, s["cum2"][-1], g2.dtype)])
-            sh = ((id(mesh), axis), jnp.asarray(g1p), jnp.asarray(g2p))
-            self._sh = sh
-        _k, g1p, g2p = sh
+        g1i, g2i, e1i, e2i, ngl = self.sharded_groups(mesh, axis)
         return _mv_exec_sharded(
             xp, lpool, rpool, d["psi_idx"], d["sig_idx"], d["it"],
-            d["cum1"], d["cum2"], g1p, g2p, s["nt1"], s["nt2"],
-            s["T"], s["B"], int(g1p.shape[0]), mesh, axis)
+            d["cum1"], d["cum2"], g1i, g2i, e1i, e2i, ngl,
+            s["nt1"], s["nt2"], s["T"], s["B"], mesh, axis)
 
     def free(self):
         if self._dev is not None:

@@ -19,7 +19,7 @@ left = bool(left)
 
 import jax.numpy as jnp
 
-from block2_preview_tpu.ops.blockv2 import _blk_exec, _blk_exec_chunk
+from block2_preview_tpu.ops.blockv2 import _blk_exec_chunk
 
 g1, g2, g3 = d["g1"], d["g2"], d["g3"]
 cum1, cum2, cum3 = d["cum1"], d["cum2"], d["cum3"]
@@ -48,10 +48,13 @@ e3f = np.concatenate([g3[1:], cum3[-1:]]).astype(np.int32)
 
 t0 = time.time()
 if nmax == 0:
-    out = _blk_exec(ep, bp, kp, it, ef, coef, c1, c2, c3,
-                    jnp.asarray(g1[:ngroups]), jnp.asarray(g2[:ngroups]),
-                    jnp.asarray(g3[:ngroups]), nt1, ntp, T, B, left,
-                    ncap, ngroups)
+    out = _blk_exec_chunk(
+        jnp.zeros(ncap, dtype=ep.dtype), ep, bp, kp, it, ef, coef,
+        c1, c2, c3, jnp.asarray(g1[:ngroups]),
+        jnp.asarray(g2[:ngroups]), jnp.asarray(g3[:ngroups]),
+        jnp.asarray(e1f[:ngroups]), jnp.asarray(e2f[:ngroups]),
+        jnp.asarray(e3f[:ngroups]), jnp.asarray(ngroups, jnp.int32),
+        nt1, ntp, T, B, left, ncap)
     out.block_until_ready()
 else:
     out = jnp.zeros(ncap, dtype=ep.dtype)
@@ -70,7 +73,7 @@ else:
             jnp.asarray(pd(g1, cum1[-1])), jnp.asarray(pd(g2, cum2[-1])),
             jnp.asarray(pd(g3, cum3[-1])), jnp.asarray(pd(e1f, cum1[-1])),
             jnp.asarray(pd(e2f, cum2[-1])), jnp.asarray(pd(e3f, cum3[-1])),
-            nt1, ntp, T, B, left, ncap)
+            jnp.asarray(hi - lo, jnp.int32), nt1, ntp, T, B, left, ncap)
         out.block_until_ready()
         print(f"  chunk [{lo},{hi}) ok t={time.time()-t0:.1f}s",
               flush=True)
