@@ -55,7 +55,9 @@ class SweepTimings:
 def _average_rho_forward(eff: EffectiveHamiltonian2,
                          psis: Sequence[Dict[Key2, np.ndarray]],
                          weights: Sequence[float],
-                         noise: float) -> Dict[QN, np.ndarray]:
+                         noise: float,
+                         rho_noise: Optional[Dict] = None
+                         ) -> Dict[QN, np.ndarray]:
     g, target = eff.g, eff.target
     rho: Dict[QN, np.ndarray] = {}
     for w_r, psi in zip(weights, psis):
@@ -63,6 +65,9 @@ def _average_rho_forward(eff: EffectiveHamiltonian2,
             acc = rho.get(qL)
             contrib = w_r * (b @ b.conj().T)
             rho[qL] = contrib if acc is None else acc + contrib
+    if noise > 0 and rho_noise is not None:
+        # device-computed sum_m (W_m psi)(W_m psi)^T (resident engine)
+        return _apply_noise(rho, rho_noise, noise)
     if noise > 0:
         rho_n: Dict[QN, np.ndarray] = {}
         for w_r, psi in zip(weights, psis):
@@ -88,10 +93,25 @@ def _average_rho_forward(eff: EffectiveHamiltonian2,
     return rho
 
 
+def _apply_noise(rho: Dict[QN, np.ndarray], rho_n: Dict,
+                 noise: float) -> Dict[QN, np.ndarray]:
+    """Add the trace-normalized noise density matrix (reference
+    moving_environment.hpp density-matrix + noise scaling)."""
+    tr = sum(np.trace(v).real for v in rho_n.values())
+    if tr > 1e-30:
+        for q, v in rho_n.items():
+            blk = rho.get(q)
+            add = (noise / tr) * v
+            rho[q] = add if blk is None else blk + add
+    return rho
+
+
 def _average_rho_backward(eff: EffectiveHamiltonian2,
                           psis: Sequence[Dict[Key2, np.ndarray]],
                           weights: Sequence[float],
-                          noise: float) -> Dict[QN, np.ndarray]:
+                          noise: float,
+                          rho_noise: Optional[Dict] = None
+                          ) -> Dict[QN, np.ndarray]:
     g, target = eff.g, eff.target
     rho: Dict[QN, np.ndarray] = {}
     for w_r, psi in zip(weights, psis):
@@ -99,6 +119,8 @@ def _average_rho_backward(eff: EffectiveHamiltonian2,
             acc = rho.get(qR)
             contrib = w_r * (b.T @ b.conj())
             rho[qR] = contrib if acc is None else acc + contrib
+    if noise > 0 and rho_noise is not None:
+        return _apply_noise(rho, rho_noise, noise)
     if noise > 0:
         rho_n: Dict[QN, np.ndarray] = {}
         for w_r, psi in zip(weights, psis):
@@ -170,11 +192,12 @@ def _bond_window(info, bond_idx, complement_of=None):
 
 
 def split_forward_update(eff, psis, weights, noise, bond_dim,
-                         allowed=None):
+                         allowed=None, rho_noise=None):
     """Decimate psis into a left-canonical site tensor + per-root center
     tensors at t+1.  Returns (A_tensor, center_tensors, dw)."""
     g, target = eff.g, eff.target
-    rho = _average_rho_forward(eff, psis, weights, noise)
+    rho = _average_rho_forward(eff, psis, weights, noise,
+                               rho_noise=rho_noise)
     rot, dw = _decimate(rho, bond_dim, allowed=allowed)
     a_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
     for qL, vmat in rot.items():
@@ -200,11 +223,12 @@ def split_forward_update(eff, psis, weights, noise, bond_dim,
 
 
 def split_backward_update(eff, psis, weights, noise, bond_dim,
-                          allowed=None):
+                          allowed=None, rho_noise=None):
     """Decimate psis into a right-canonical site tensor at t+1 + per-root
     center tensors at t.  Returns (B_tensor, center_tensors, dw)."""
     g, target = eff.g, eff.target
-    rho = _average_rho_backward(eff, psis, weights, noise)
+    rho = _average_rho_backward(eff, psis, weights, noise,
+                                rho_noise=rho_noise)
     rot, dw = _decimate(rho, bond_dim, allowed=allowed)
     b_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
     for qR, vmat in rot.items():
@@ -541,6 +565,7 @@ class DMRG:
             self.me, t, key_filter=_bond_window(self.mps.info, t + 1),
             assemble=not use_res)
         rs = None
+        rho_noise = None
         min_size = int(os.environ.get("B2TPU_RES_MIN_SIZE", "4096"))
         if use_res and eff.size >= min_size \
                 and eff.dtype in (np.float64, np.float32):
@@ -559,12 +584,18 @@ class DMRG:
                 tm.teig += t2 - t1
                 self._last_flop = float(rs.ex.struct["flops"]) * nmv
                 if noise > 0:
-                    # host noise term needs one side's assembled
-                    # operators; unpack them from the device slab pool
-                    if forward:
-                        eff.LW = rs.host_ops("lw")
-                    else:
-                        eff.RW = rs.host_ops("rw")
+                    # perturbative noise on device (sum_m (W_m psi)
+                    # (W_m psi)^T from the slab pools); falls back to
+                    # downloading + unpacking the assembled operators
+                    # (hundreds of MB/site over the slow link)
+                    try:
+                        rho_noise = rs.noise_rho(xv, forward)
+                    except ValueError:
+                        rho_noise = None
+                        if forward:
+                            eff.LW = rs.host_ops("lw")
+                        else:
+                            eff.RW = rs.host_ops("rw")
             except ValueError:
                 if rs is not None:
                     rs.free()
@@ -589,7 +620,8 @@ class DMRG:
         if forward:
             a_tensor, centers, dw = split_forward_update(
                 eff, psis, self.weights, noise, bond_dim,
-                allowed=_bond_window(self.mps.info, t + 1))
+                allowed=_bond_window(self.mps.info, t + 1),
+                rho_noise=rho_noise)
             t3 = time.time()
             tm.tdm += t3 - t2
             self.mps.tensors[t] = a_tensor
@@ -605,7 +637,8 @@ class DMRG:
             b_tensor, centers, dw = split_backward_update(
                 eff, psis, self.weights, noise, bond_dim,
                 allowed=_bond_window(self.mps.info, t + 1,
-                                     complement_of=eff.target))
+                                     complement_of=eff.target),
+                rho_noise=rho_noise)
             t3 = time.time()
             tm.tdm += t3 - t2
             self.mps.tensors[t + 1] = b_tensor

@@ -820,6 +820,247 @@ def _v2_dav_sharded(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
     return _dav_final(state)
 
 
+# ---------------------------------------------------------------------------
+# device-side perturbative noise: rho_n[qb] += sum_m (W_m psi)(W_m psi)^T
+# (reference src/dmrg/effective_hamiltonian.hpp:253 perturbative_noise).
+# Stage 1 is the matvec's stage 1 (x tiles = W tiles @ psi tiles); stage 2
+# accumulates x x^T tile outer products into a small per-sector rho pool —
+# the host alternative downloads the full assembled-operator pool
+# (hundreds of MB/site over the slow link) just to form these products.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt1", "nrho", "T", "B"))
+def _noise_exec(xp, wpool, psi_idx, it, cum1, cum2, g1, g2, e1, e2, ng,
+                nt1, nrho, T, B):
+    """it [n, 10] int32: wbase, wstride, DB, pb, na, nk, nn, tb, rb, DK.
+    Stage-1 tasks (ai, ni, ki): tmp[tb + ai*nn + ni] += Wtile @ psitile.
+    Stage-2 tasks (ar, ac, ni): rho[rb + ar*na + ac] +=
+    tmp[tb + ar*nn + ni] @ tmp[tb + ac*nn + ni]^T."""
+    from .tilev2 import _gtile, _locate
+    pp = xp[psi_idx]
+    hi = lax.Precision.HIGHEST
+
+    def body(i, rho):
+        g1s, g2s, e1s, e2s = g1[i], g2[i], e1[i], e2[i]
+        i1, o1, v1 = _locate(cum1, g1s, e1s, B)
+        f = it[i1]
+        nn, nk = f[:, 6], f[:, 5]
+        ai = o1 // (nn * nk)
+        ni = (o1 // nk) % nn
+        ki = o1 % nk
+        wb = jnp.where(v1, f[:, 0] + ai * T * f[:, 1] + ki * T, -1)
+        W = _gtile(wpool, wb, f[:, 1], f[:, 2] - ai * T,
+                   f[:, 1] - ki * T, T)
+        pa = jnp.where(v1, f[:, 3] + ki * nn + ni, pp.shape[0] - 1)
+        p1 = jnp.einsum("bak,bkn->ban", W, pp[pa], precision=hi,
+                        preferred_element_type=xp.dtype)
+        s1 = jnp.where(v1, f[:, 7] + ai * nn + ni, nt1)
+        tmp = jax.ops.segment_sum(p1, s1, num_segments=nt1 + 1,
+                                  indices_are_sorted=True)
+        i2, o2, v2 = _locate(cum2, g2s, e2s, B)
+        f = it[i2]
+        na, nn2 = f[:, 4], f[:, 6]
+        ar = o2 // (na * nn2)
+        ac = (o2 // nn2) % na
+        ni2 = o2 % nn2
+        t1 = jnp.where(v2, f[:, 7] + ar * nn2 + ni2, nt1)
+        t2 = jnp.where(v2, f[:, 7] + ac * nn2 + ni2, nt1)
+        prod = jnp.einsum("ban,bcn->bac", tmp[t1], tmp[t2],
+                          precision=hi, preferred_element_type=xp.dtype)
+        s2 = jnp.where(v2, f[:, 8] + ar * na + ac, nrho)
+        rho = rho + jax.ops.segment_sum(prod, s2,
+                                        num_segments=nrho + 1,
+                                        indices_are_sorted=False)
+        return rho
+
+    rho0 = jnp.zeros((nrho + 1, T, T), dtype=xp.dtype)
+    return lax.fori_loop(0, ng, body, rho0)
+
+
+class NoisePlan:
+    """Per-(site, side) task structure for the device noise kernel.
+
+    side='lw' (forward): x[qLb, qR] = LW[m][(qLb, qLk)] @ psi[(qLk, qR)],
+    rho[qLb] += x x^T — tiles read from the LW slab pool + the matvec's
+    tiled psi pool (psi_idx reused from the MatvecV2 struct).
+    side='rw' (backward): y = x^T = RW[m] @ psi^T — same kernel with the
+    RW slab pool and a TRANSPOSED psi tile gather (built here), and
+    rho[qRb] += y y^T."""
+
+    __slots__ = ("it", "cum1", "cum2", "g1", "g2", "e1", "e2", "ng_live",
+                 "nt1", "nrho", "T", "B", "sectors", "psi_idx", "_dev")
+
+    # cross-process persistence (B2TPU_PLAN_CACHE): strip device handles
+    def __getstate__(self):
+        return {k: getattr(self, k) for k in self.__slots__
+                if k != "_dev"}
+
+    def __setstate__(self, st):
+        for k, v in st.items():
+            object.__setattr__(self, k, v)
+        object.__setattr__(self, "_dev", None)
+
+    def __init__(self, space, meta, group, side, T, psi_idx):
+        from .tilev2 import _CFG
+        B, nt1 = _CFG[T]
+        self.T, self.B, self.nt1 = T, B, nt1
+        # psi tile layout bases (must match the psi_idx tile order)
+        vbk = {}
+        nv = 0
+        for k in space.keys:
+            r, c = space.shapes[k]
+            if side == "rw":
+                r, c = c, r
+            vbk[k] = nv
+            nv += (-(-r // T)) * (-(-c // T))
+        if side == "rw" and psi_idx is None:
+            # transposed psi tiles: tile grid over [DRk, DLk]
+            sp = _pow2(space.size + 1)
+            psi_idx = np.full((_pow2(nv + 1), T, T), sp, dtype=np.int32)
+            for k in space.keys:
+                off = space.offsets[k]
+                r, c = space.shapes[k]   # psi block [r, c] row-major
+                base = vbk[k]
+                ncc = -(-r // T)         # cols of psi^T = r
+                # element (i, j) of psi^T = psi[j, i] at off + j*c + i
+                fr, fc = np.divmod(np.arange(c * r), r)   # psi^T coords
+                tidx = ((base + (fr // T) * ncc + (fc // T)) * (T * T)
+                        + (fr % T) * T + (fc % T))
+                psi_idx.reshape(-1)[tidx] = off + fc * c + fr
+        self.psi_idx = psi_idx
+
+        dq_of = {}
+        for gi, (dq, syms) in enumerate(meta.groups):
+            for s in syms:
+                dq_of[int(s)] = dq
+        # rho sectors over the bond quantum qb; tiled [na, na] per sector
+        rows = []       # wbase, wstride, DB, pb, na, nk, nn, DK
+        rkeys = []      # qb per row
+        sec_dims: Dict[QN, int] = {}
+        for m, (gm, jm) in sorted(meta.sym_pos.items()):
+            dq = dq_of[m]
+            sec = meta.sectors[gm]
+            for k in space.keys:
+                qLk, qRk = k
+                if side == "lw":
+                    qb = group.add(qLk, dq)
+                    ent = sec.get(qb)
+                    if ent is None:
+                        continue
+                    off, DB, DKw = ent
+                    DK, DN = space.shapes[k]
+                else:
+                    # RW meta group dq is the left-cumulative MPO bond
+                    # charge: qRk = qRb + dq (see host_ops), so
+                    # qRb = qRk - dq
+                    qb = group.sub(qRk, dq)
+                    ent = sec.get(qb)
+                    if ent is None:
+                        continue
+                    off, DB, DKw = ent
+                    DN, DK = space.shapes[k]
+                if DKw != DK:
+                    continue
+                rows.append((off + jm * DB * DKw, DKw, DB, vbk[k], DK,
+                             DN))
+                rkeys.append(qb)
+                d = sec_dims.get(qb)
+                if d is None or DB > d:
+                    sec_dims[qb] = DB
+        if not rows:
+            raise ValueError("no noise items")
+        # rho tile layout
+        roff = {}
+        nrho = 0
+        for qb in sorted(sec_dims):
+            na = -(-sec_dims[qb] // T)
+            roff[qb] = (nrho, na, sec_dims[qb])
+            nrho += na * na
+        self.sectors = roff
+        self.nrho = _pow2(nrho + 1) - 1
+
+        n = len(rows)
+        itf = np.zeros((max(n, 1), 10), dtype=np.int64)
+        for i, ((wb, ws, DB, pb, DK, DN), qb) in enumerate(
+                zip(rows, rkeys)):
+            na = -(-DB // T)
+            nk = -(-DK // T)
+            nn = -(-DN // T)
+            itf[i] = (wb, ws, DB, pb, na, nk, nn, 0, roff[qb][0] * 1, DK)
+        na_a = itf[:, 4]
+        nk_a = itf[:, 5]
+        nn_a = itf[:, 6]
+        itmp = na_a * nn_a
+        is1 = itmp * nk_a
+        is2 = na_a * na_a * nn_a
+        if int(max(is1.max(), is2.max())) > B or int(itmp.max()) > nt1:
+            raise ValueError("noise item too large for tile cfg")
+        tb = np.empty(n, dtype=np.int64)
+        gfirst1, gfirst2 = [0], [0]
+        c1 = np.concatenate([[0], np.cumsum(is1)])
+        c2 = np.concatenate([[0], np.cumsum(is2)])
+        t_used = u1 = u2 = 0
+        for i in range(n):
+            if (t_used + itmp[i] > nt1 or u1 + is1[i] > B
+                    or u2 + is2[i] > B):
+                gfirst1.append(int(c1[i]))
+                gfirst2.append(int(c2[i]))
+                t_used = u1 = u2 = 0
+            tb[i] = t_used
+            t_used += itmp[i]
+            u1 += is1[i]
+            u2 += is2[i]
+        itf[:, 7] = tb
+        # rho tile base: row-grid stride is the SECTOR's na (items of the
+        # same sector share it; na per item equals the sector grid since
+        # DB is sector-wide by construction of the slab meta)
+        n_q = _pow2(n)
+        it32 = np.zeros((n_q, 10), dtype=np.int32)
+        it32[:n] = itf
+        it32[n:, 4:7] = 1
+        c1 = np.concatenate([c1, np.full(n_q - n, c1[-1], c1.dtype)])
+        c2 = np.concatenate([c2, np.full(n_q - n, c2[-1], c2.dtype)])
+        self.cum1 = c1.astype(np.int32)
+        self.cum2 = c2.astype(np.int32)
+        self.ng_live = len(gfirst1)
+        gcap = max(64, _pow2(self.ng_live))
+        gfirst1 += [int(c1[-1])] * (gcap - len(gfirst1))
+        gfirst2 += [int(c2[-1])] * (gcap - len(gfirst2))
+        g1 = np.asarray(gfirst1, dtype=np.int32)
+        g2 = np.asarray(gfirst2, dtype=np.int32)
+        self.g1, self.g2 = g1, g2
+        self.e1 = np.concatenate(
+            [g1[1:self.ng_live], c1[-1:],
+             g1[self.ng_live:]]).astype(np.int32)
+        self.e2 = np.concatenate(
+            [g2[1:self.ng_live], c2[-1:],
+             g2[self.ng_live:]]).astype(np.int32)
+        self.it = it32
+        self._dev = None
+
+    def rho_device(self, xp, wpool):
+        if self._dev is None:
+            self._dev = tuple(jnp.asarray(a) for a in
+                              (self.psi_idx, self.it, self.cum1,
+                               self.cum2, self.g1, self.g2, self.e1,
+                               self.e2))
+        pidx, it, c1, c2, g1, g2, e1, e2 = self._dev
+        return _noise_exec(xp, wpool, pidx, it, c1, c2, g1, g2, e1, e2,
+                           jnp.asarray(self.ng_live, jnp.int32),
+                           self.nt1, self.nrho, self.T, self.B)
+
+    def unpack(self, rho_tiles: np.ndarray):
+        """Tiled device rho pool -> {qb: dense [D, D]} on host."""
+        T = self.T
+        out = {}
+        for qb, (base, na, D) in self.sectors.items():
+            blk = rho_tiles[base:base + na * na] \
+                .reshape(na, na, T, T).transpose(0, 2, 1, 3) \
+                .reshape(na * T, na * T)[:D, :D]
+            out[qb] = np.asarray(blk, dtype=np.float64)
+        return out
+
+
 def _mix_sig(meta_env, entries, fused, fused_ket, active, active_ket,
              comp_target, comp_target_ket, out_bond_dqs):
     """Validation signature for a cached MixPlan: env pool layout + every
@@ -986,6 +1227,35 @@ class ResidentSite:
                 max_iter, max_subspace)
         return (float(th), np.asarray(xv, dtype=np.float64)[:self.size],
                 int(it))
+
+    def noise_rho(self, x: np.ndarray, forward: bool):
+        """Device-side perturbative-noise density matrix
+        {q_bond: [D, D]} for the converged wavefunction x (host flat) —
+        replaces downloading the full assembled-operator pool just to
+        form sum_m (W_m psi)(W_m psi)^T on the host.  Raises ValueError
+        when the structure exceeds the tile budgets (caller falls back
+        to the host path)."""
+        if np.iscomplexobj(np.zeros(1, self.dtype)):
+            raise ValueError("device noise kernel is real-only")
+        side = "lw" if forward else "rw"
+        meta = self.pl.meta_out if forward else self.pr.meta_out
+        s = self.ex.struct
+        key = (self.eff.t, side)
+        sig = hash((meta.signature(), tuple(self.eff.ket_space.keys),
+                    tuple(sorted(self.eff.ket_space.shapes.items())),
+                    s["T"]))
+        cache = self.caches.setdefault("noise", {})
+        ent = cache.get(key)
+        if ent is not None and ent[0] == sig:
+            plan = ent[1]
+        else:
+            plan = NoisePlan(self.eff.ket_space, meta,
+                             self.me.mpo.group, side, s["T"],
+                             s["psi_idx"] if forward else None)
+            cache[key] = (sig, plan)
+        xp = jnp.asarray(self.ex.pad(x))
+        pool = self.lw_pool if forward else self.rw_pool
+        return plan.unpack(np.asarray(plan.rho_device(xp, pool)))
 
     def free(self):
         for a in (self.lw_pool, self.rw_pool, self._diag_dev):
