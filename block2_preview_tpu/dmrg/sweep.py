@@ -651,7 +651,12 @@ class DMRG:
                 self.me.free_stk_device("l", t)
         for p in self._proj:
             p.dirty(t, t + 1)
-        tm.tblk += time.time() - t3
+        t4 = time.time()
+        tm.tblk += t4 - t3
+        if os.environ.get("B2TPU_SITE_TIMERS"):
+            print(f"      [site t={t}] eff={t1 - t0:.2f}s "
+                  f"eig={t2 - t1:.2f}s dm={t3 - t2:.2f}s "
+                  f"blk={t4 - t3:.2f}s", flush=True)
         return energies, dw, nmv
 
 

@@ -1093,6 +1093,10 @@ class ResidentSite:
     """
 
     def __init__(self, me, eff, dtype=np.float32, caches=None):
+        import os as _os
+        import time as _time
+        _tm = {} if _os.environ.get("B2TPU_SITE_TIMERS") else None
+        _t0 = _time.time()
         self.me = me
         self.eff = eff
         self.dtype = dtype
@@ -1118,6 +1122,9 @@ class ResidentSite:
 
         meta_l, pool_l = me.device_pool("l", t)
         meta_r, pool_r = me.device_pool("r", t + 2)
+        if _tm is not None:
+            _tm["pool"] = _time.time() - _t0
+            _t0 = _time.time()
 
         def plan(key, build, sig):
             ent = caches["mix"].get(key)
@@ -1145,13 +1152,25 @@ class ResidentSite:
         if pl is None or pr is None:
             raise ValueError("empty mix plan (no effective operators)")
         self.pl, self.pr = pl, pr
+        if _tm is not None:
+            _tm["mixplan"] = _time.time() - _t0
+            _t0 = _time.time()
         self.lw_pool = execute_mix(pl, pool_l, dtype=dtype)
         self.rw_pool = execute_mix(pr, pool_r, dtype=dtype)
+        if _tm is not None:
+            self.lw_pool.block_until_ready()
+            self.rw_pool.block_until_ready()
+            _tm["mixexec"] = _time.time() - _t0
+            _t0 = _time.time()
 
         self.ex = MatvecV2(eff.ket_space, pl.meta_out, pr.meta_out, g,
                            tb, dtype=dtype, cache=caches["v2"],
                            cache_key=(type(eff).__name__, t),
                            bra_space=eff.bra_space)
+        if _tm is not None:
+            _tm["v2build"] = _time.time() - _t0
+            print(f"      [res t={t}] " + " ".join(
+                f"{k}={v:.2f}s" for k, v in _tm.items()), flush=True)
         self.size = eff.size
         self._diag_dev = None
 
