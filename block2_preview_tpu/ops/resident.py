@@ -711,9 +711,9 @@ def _dav_final(state):
 
 @partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "it_cap",
                                    "max_iter"))
-def _v2_dav_chunk(state, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
-                  cum2, g1, g2, ng, conv_thrd, nt1, nt2, T, B, it_cap,
-                  max_iter):
+def _v2_dav_chunk(state, diag, ltile, rtile, l_tid, r_tid, psi_idx,
+                  sig_idx, it, cum1, cum2, g1, g2, ng, conv_thrd, nt1,
+                  nt2, T, B, it_cap, max_iter):
     """ng (live group count) and conv_thrd are traced operands: neither
     per-site group counts nor per-sweep Davidson thresholds may mint a
     new jit signature (each costs a fresh ~1-4 min remote compile)."""
@@ -721,8 +721,8 @@ def _v2_dav_chunk(state, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
     from .tilev2 import _mv_exec
 
     def mv(v):
-        out = _mv_exec(v, lpool, rpool, psi_idx, sig_idx, it, cum1,
-                       cum2, g1, g2, ng, nt1, nt2, T, B)
+        out = _mv_exec(v, ltile, rtile, l_tid, r_tid, psi_idx, sig_idx,
+                       it, cum1, cum2, g1, g2, ng, nt1, nt2, T, B)
         return jnp.concatenate([out, jnp.zeros(1, dtype=out.dtype)])
 
     return davidson_chunk(mv, diag, state, conv_thrd=conv_thrd,
@@ -734,8 +734,8 @@ def _dav_chunk_cap():
     return max(1, int(os.environ.get("B2TPU_DAV_CHUNK", "4")))
 
 
-def _v2_dav(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
-            g1, g2, ng, conv_thrd, nt1, nt2, T, B, max_iter,
+def _v2_dav(x0, diag, ltile, rtile, l_tid, r_tid, psi_idx, sig_idx, it,
+            cum1, cum2, g1, g2, ng, conv_thrd, nt1, nt2, T, B, max_iter,
             max_subspace):
     """On-device Davidson around the v2 slab matvec, chained from the
     host in bounded launches of B2TPU_DAV_CHUNK (default 4) iterations.
@@ -750,22 +750,32 @@ def _v2_dav(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
     cap = _dav_chunk_cap()
     ngj = jnp.asarray(ng, jnp.int32)
     ct = jnp.asarray(conv_thrd, x0.dtype)
+    import os as _os
+    import time as _time
+    chunk_t = [] if _os.environ.get("B2TPU_SITE_TIMERS") else None
     while True:
-        state = _v2_dav_chunk(state, diag, lpool, rpool, psi_idx,
-                              sig_idx, it, cum1, cum2, g1, g2, ngj, ct,
-                              nt1, nt2, T, B, cap, max_iter)
+        _tc = _time.time()
+        state = _v2_dav_chunk(state, diag, ltile, rtile, l_tid, r_tid,
+                              psi_idx, sig_idx, it, cum1, cum2, g1, g2,
+                              ngj, ct, nt1, nt2, T, B, cap, max_iter)
         itc = int(state[5])
         rn2 = float(state[4])
+        if chunk_t is not None:
+            chunk_t.append(_time.time() - _tc)
         if itc >= max_iter or (rn2 <= conv_thrd and itc >= 1):
             break
+    if chunk_t:
+        print("      [dav] chunks(s): "
+              + " ".join(f"{x:.2f}" for x in chunk_t), flush=True)
     return _dav_final(state)
 
 
 @partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "it_cap",
                                    "max_iter", "mesh", "axis"))
-def _v2_dav_sharded_chunk(state, diag, lpool, rpool, psi_idx, sig_idx,
-                          it, cum1, cum2, g1, g2, e1, e2, ng, conv_thrd,
-                          nt1, nt2, T, B, it_cap, max_iter, mesh, axis):
+def _v2_dav_sharded_chunk(state, diag, ltile, rtile, l_tid, r_tid,
+                          psi_idx, sig_idx, it, cum1, cum2, g1, g2, e1,
+                          e2, ng, conv_thrd, nt1, nt2, T, B, it_cap,
+                          max_iter, mesh, axis):
     """g1/g2/e1/e2 are round-robin interleaved per-device group arrays
     (tilev2.shard_groups) and ng the per-device live trip count; ng and
     conv_thrd are traced so group counts / thresholds never mint a new
@@ -775,11 +785,11 @@ def _v2_dav_sharded_chunk(state, diag, lpool, rpool, psi_idx, sig_idx,
     from .device_davidson import davidson_chunk
     from .tilev2 import _mv_scan
 
-    def local(g1s, g2s, e1s, e2s, st, dgl, lp, rp, pidx, sidx, itl,
-              c1, c2, ngl, ct):
+    def local(g1s, g2s, e1s, e2s, st, dgl, lt, rt, lti, rti, pidx,
+              sidx, itl, c1, c2, ngl, ct):
         def mv(v):
-            sig = _mv_scan(v, lp, rp, pidx, itl, c1, c2, g1s, g2s,
-                           e1s, e2s, ngl, nt1, nt2, T, B,
+            sig = _mv_scan(v, lt, rt, lti, rti, pidx, itl, c1, c2,
+                           g1s, g2s, e1s, e2s, ngl, nt1, nt2, T, B,
                            vary_axis=axis)
             sig = jax.lax.psum(sig, axis)
             out = sig.reshape(-1)[sidx]
@@ -790,15 +800,16 @@ def _v2_dav_sharded_chunk(state, diag, lpool, rpool, psi_idx, sig_idx,
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis),) * 4 + (P(),) * 11,
+        in_specs=(P(axis),) * 4 + (P(),) * 13,
         out_specs=(P(),) * 6)
-    return fn(g1, g2, e1, e2, state, diag, lpool, rpool, psi_idx,
-              sig_idx, it, cum1, cum2, ng, conv_thrd)
+    return fn(g1, g2, e1, e2, state, diag, ltile, rtile, l_tid, r_tid,
+              psi_idx, sig_idx, it, cum1, cum2, ng, conv_thrd)
 
 
-def _v2_dav_sharded(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
-                    cum2, g1, g2, e1, e2, ngl, nt1, nt2, T, B,
-                    conv_thrd, max_iter, max_subspace, mesh, axis="op"):
+def _v2_dav_sharded(x0, diag, ltile, rtile, l_tid, r_tid, psi_idx,
+                    sig_idx, it, cum1, cum2, g1, g2, e1, e2, ngl, nt1,
+                    nt2, T, B, conv_thrd, max_iter, max_subspace, mesh,
+                    axis="op"):
     """Sharded on-device Davidson: the subspace iteration runs
     replicated on every device (the reference's rank-redundant Davidson,
     src/core/iterative_matrix_functions.hpp:1181 pcomm semantics) while
@@ -810,9 +821,9 @@ def _v2_dav_sharded(x0, diag, lpool, rpool, psi_idx, sig_idx, it, cum1,
     ct = jnp.asarray(conv_thrd, x0.dtype)
     while True:
         state = _v2_dav_sharded_chunk(
-            state, diag, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
-            g1, g2, e1, e2, ngl, ct, nt1, nt2, T, B, cap, max_iter,
-            mesh, axis)
+            state, diag, ltile, rtile, l_tid, r_tid, psi_idx, sig_idx,
+            it, cum1, cum2, g1, g2, e1, e2, ngl, ct, nt1, nt2, T, B,
+            cap, max_iter, mesh, axis)
         itc = int(state[5])
         rn2 = float(state[4])
         if itc >= max_iter or (rn2 <= conv_thrd and itc >= 1):
@@ -1228,24 +1239,56 @@ class ResidentSite:
         # kernels' dump tiles only ever accumulate zero-valued products)
         diag_p = jnp.concatenate(
             [dg, jnp.zeros(s["size_p"] + 1 - dg.shape[0], dtype=dg.dtype)])
+        import os as _os
+        lt, rt = self.tile_pools()
+        nmb = int(_os.environ.get("B2TPU_MV_BENCH", "0"))
+        if nmb > 0 and self.mesh is None:
+            import time as _time
+            from .tilev2 import _mv_exec
+            xb = jnp.asarray(self.ex.pad(x0))
+            dd = self.ex.to_device()
+            args = (xb, lt, rt, dd["l_tid"], dd["r_tid"], dd["psi_idx"],
+                    dd["sig_idx"], dd["it"], dd["cum1"], dd["cum2"],
+                    dd["g1"], dd["g2"],
+                    jnp.asarray(s["ng_live"], jnp.int32),
+                    s["nt1"], s["nt2"], s["T"], s["B"])
+            float(_mv_exec(*args)[0])             # compile + warm + sync
+            t0 = _time.time()
+            acc = jnp.zeros((), dtype=lt.dtype)
+            for _ in range(nmb):
+                acc = _mv_exec(*args)[0] + acc * 0
+            float(acc)                            # chain-synced
+            dt = (_time.time() - t0) / nmb
+            print(f"      [mv] warm {dt * 1e3:.1f} ms  "
+                  f"{s['flops'] / dt / 1e9:.1f} GF/s  "
+                  f"T={s['T']} ng={s['ng_live']} "
+                  f"flops={s['flops']:.3g}", flush=True)
         if self.mesh is not None:
             g1i, g2i, e1i, e2i, ngl = self.ex.sharded_groups(
                 self.mesh, self.mesh_axis)
             th, xv, it = _v2_dav_sharded(
-                jnp.asarray(self.ex.pad(x0)), diag_p, self.lw_pool,
-                self.rw_pool, d["psi_idx"], d["sig_idx"], d["it"],
-                d["cum1"], d["cum2"], g1i, g2i, e1i, e2i, ngl,
+                jnp.asarray(self.ex.pad(x0)), diag_p, lt, rt,
+                d["l_tid"], d["r_tid"], d["psi_idx"], d["sig_idx"],
+                d["it"], d["cum1"], d["cum2"], g1i, g2i, e1i, e2i, ngl,
                 s["nt1"], s["nt2"], s["T"], s["B"], conv_thrd,
                 max_iter, max_subspace, self.mesh, self.mesh_axis)
         else:
             th, xv, it = _v2_dav(
-                jnp.asarray(self.ex.pad(x0)), diag_p, self.lw_pool,
-                self.rw_pool, d["psi_idx"], d["sig_idx"], d["it"],
-                d["cum1"], d["cum2"], d["g1"], d["g2"], s["ng_live"],
-                conv_thrd, s["nt1"], s["nt2"], s["T"], s["B"],
-                max_iter, max_subspace)
+                jnp.asarray(self.ex.pad(x0)), diag_p, lt, rt,
+                d["l_tid"], d["r_tid"], d["psi_idx"], d["sig_idx"],
+                d["it"], d["cum1"], d["cum2"], d["g1"], d["g2"],
+                s["ng_live"], conv_thrd, s["nt1"], s["nt2"], s["T"],
+                s["B"], max_iter, max_subspace)
         return (float(th), np.asarray(xv, dtype=np.float64)[:self.size],
                 int(it))
+
+    def tile_pools(self):
+        """Materialized L/R operator tile pools for this site (cached on
+        the instance; freed with it)."""
+        if getattr(self, "_tile_pools", None) is None:
+            self._tile_pools = self.ex.tile_pools(self.lw_pool,
+                                                  self.rw_pool)
+        return self._tile_pools
 
     def noise_rho(self, x: np.ndarray, forward: bool):
         """Device-side perturbative-noise density matrix
@@ -1277,7 +1320,10 @@ class ResidentSite:
         return plan.unpack(np.asarray(plan.rho_device(xp, pool)))
 
     def free(self):
-        for a in (self.lw_pool, self.rw_pool, self._diag_dev):
+        arrs = [self.lw_pool, self.rw_pool, self._diag_dev]
+        arrs += list(getattr(self, "_tile_pools", None) or ())
+        self._tile_pools = None
+        for a in arrs:
             try:
                 if a is not None:
                     a.delete()

@@ -46,7 +46,7 @@ _CFG = {16: (8192, 8192), 32: (8192, 8192), 64: (4096, 4096),
 # struct layout version: folded into cached-struct signatures so
 # persisted plans built under an older quantization/layout rebuild
 # instead of resurrecting stale jit shape classes
-_V2_VER = 2
+_V2_VER = 3
 
 
 def _grid(n, T):
@@ -98,7 +98,7 @@ def _locate(cum, g0, g1, B):
 #                         na, nk, np, nn, tb, (pad)
 # ---------------------------------------------------------------------------
 
-def _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
+def _mv_scan(xp, ltile, rtile, l_tid, r_tid, psi_idx, it, cum1, cum2,
              g1, g2, e1, e2, ng, nt1, nt2, T, B, vary_axis=None):
     """Loop over task groups; returns the pre-gather sigma tile pool
     [(nt2 + 1), T, T].  it [n, 13] int32 item fields; cum1/cum2 [n+1]
@@ -107,7 +107,15 @@ def _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
     group's first).  ng is the LIVE group count as a traced scalar —
     the trip count is dynamic so per-site group-count variation never
     changes the jit signature (each distinct signature costs a fresh
-    ~1-4 min remote compile on the target system)."""
+    ~1-4 min remote compile on the target system).
+
+    ltile/rtile are PRE-MATERIALIZED [n+1, T, T] operator tile pools
+    (edge-masked, zero sentinel last) built once per site by
+    _tile_gather; l_tid/r_tid map stage task ids to tile ids.  The
+    previous in-loop element-level affine gathers (_gtile) lowered to a
+    ~1 s/group general-gather inside fori_loop (measured on v5e; the
+    same gather as its own jit is ~5 ms) — leading-axis whole-tile
+    gathers are the only in-loop indexing that stays on the fast path."""
     pp = xp[psi_idx]
     hi = lax.Precision.HIGHEST
 
@@ -115,15 +123,15 @@ def _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
         g1s, g2s, e1s, e2s = g1[i], g2[i], e1[i], e2[i]
         # stage 1: tasks (ai, ni, ki) -> tmp tiles
         i1, o1, v1 = _locate(cum1, g1s, e1s, B)
+        tau1 = jnp.clip(g1s + jnp.arange(B, dtype=jnp.int32), 0,
+                        l_tid.shape[0] - 1)
         f = it[i1]
         nn, nk = f[:, 11], f[:, 9]
         ai = o1 // (nn * nk)
         rem = o1 % (nn * nk)
         ni = rem // nk
         ki = rem % nk
-        lb = jnp.where(v1, f[:, 0] + ai * T * f[:, 1] + ki * T, -1)
-        L = _gtile(lpool, lb, f[:, 1], f[:, 2] - ai * T,
-                   f[:, 1] - ki * T, T)
+        L = ltile[l_tid[tau1]]
         pa = jnp.where(v1, f[:, 6] + ki * nn + ni, pp.shape[0] - 1)
         prod1 = jnp.einsum("bak,bkn->ban", L, pp[pa], precision=hi,
                            preferred_element_type=xp.dtype)
@@ -132,6 +140,8 @@ def _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
                                   indices_are_sorted=True)
         # stage 2: tasks (ai, pi, ni) -> sigma tiles
         i2, o2, v2 = _locate(cum2, g2s, e2s, B)
+        tau2 = jnp.clip(g2s + jnp.arange(B, dtype=jnp.int32), 0,
+                        r_tid.shape[0] - 1)
         f = it[i2]
         nn, npp = f[:, 11], f[:, 10]
         ai = o2 // (npp * nn)
@@ -139,9 +149,7 @@ def _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
         pi = rem // nn
         ni = rem % nn
         ta = jnp.where(v2, f[:, 12] + ai * nn + ni, nt1)
-        rb = jnp.where(v2, f[:, 3] + pi * T * f[:, 4] + ni * T, -1)
-        R = _gtile(rpool, rb, f[:, 4], f[:, 5] - pi * T,
-                   f[:, 4] - ni * T, T)
+        R = rtile[r_tid[tau2]]
         prod2 = jnp.einsum("ban,bpn->bap", tmp[ta], R, precision=hi,
                            preferred_element_type=xp.dtype)
         s2 = jnp.where(v2, f[:, 7] + ai * npp + pi, nt2)
@@ -157,20 +165,40 @@ def _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
     return lax.fori_loop(0, ng, body, sig0)
 
 
+@partial(jax.jit, static_argnames=("T",))
+def _tile_gather(pool, d4, T):
+    """Materialize a [n+1, T, T] tile pool from a flat slab pool:
+    d4 [4, n] int32 rows (base, stride, rmax, cmax); edges masked to
+    zero, the last tile is the all-zero sentinel.  Runs as its OWN jit:
+    the identical gather inside a fori_loop kernel lowers ~200x slower
+    (measured v5e), so tiles are staged once per site and the hot loop
+    only ever does leading-axis tile lookups."""
+    base, stride, rmax, cmax = d4[0], d4[1], d4[2], d4[3]
+    r = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    c = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    idx = base[:, None, None] + r * stride[:, None, None] + c
+    ok = (r < rmax[:, None, None]) & (c < cmax[:, None, None]) \
+        & (base[:, None, None] >= 0)
+    tiles = jnp.where(ok, pool[jnp.where(ok, idx, 0)], 0)
+    return jnp.concatenate(
+        [tiles, jnp.zeros((1, T, T), dtype=pool.dtype)], 0)
+
+
 @partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B"))
-def _mv_exec(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
-             g1, g2, ng, nt1, nt2, T, B):
+def _mv_exec(xp, ltile, rtile, l_tid, r_tid, psi_idx, sig_idx, it,
+             cum1, cum2, g1, g2, ng, nt1, nt2, T, B):
     e1 = jnp.concatenate([g1[1:], cum1[-1:]])
     e2 = jnp.concatenate([g2[1:], cum2[-1:]])
-    sig = _mv_scan(xp, lpool, rpool, psi_idx, it, cum1, cum2,
-                   g1, g2, e1, e2, ng, nt1, nt2, T, B)
+    sig = _mv_scan(xp, ltile, rtile, l_tid, r_tid, psi_idx, it, cum1,
+                   cum2, g1, g2, e1, e2, ng, nt1, nt2, T, B)
     return sig.reshape(-1)[sig_idx]
 
 
 @partial(jax.jit, static_argnames=("nt1", "nt2", "T", "B", "mesh",
                                    "axis"))
-def _mv_exec_sharded(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
-                     g1, g2, e1, e2, ng, nt1, nt2, T, B, mesh, axis):
+def _mv_exec_sharded(xp, ltile, rtile, l_tid, r_tid, psi_idx, sig_idx,
+                     it, cum1, cum2, g1, g2, e1, e2, ng, nt1, nt2, T, B,
+                     mesh, axis):
     """Operator-sharded sigma matvec: the task-group axis is split over
     the mesh axis (each device runs its slice of task groups over the
     full replicated pools) and the partial sigma tile pools are summed
@@ -185,8 +213,9 @@ def _mv_exec_sharded(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
     signature)."""
     from jax.sharding import PartitionSpec as P
 
-    def local(g1s, g2s, e1s, e2s, xpl, lp, rp, pidx, itl, c1, c2, ngl):
-        sig = _mv_scan(xpl, lp, rp, pidx, itl, c1, c2,
+    def local(g1s, g2s, e1s, e2s, xpl, lt, rt, lti, rti, pidx, itl, c1,
+              c2, ngl):
+        sig = _mv_scan(xpl, lt, rt, lti, rti, pidx, itl, c1, c2,
                        g1s, g2s, e1s, e2s, ngl, nt1, nt2,
                        T, B, vary_axis=axis)
         return lax.psum(sig, axis)
@@ -194,9 +223,9 @@ def _mv_exec_sharded(xp, lpool, rpool, psi_idx, sig_idx, it, cum1, cum2,
     sig = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis),
-                  P(), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=P())(g1, g2, e1, e2, xp, lpool, rpool, psi_idx,
-                       it, cum1, cum2, ng)
+                  P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P())(g1, g2, e1, e2, xp, ltile, rtile, l_tid, r_tid,
+                       psi_idx, it, cum1, cum2, ng)
     return sig.reshape(-1)[sig_idx]
 
 
@@ -372,6 +401,64 @@ class MatvecV2:
             t_used += itmp[i]
             u1 += is1[i]
             u2 += is2[i]
+        # --- pre-materialized operator tile pools ---------------------
+        # unique L tiles per item: (ai, ki) over the (na x nk) grid;
+        # unique R tiles: (pi, ni) over (np x nn).  Stage tasks map to
+        # these through l_tid/r_tid so the hot kernel never runs an
+        # affine element gather (catastrophically slow inside fori_loop
+        # on v5e; see _tile_gather).
+        nl_item = na * nk
+        nr_item = npp * nn
+        lt_base = np.concatenate([[0], np.cumsum(nl_item)])
+        rt_base = np.concatenate([[0], np.cumsum(nr_item)])
+        nlt, nrt = int(lt_base[-1]), int(rt_base[-1])
+
+        def tile_desc(base_a, dk_a, db_a, grow, gcol, tbase, ntile):
+            cnt = grow * gcol
+            item = np.repeat(np.arange(n), cnt)
+            o = np.arange(ntile) - np.repeat(tbase[:-1], cnt)
+            gci = gcol[item]
+            ri = o // gci
+            ci = o % gci
+            d = np.empty((4, ntile), np.int32)
+            d[0] = base_a[item] + ri * T * dk_a[item] + ci * T
+            d[1] = dk_a[item]
+            d[2] = db_a[item] - ri * T
+            d[3] = dk_a[item] - ci * T
+            return d
+
+        ltd = tile_desc(it[:, 0], it[:, 1], it[:, 2], na, nk,
+                        lt_base, nlt)
+        rtd = tile_desc(it[:, 3], it[:, 4], it[:, 5], npp, nn,
+                        rt_base, nrt)
+        nlt_p = _pow2(nlt + 1)
+        nrt_p = _pow2(nrt + 1)
+        ltd = np.concatenate(
+            [ltd, np.tile([[-1], [1], [0], [0]], (1, nlt_p - nlt))], 1)
+        rtd = np.concatenate(
+            [rtd, np.tile([[-1], [1], [0], [0]], (1, nrt_p - nrt))], 1)
+
+        tot1, tot2 = int(c1[-1]), int(c2[-1])
+        item1 = np.repeat(np.arange(n), is1)
+        o = np.arange(tot1) - np.repeat(c1[:-1], is1)
+        nn1, nk1 = nn[item1], nk[item1]
+        ki = o % nk1
+        ai = o // (nn1 * nk1)
+        l_tid = (lt_base[item1] + ai * nk1 + ki).astype(np.int64)
+        item2 = np.repeat(np.arange(n), is2)
+        o = np.arange(tot2) - np.repeat(c2[:-1], is2)
+        nn2, np2 = nn[item2], npp[item2]
+        rem = o % (np2 * nn2)
+        pi = rem // nn2
+        ni = rem % nn2
+        r_tid = (rt_base[item2] + pi * nn2 + ni).astype(np.int64)
+        # sentinel (all-zero tile at index nlt_p/nrt_p) beyond the live
+        # task range; + B slack so tau clipping always lands in-array
+        l_tid_p = np.full(_pow2(tot1 + 1), nlt_p, np.int32)
+        l_tid_p[:tot1] = l_tid
+        r_tid_p = np.full(_pow2(tot2 + 1), nrt_p, np.int32)
+        r_tid_p[:tot2] = r_tid
+
         # quantize the ITEM count too (jit signatures depend on the it /
         # cum shapes): padded items contribute zero tasks -> the repeated
         # cum tail is never selected by searchsorted.  Full pow2 (not
@@ -408,6 +495,8 @@ class MatvecV2:
                 "cum1": c1.astype(np.int32), "cum2": c2.astype(np.int32),
                 "g1": np.asarray(gfirst1, dtype=np.int32),
                 "g2": np.asarray(gfirst2, dtype=np.int32),
+                "ltd": ltd, "rtd": rtd, "nlt_p": nlt_p, "nrt_p": nrt_p,
+                "l_tid": l_tid_p, "r_tid": r_tid_p,
                 "flops": int(2 * (it[:, 2] * it[:, 1] * it[:, 4]
                                   + it[:, 2] * it[:, 4] * it[:, 5]).sum())}
 
@@ -417,13 +506,29 @@ class MatvecV2:
             s = self.struct
             self._dev = {k: jnp.asarray(s[k])
                          for k in ("psi_idx", "sig_idx", "it", "cum1",
-                                   "cum2", "g1", "g2")}
+                                   "cum2", "g1", "g2", "ltd", "rtd",
+                                   "l_tid", "r_tid")}
         return self._dev
 
     def device_bytes(self):
         return sum(int(np.asarray(self.struct[k]).nbytes)
                    for k in ("psi_idx", "sig_idx", "it", "cum1", "cum2",
-                             "g1", "g2"))
+                             "g1", "g2", "ltd", "rtd", "l_tid",
+                             "r_tid"))
+
+    def tile_bytes(self):
+        """HBM cost of the materialized L/R tile pools."""
+        s = self.struct
+        return ((s["nlt_p"] + s["nrt_p"] + 2) * s["T"] * s["T"]
+                * np.dtype(self.dtype).itemsize)
+
+    def tile_pools(self, lpool, rpool):
+        """Materialize the per-site operator tile pools on device (one
+        fast standalone gather each; see _tile_gather)."""
+        d = self.to_device()
+        s = self.struct
+        return (_tile_gather(lpool, d["ltd"], s["T"]),
+                _tile_gather(rpool, d["rtd"], s["T"]))
 
     def pad(self, x):
         xp = np.zeros(self.struct["size_p"] + 1, dtype=self.dtype)
@@ -433,7 +538,9 @@ class MatvecV2:
     def matvec_device(self, xp, lpool, rpool):
         s = self.struct
         d = self.to_device()
-        return _mv_exec(xp, lpool, rpool, d["psi_idx"], d["sig_idx"],
+        lt, rt = self.tile_pools(lpool, rpool)
+        return _mv_exec(xp, lt, rt, d["l_tid"], d["r_tid"],
+                        d["psi_idx"], d["sig_idx"],
                         d["it"], d["cum1"], d["cum2"], d["g1"], d["g2"],
                         jnp.asarray(s["ng_live"], jnp.int32),
                         s["nt1"], s["nt2"], s["T"], s["B"])
@@ -474,11 +581,13 @@ class MatvecV2:
         `axis` and partial sigma pools psum'd (exact, loss-free)."""
         s = self.struct
         d = self.to_device()
+        lt, rt = self.tile_pools(lpool, rpool)
         g1i, g2i, e1i, e2i, ngl = self.sharded_groups(mesh, axis)
         return _mv_exec_sharded(
-            xp, lpool, rpool, d["psi_idx"], d["sig_idx"], d["it"],
-            d["cum1"], d["cum2"], g1i, g2i, e1i, e2i, ngl,
-            s["nt1"], s["nt2"], s["T"], s["B"], mesh, axis)
+            xp, lt, rt, d["l_tid"], d["r_tid"], d["psi_idx"],
+            d["sig_idx"], d["it"], d["cum1"], d["cum2"], g1i, g2i,
+            e1i, e2i, ngl, s["nt1"], s["nt2"], s["T"], s["B"], mesh,
+            axis)
 
     def free(self):
         if self._dev is not None:

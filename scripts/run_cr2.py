@@ -41,8 +41,11 @@ info.set_bond_dimension_using_occ(occs.ravel(), bias=2.0)
 mps = MPS.random(info)
 
 t_env = time.time()
+import os
+dmi = int(os.environ.get("B2TPU_DAV_MAX_ITER",
+                         30 if dtype == np.float32 else 100))
 dmrg = DMRG(mpo, mps, backend=backend, dtype=dtype, iprint=2,
-            dav_max_iter=30 if dtype == np.float32 else 100)
+            dav_max_iter=dmi)
 print(f"env init: t={time.time()-t_env:.1f}s", flush=True)
 sched_d = [D] * n_sweeps
 sched_n = [1e-4, 1e-5] + [0] * max(n_sweeps - 2, 0)
