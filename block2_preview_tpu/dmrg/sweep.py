@@ -191,14 +191,21 @@ def _bond_window(info, bond_idx, complement_of=None):
     return lambda q: lo <= ne - q[0] <= hi
 
 
+_DM_T = {}
+
+
 def split_forward_update(eff, psis, weights, noise, bond_dim,
                          allowed=None, rho_noise=None):
     """Decimate psis into a left-canonical site tensor + per-root center
     tensors at t+1.  Returns (A_tensor, center_tensors, dw)."""
     g, target = eff.g, eff.target
+    _t0 = time.time()
     rho = _average_rho_forward(eff, psis, weights, noise,
                                rho_noise=rho_noise)
+    _DM_T["rho"] = time.time() - _t0
+    _t0 = time.time()
     rot, dw = _decimate(rho, bond_dim, allowed=allowed)
+    _DM_T["eigh"] = time.time() - _t0
     a_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
     for qL, vmat in rot.items():
         for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
@@ -227,9 +234,13 @@ def split_backward_update(eff, psis, weights, noise, bond_dim,
     """Decimate psis into a right-canonical site tensor at t+1 + per-root
     center tensors at t.  Returns (B_tensor, center_tensors, dw)."""
     g, target = eff.g, eff.target
+    _t0 = time.time()
     rho = _average_rho_backward(eff, psis, weights, noise,
                                 rho_noise=rho_noise)
+    _DM_T["rho"] = time.time() - _t0
+    _t0 = time.time()
     rot, dw = _decimate(rho, bond_dim, allowed=allowed)
+    _DM_T["eigh"] = time.time() - _t0
     b_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
     for qR, vmat in rot.items():
         ql_new = g.sub(target, qR)
@@ -588,8 +599,10 @@ class DMRG:
                     # (W_m psi)^T from the slab pools); falls back to
                     # downloading + unpacking the assembled operators
                     # (hundreds of MB/site over the slow link)
+                    _tn = time.time()
                     try:
                         rho_noise = rs.noise_rho(xv, forward)
+                        _DM_T["noise"] = time.time() - _tn
                     except ValueError:
                         rho_noise = None
                         if forward:
@@ -656,6 +669,9 @@ class DMRG:
         if os.environ.get("B2TPU_SITE_TIMERS"):
             print(f"      [site t={t}] eff={t1 - t0:.2f}s "
                   f"eig={t2 - t1:.2f}s dm={t3 - t2:.2f}s "
+                  f"(rho={_DM_T.get('rho', 0):.2f} "
+                  f"eigh={_DM_T.get('eigh', 0):.2f} "
+                  f"noise={_DM_T.pop('noise', 0):.2f}) "
                   f"blk={t4 - t3:.2f}s", flush=True)
         return energies, dw, nmv
 

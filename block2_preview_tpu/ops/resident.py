@@ -30,6 +30,7 @@ bounded; jit signatures depend only on (T, capacity classes, scan depth).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -224,6 +225,15 @@ def build_mix_plan(meta_env: StackedMeta, entries, quanta,
     t_ob = obase_a[it] + ri * T * t_ors + ci * T * t_ocs
     t_cf = cf_a[it]
 
+    if os.environ.get("B2TPU_MIX_STATS"):
+        exact = int((db_a * dk_a).sum())
+        win = np.unique(np.stack([obase_a, db_a, dk_a]), axis=1)
+        wel = int((win[1] * win[2]).sum())
+        print(f"      [mixstats] nc={nc} tot_tiles={tot} "
+              f"pad_elems={tot * T * T} exact_elems={exact} "
+              f"nwin={win.shape[1]} win_elems={wel} "
+              f"jred={exact / max(wel, 1):.2f} ncap={_cap_class(meta_out.total + 1)}",
+              flush=True)
     # sort by output base for scatter locality
     order = np.argsort(t_ob, kind="stable")
     B = _MIX_B
@@ -841,27 +851,30 @@ def _v2_dav_sharded(x0, diag, ltile, rtile, l_tid, r_tid, psi_idx,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("nt1", "nrho", "T", "B"))
-def _noise_exec(xp, wpool, psi_idx, it, cum1, cum2, g1, g2, e1, e2, ng,
-                nt1, nrho, T, B):
+def _noise_exec(xp, wtile, w_tid, psi_idx, it, cum1, cum2, g1, g2, e1,
+                e2, ng, nt1, nrho, T, B):
     """it [n, 10] int32: wbase, wstride, DB, pb, na, nk, nn, tb, rb, DK.
     Stage-1 tasks (ai, ni, ki): tmp[tb + ai*nn + ni] += Wtile @ psitile.
     Stage-2 tasks (ar, ac, ni): rho[rb + ar*na + ac] +=
-    tmp[tb + ar*nn + ni] @ tmp[tb + ac*nn + ni]^T."""
-    from .tilev2 import _gtile, _locate
+    tmp[tb + ar*nn + ni] @ tmp[tb + ac*nn + ni]^T.
+
+    wtile/w_tid: PRE-MATERIALIZED [nwt+1, T, T] slab tile pool + task ->
+    tile id map (an in-loop _gtile lowers ~200x slower; see tilev2)."""
+    from .tilev2 import _locate
     pp = xp[psi_idx]
     hi = lax.Precision.HIGHEST
 
     def body(i, rho):
         g1s, g2s, e1s, e2s = g1[i], g2[i], e1[i], e2[i]
         i1, o1, v1 = _locate(cum1, g1s, e1s, B)
+        tau1 = jnp.clip(g1s + jnp.arange(B, dtype=jnp.int32), 0,
+                        w_tid.shape[0] - 1)
         f = it[i1]
         nn, nk = f[:, 6], f[:, 5]
         ai = o1 // (nn * nk)
         ni = (o1 // nk) % nn
         ki = o1 % nk
-        wb = jnp.where(v1, f[:, 0] + ai * T * f[:, 1] + ki * T, -1)
-        W = _gtile(wpool, wb, f[:, 1], f[:, 2] - ai * T,
-                   f[:, 1] - ki * T, T)
+        W = wtile[w_tid[tau1]]
         pa = jnp.where(v1, f[:, 3] + ki * nn + ni, pp.shape[0] - 1)
         p1 = jnp.einsum("bak,bkn->ban", W, pp[pa], precision=hi,
                         preferred_element_type=xp.dtype)
@@ -899,7 +912,8 @@ class NoisePlan:
     rho[qRb] += y y^T."""
 
     __slots__ = ("it", "cum1", "cum2", "g1", "g2", "e1", "e2", "ng_live",
-                 "nt1", "nrho", "T", "B", "sectors", "psi_idx", "_dev")
+                 "nt1", "nrho", "T", "B", "sectors", "psi_idx", "wtd",
+                 "w_tid", "_dev")
 
     # cross-process persistence (B2TPU_PLAN_CACHE): strip device handles
     def __getstate__(self):
@@ -1022,6 +1036,36 @@ class NoisePlan:
             u1 += is1[i]
             u2 += is2[i]
         itf[:, 7] = tb
+        # pre-materialized W tile pool: unique tiles per item over the
+        # (na x nk) grid; stage-1 tasks map through w_tid
+        nw_item = na_a * nk_a
+        wt_base = np.concatenate([[0], np.cumsum(nw_item)])
+        nwt = int(wt_base[-1])
+        cnt = nw_item
+        item_t = np.repeat(np.arange(n), cnt)
+        o_t = np.arange(nwt) - np.repeat(wt_base[:-1], cnt)
+        nk_t = nk_a[item_t]
+        ai_t = o_t // nk_t
+        ki_t = o_t % nk_t
+        wtd = np.empty((4, nwt), np.int32)
+        wtd[0] = itf[item_t, 0] + ai_t * T * itf[item_t, 1] + ki_t * T
+        wtd[1] = itf[item_t, 1]
+        wtd[2] = itf[item_t, 2] - ai_t * T
+        wtd[3] = itf[item_t, 1] - ki_t * T
+        nwt_p = _pow2(nwt + 1)
+        wtd = np.concatenate(
+            [wtd, np.tile([[-1], [1], [0], [0]], (1, nwt_p - nwt))], 1)
+        tot1 = int(np.cumsum(is1)[-1]) if n else 0
+        item1 = np.repeat(np.arange(n), is1)
+        o1h = np.arange(tot1) - np.repeat(
+            np.concatenate([[0], np.cumsum(is1)])[:-1], is1)
+        nn1, nk1 = nn_a[item1], nk_a[item1]
+        ai1 = o1h // (nn1 * nk1)
+        ki1 = o1h % nk1
+        w_tid = np.full(_pow2(tot1 + 1), nwt_p, np.int32)
+        w_tid[:tot1] = wt_base[item1] + ai1 * nk1 + ki1
+        self.wtd = wtd
+        self.w_tid = w_tid
         # rho tile base: row-grid stride is the SECTOR's na (items of the
         # same sector share it; na per item equals the sector grid since
         # DB is sector-wide by construction of the slab meta)
@@ -1050,14 +1094,16 @@ class NoisePlan:
         self._dev = None
 
     def rho_device(self, xp, wpool):
+        from .tilev2 import _tile_gather
         if self._dev is None:
             self._dev = tuple(jnp.asarray(a) for a in
                               (self.psi_idx, self.it, self.cum1,
                                self.cum2, self.g1, self.g2, self.e1,
-                               self.e2))
-        pidx, it, c1, c2, g1, g2, e1, e2 = self._dev
-        return _noise_exec(xp, wpool, pidx, it, c1, c2, g1, g2, e1, e2,
-                           jnp.asarray(self.ng_live, jnp.int32),
+                               self.e2, self.wtd, self.w_tid))
+        pidx, it, c1, c2, g1, g2, e1, e2, wtd, w_tid = self._dev
+        wt = _tile_gather(wpool, wtd, self.T)
+        return _noise_exec(xp, wt, w_tid, pidx, it, c1, c2, g1, g2, e1,
+                           e2, jnp.asarray(self.ng_live, jnp.int32),
                            self.nt1, self.nrho, self.T, self.B)
 
     def unpack(self, rho_tiles: np.ndarray):
@@ -1081,7 +1127,14 @@ def _mix_sig(meta_env, entries, fused, fused_ket, active, active_ket,
     return hash((meta_env.signature(),
                  _plan_args_sig(entries, fused, fused_ket, active,
                                 active_ket, comp_target, comp_target_ket),
-                 tuple(out_bond_dqs)))
+                 tuple(out_bond_dqs), _mix_ver()))
+
+
+def _mix_ver() -> int:
+    """Active mix engine version (B2TPU_MIX): 3 = gather-only GEMM
+    assembly (ops/mixv3.py), 2 = legacy scatter mix.  Folded into plan
+    cache signatures so persisted plans from the other engine rebuild."""
+    return int(os.environ.get("B2TPU_MIX", "3"))
 
 
 class ResidentSite:
@@ -1145,16 +1198,20 @@ class ResidentSite:
             caches["mix"][key] = (sig, p)
             return p
 
+        if _mix_ver() >= 3:
+            from .mixv3 import build_mix_plan_v3 as _bmp
+        else:
+            _bmp = build_mix_plan
         sig_l = _mix_sig(meta_l, mpo.tensors[t], flb, flk, active_lb,
                          active_lk, None, None, mpo.bond_dqs[t + 1])
-        pl = plan((t, "lw"), lambda: build_mix_plan(
+        pl = plan((t, "lw"), lambda: _bmp(
             meta_l, mpo.tensors[t], mpo.site_quanta[t], flb,
             bond_is_first=True, join_on_input=True, group=g,
             out_bond_dqs=mpo.bond_dqs[t + 1], active=active_lb,
             fused_ket=flk, active_ket=active_lk), sig_l)
         sig_r = _mix_sig(meta_r, mpo.tensors[t + 1], frb, frk, active_rb,
                          active_rk, tb, tk, mpo.bond_dqs[t + 1])
-        pr = plan((t, "rw"), lambda: build_mix_plan(
+        pr = plan((t, "rw"), lambda: _bmp(
             meta_r, mpo.tensors[t + 1], mpo.site_quanta[t + 1], frb,
             bond_is_first=False, join_on_input=False, group=g,
             out_bond_dqs=mpo.bond_dqs[t + 1], comp_target=tb,
@@ -1166,8 +1223,12 @@ class ResidentSite:
         if _tm is not None:
             _tm["mixplan"] = _time.time() - _t0
             _t0 = _time.time()
-        self.lw_pool = execute_mix(pl, pool_l, dtype=dtype)
-        self.rw_pool = execute_mix(pr, pool_r, dtype=dtype)
+        if _mix_ver() >= 3:
+            from .mixv3 import execute_mix_v3 as _emx
+        else:
+            _emx = execute_mix
+        self.lw_pool = _emx(pl, pool_l, dtype=dtype)
+        self.rw_pool = _emx(pr, pool_r, dtype=dtype)
         if _tm is not None:
             self.lw_pool.block_until_ready()
             self.rw_pool.block_until_ready()
@@ -1303,9 +1364,11 @@ class ResidentSite:
         meta = self.pl.meta_out if forward else self.pr.meta_out
         s = self.ex.struct
         key = (self.eff.t, side)
+        # layout version 2: pre-materialized W tile pools (wtd/w_tid);
+        # persisted v1 plans lack the fields and must rebuild
         sig = hash((meta.signature(), tuple(self.eff.ket_space.keys),
                     tuple(sorted(self.eff.ket_space.shapes.items())),
-                    s["T"]))
+                    s["T"], 2))
         cache = self.caches.setdefault("noise", {})
         ent = cache.get(key)
         if ent is not None and ent[0] == sig:
