@@ -568,6 +568,10 @@ class DMRG:
                        ) -> Tuple[np.ndarray, float, int]:
         tm = self.timings
         t0 = time.time()
+        # one devcache epoch per site step: LRU eviction under the HBM
+        # budget never touches structures used by the current step
+        from ..ops import devcache
+        devcache.tick()
         # particle-window restriction (CASCI/MRCI MPSInfo): the middle
         # bond of the two-dot space is the fused-left quantum
         use_res = (self.backend == "jax_resident" and self.n_roots == 1
@@ -683,6 +687,8 @@ class DMRG:
         """Single-site update (reference sweep_algorithm.hpp:183
         update_one_dot); the center tensor sits at site t."""
         assert self.n_roots == 1, "one-site mode: single root only"
+        from ..ops import devcache
+        devcache.tick()
         g = self.mpo.group
         L = self.mpo.n_sites
         target = self.mps.info.target

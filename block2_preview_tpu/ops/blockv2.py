@@ -203,14 +203,14 @@ class BlockingV2Plan:
     __slots__ = ("meta_out", "T", "B", "nt1", "ntp", "ncap", "left",
                  "it", "ef", "coef", "cum1", "cum2", "cum3",
                  "g1", "g2", "g3", "bra_pool", "ket_pool", "flops",
-                 "_dev", "_src")
+                 "_dev", "_src", "_devtok", "_pooltok")
 
     # cross-process persistence (B2TPU_PLAN_CACHE): strip device
     # handles, keep host arrays
     def __getstate__(self):
         st = {}
         for k in self.__slots__:
-            if k in ("_dev", "_src"):
+            if k in ("_dev", "_src", "_devtok", "_pooltok"):
                 continue
             v = getattr(self, k, None)
             if v is not None and not isinstance(
@@ -225,6 +225,8 @@ class BlockingV2Plan:
         for k, v in st.items():
             object.__setattr__(self, k, v)
         object.__setattr__(self, "_dev", None)
+        object.__setattr__(self, "_devtok", None)
+        object.__setattr__(self, "_pooltok", None)
         if not hasattr(self, "_src"):
             object.__setattr__(self, "_src", None)
 
@@ -563,6 +565,8 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
     plan.flops = float(2 * (db_a * dk_a * dy_a
                             + db_a * dx_a * dy_a).sum())
     plan._dev = None
+    plan._devtok = None
+    plan._pooltok = None
     plan._src = (bra_T, ket_T)
     return plan
 
@@ -574,8 +578,35 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
     convention downstream tile gathers rely on).  With `mesh`, the
     task-group axis is sharded over the mesh axis and partial output
     pools are psum'd."""
-    dev = plan._dev
-    if dev is None or dev[0] != dtype:
+    from . import devcache
+    # static task structure: one upload per plan per dtype
+    tok = getattr(plan, "_devtok", None)
+    if tok is None:
+        tok = devcache.new_token()
+        object.__setattr__(plan, "_devtok", tok)
+
+    def upload_struct():
+        cf = plan.coef
+        if not np.iscomplexobj(np.zeros(1, dtype)):
+            cf = cf.real
+        return {"it": jnp.asarray(plan.it), "ef": jnp.asarray(plan.ef),
+                "coef": jnp.asarray(cf.astype(dtype)),
+                "cum1": jnp.asarray(plan.cum1),
+                "cum2": jnp.asarray(plan.cum2),
+                "cum3": jnp.asarray(plan.cum3),
+                "g1": jnp.asarray(plan.g1), "g2": jnp.asarray(plan.g2),
+                "g3": jnp.asarray(plan.g3)}
+
+    # site-value pools: refresh_plan_sites clears _pooltok whenever the
+    # MPS rotation matrices captured by the plan change (every sweep),
+    # forcing a fresh upload of the VALUES while the structure entry
+    # above stays resident
+    ptok = getattr(plan, "_pooltok", None)
+    if ptok is None:
+        ptok = devcache.new_token()
+        object.__setattr__(plan, "_pooltok", ptok)
+
+    def upload_pools():
         def pack(mats, offs):
             pool = np.zeros(int(offs[-1]) + 1, dtype=dtype)
             for m, o in zip(mats, offs[:-1]):
@@ -584,18 +615,16 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
             full[:len(pool)] = pool
             return jnp.asarray(full)
 
-        cf = plan.coef
-        if not np.iscomplexobj(np.zeros(1, dtype)):
-            cf = cf.real
-        dev = (dtype, pack(*plan.bra_pool), pack(*plan.ket_pool),
-               jnp.asarray(plan.it), jnp.asarray(plan.ef),
-               jnp.asarray(cf.astype(dtype)), jnp.asarray(plan.cum1),
-               jnp.asarray(plan.cum2), jnp.asarray(plan.cum3),
-               jnp.asarray(plan.g1), jnp.asarray(plan.g2),
-               jnp.asarray(plan.g3))
-        plan._dev = dev
-    (_dt, bpool, kpool, it, ef, coef, cum1, cum2, cum3,
-     g1, g2, g3) = dev
+        return {"bpool": pack(*plan.bra_pool),
+                "kpool": pack(*plan.ket_pool)}
+
+    dts = np.dtype(dtype).str
+    dev = devcache.get((tok, dts), upload_struct)
+    pools = devcache.get((ptok, dts), upload_pools)
+    (bpool, kpool, it, ef, coef, cum1, cum2, cum3, g1, g2, g3) = (
+        pools["bpool"], pools["kpool"], dev["it"], dev["ef"],
+        dev["coef"], dev["cum1"], dev["cum2"], dev["cum3"], dev["g1"],
+        dev["g2"], dev["g3"])
     ns = len(plan.g1)
     e1f = np.concatenate([plan.g1[1:], plan.cum1[-1:]]).astype(np.int32)
     e2f = np.concatenate([plan.g2[1:], plan.cum2[-1:]]).astype(np.int32)

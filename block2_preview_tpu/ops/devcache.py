@@ -1,0 +1,122 @@
+"""Global device-structure cache with an HBM byte budget.
+
+Every engine in this package derives static per-(site, direction)
+structures on the host — mix placement tables, matvec task structs,
+blocking plans, noise plans, diagonal structs — and needs them on the
+accelerator for the hot kernels.  Re-uploading them on every site visit
+dominates warm-sweep wall clock on link-bound hosts (a mid-chain
+Cr2/SVP site ships hundreds of MB; over a ~10 MB/s tunnel that is
+minutes per site).  This cache uploads each structure ONCE and keeps
+the device arrays resident across visits and sweeps, evicting
+least-recently-used entries when the total exceeds the budget
+(``B2TPU_STRUCT_HBM_GB``, default 6 GiB).
+
+Eviction drops Python references only (never ``Array.delete()``): XLA
+frees the buffers once no in-flight computation holds them, so entries
+used by dispatched-but-unfinished kernels are safe.  Entries touched in
+the current epoch (one epoch == one site step; the sweep driver calls
+:func:`tick`) are never evicted — the working set of a single site step
+must fit in the budget.
+
+Reference analog: block2 keeps the equivalent metadata
+(``SparseMatrixInfo::ConnectionInfo``, src/core/sparse_matrix.hpp:71)
+in host RAM next to the BLAS; on an accelerator with a thin host link
+the metadata must live in HBM instead.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Callable, Dict, Hashable
+
+
+def new_token() -> str:
+    """Process-unique, pickle-safe identity token for a plan object.
+
+    uuid-based (not a counter) so tokens embedded in structures that
+    round-trip through the cross-process plan pickle
+    (``B2TPU_PLAN_CACHE``) can never collide with tokens minted by a
+    later process.
+    """
+    return uuid.uuid4().hex
+
+
+class DevStructCache:
+    def __init__(self, budget_bytes: float = None):
+        if budget_bytes is None:
+            budget_bytes = float(
+                os.environ.get("B2TPU_STRUCT_HBM_GB", "6")) * (1 << 30)
+        self.budget = budget_bytes
+        self.epoch = 0
+        self.total = 0
+        # key -> [bytes, last_epoch, arrays]; dict order = insertion,
+        # refreshed on hit (move_to_end semantics via del/insert)
+        self._ent: Dict[Hashable, list] = {}
+
+    # -- stats ----------------------------------------------------------
+    def stats(self):
+        return {"entries": len(self._ent), "bytes": self.total,
+                "budget": self.budget, "epoch": self.epoch}
+
+    def tick(self) -> None:
+        """Advance the epoch (call once per site step)."""
+        self.epoch += 1
+
+    def get(self, key: Hashable, factory: Callable[[], dict]):
+        """Return the cached device arrays for `key`, uploading via
+        `factory` (-> {name: jax.Array}) on a miss."""
+        ent = self._ent.pop(key, None)
+        if ent is not None:
+            ent[1] = self.epoch
+            self._ent[key] = ent           # refresh LRU position
+            return ent[2]
+        arrs = factory()
+        b = 0
+        for a in arrs.values():
+            try:
+                b += int(a.size) * a.dtype.itemsize
+            except (AttributeError, TypeError):
+                pass
+        self._ent[key] = [b, self.epoch, arrs]
+        self.total += b
+        if self.total > self.budget:
+            self._evict()
+        return arrs
+
+    def drop(self, key: Hashable) -> None:
+        ent = self._ent.pop(key, None)
+        if ent is not None:
+            self.total -= ent[0]
+
+    def drop_token(self, tok) -> None:
+        """Drop every entry whose key is `tok` or a tuple starting with
+        `tok` (all dtype variants of one plan)."""
+        for key in [k for k in self._ent
+                    if k == tok or (isinstance(k, tuple) and k
+                                    and k[0] == tok)]:
+            self.drop(key)
+
+    def clear(self) -> None:
+        self._ent.clear()
+        self.total = 0
+
+    def _evict(self) -> None:
+        # oldest-epoch first; never evict entries touched this epoch
+        for key in [k for k, e in self._ent.items()
+                    if e[1] < self.epoch]:
+            if self.total <= self.budget:
+                break
+            ent = self._ent.pop(key)
+            self.total -= ent[0]
+
+
+GLOBAL = DevStructCache()
+
+
+def get(key: Hashable, factory: Callable[[], dict]):
+    return GLOBAL.get(key, factory)
+
+
+def tick() -> None:
+    GLOBAL.tick()

@@ -57,15 +57,20 @@ def _cls(n: int, keep_bits: int = 2) -> int:
 # device kernels (compile-once per size class)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("ns_p", "dg_p"))
-def _env_gemm(epool, W, eoff, dbdk, secoff, ns_p, dg_p):
+@partial(jax.jit, static_argnames=("nw_p", "ns_p", "dg_p"))
+def _env_gemm(epool, wr, wc, wv, eoff, dbdk, secoff, nw_p, ns_p, dg_p):
     """OUT_g = W @ ENV_g with ENV_g gathered from the stacked env pool.
 
-    eoff/dbdk [nsec_p] int32 (sector slab offsets / block sizes, padded
-    with repeats); secoff [nsec_p + 1] exact concat column offsets
-    (padded by repeating the total).  Rows j >= live count contribute
-    only through W columns, which are zero there.
+    W arrives as COO triplets (wr, wc, wv) — typically ~1% dense — and
+    is densified on device (the dense form never crosses the host link;
+    shipping it dense cost minutes/site over thin tunnels).  COO pads
+    carry wv == 0 so they accumulate nothing.  eoff/dbdk [nsec_p] int32
+    (sector slab offsets / block sizes, padded with repeats);
+    secoff [nsec_p + 1] exact concat column offsets (padded by
+    repeating the total).  Rows j >= live count contribute only through
+    W columns, which are zero there.
     """
+    W = jnp.zeros((nw_p, ns_p), wv.dtype).at[wr, wc].add(wv)
     j = jnp.arange(ns_p, dtype=jnp.int32)[:, None]
     d = jnp.arange(dg_p, dtype=jnp.int32)[None, :]
     s = jnp.searchsorted(secoff, d[0], side="right").astype(jnp.int32) - 1
@@ -122,14 +127,18 @@ def _place(outflat, sb_starts, sb_blksz, sb_dlk, sb_rowoff, sb_coloff,
 
 class MixPlanV3:
     __slots__ = ("meta_out", "ncap_out", "gemms", "tables", "out_total",
-                 "iscpx", "dims_hint", "n_launch")
+                 "iscpx", "dims_hint", "n_launch", "_devtok")
 
     def __getstate__(self):
-        return {k: getattr(self, k) for k in self.__slots__}
+        # _devtok identifies device-cache entries of THIS process; a new
+        # process must mint its own
+        return {k: getattr(self, k) for k in self.__slots__
+                if k != "_devtok"}
 
     def __setstate__(self, st):
         for k, v in st.items():
             setattr(self, k, v)
+        self._devtok = None
 
 
 def _build_tab(fused, quanta, ct, act, bond_is_first, group):
@@ -258,9 +267,25 @@ def build_mix_plan_v3(meta_env: StackedMeta, entries, quanta,
         secoff = np.concatenate([[0], np.cumsum(dbdk)])
         nw = len(rows)
         ns = len(syms)
-        W = np.zeros((nw, ns), dtype=cdtype)
-        np.add.at(W, (np.asarray(nnz_r), np.asarray(nnz_j)),
-                  np.asarray(nnz_c, dtype=cdtype))
+        # W in deduplicated COO form: typically ~1% dense, and the dense
+        # [nw, ns] form would dominate plan memory, the cross-process
+        # pickle, and the per-visit host->device transfer (the device
+        # kernel densifies on-chip)
+        rr = np.asarray(nnz_r, np.int64)
+        jj = np.asarray(nnz_j, np.int64)
+        vv = np.asarray(nnz_c, dtype=cdtype)
+        key = rr * ns + jj
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        vv = vv[order]
+        first = np.ones(len(key), bool)
+        first[1:] = key[1:] != key[:-1]
+        seg = np.cumsum(first) - 1
+        wv = np.zeros(int(seg[-1]) + 1, dtype=cdtype)
+        np.add.at(wv, seg, vv)
+        ukey = key[first]
+        wr = (ukey // ns).astype(np.int32)
+        wc = (ukey % ns).astype(np.int32)
         # discover valid output sectors (must match the v2 discovery)
         rkeys = list(rows)
         for s_i, qlb in enumerate(qlbs):
@@ -277,7 +302,8 @@ def build_mix_plan_v3(meta_env: StackedMeta, entries, quanta,
                 pair_of[(out_bond_dqs[osym], qLb)] = vk[0]
                 dims_hint += [int(db[s_i]), int(dk[s_i])]
         spec = {"gi": gi, "nw": nw, "ns": ns, "nsec": nsec,
-                "W": W, "eoff": eoff, "dbdk": dbdk, "secoff": secoff,
+                "wr": wr, "wc": wc, "wv": wv,
+                "eoff": eoff, "dbdk": dbdk, "secoff": secoff,
                 "db": db, "dk": dk,
                 "qlb_pos": {q: i2 for i2, q in enumerate(qlbs)}}
         dq_to_gi[dq_g] = len(gemm_specs)
@@ -450,44 +476,70 @@ def build_mix_plan_v3(meta_env: StackedMeta, entries, quanta,
     plan.iscpx = iscpx
     plan.dims_hint = dims_hint
     plan.n_launch = len(gemm_specs)
+    plan._devtok = None
     return plan
 
 
 def execute_mix_v3(plan: MixPlanV3, epool_dev, dtype=np.float32):
     """Run the v3 mix; returns the LW/RW slab pool [ncap_out + 1] on
-    device (zero sentinel at index ncap_out), identical to execute_mix."""
+    device (zero sentinel at index ncap_out), identical to execute_mix.
+
+    All static inputs (COO W triplets, sector layouts, placement
+    tables) go through the global device-struct cache: the host->device
+    upload happens once per plan per dtype, not per site visit."""
+    from . import devcache
+    rdt = np.dtype(dtype)
+    tok = getattr(plan, "_devtok", None)
+    if tok is None:
+        tok = devcache.new_token()
+        plan._devtok = tok
+
+    def upload():
+        arrs = {}
+        for i, spec in enumerate(plan.gemms):
+            wv = spec["wv"]
+            if rdt.kind != "c":
+                wv = wv.real
+            nnz = len(wv)
+            nnz_p = _pow2(nnz + 1)
+            wr = np.zeros(nnz_p, np.int32)
+            wr[:nnz] = spec["wr"]
+            wc = np.zeros(nnz_p, np.int32)
+            wc[:nnz] = spec["wc"]
+            wvp = np.zeros(nnz_p, rdt)
+            wvp[:nnz] = wv.astype(rdt)
+            nsec_p = _pow2(spec["nsec"] + 1)
+            eoff = np.zeros(nsec_p, np.int32)
+            eoff[:spec["nsec"]] = spec["eoff"]
+            dbdk = np.ones(nsec_p, np.int32)
+            dbdk[:spec["nsec"]] = spec["dbdk"]
+            secoff = np.full(nsec_p + 1, spec["secoff"][-1], np.int32)
+            secoff[:spec["nsec"] + 1] = spec["secoff"]
+            arrs[f"wr{i}"] = jnp.asarray(wr)
+            arrs[f"wc{i}"] = jnp.asarray(wc)
+            arrs[f"wv{i}"] = jnp.asarray(wvp)
+            arrs[f"eoff{i}"] = jnp.asarray(eoff)
+            arrs[f"dbdk{i}"] = jnp.asarray(dbdk)
+            arrs[f"secoff{i}"] = jnp.asarray(secoff)
+        for k, v in plan.tables.items():
+            arrs[k] = jnp.asarray(v)
+        return arrs
+
+    d = devcache.get((tok, rdt.str), upload)
     outs = []
-    rdt = dtype
-    for spec in plan.gemms:
-        ns_p, dg_p, nw_p = spec["ns_p"], spec["dg_p"], spec["nw_p"]
-        W = np.zeros((nw_p, ns_p), dtype=rdt)
-        Wsrc = spec["W"]
-        if not np.iscomplexobj(np.zeros(1, rdt)):
-            Wsrc = Wsrc.real
-        W[:spec["nw"], :spec["ns"]] = Wsrc.astype(rdt)
-        nsec_p = _pow2(spec["nsec"] + 1)
-        eoff = np.full(nsec_p, 0, np.int32)
-        eoff[:spec["nsec"]] = spec["eoff"]
-        dbdk = np.full(nsec_p, 1, np.int32)
-        dbdk[:spec["nsec"]] = spec["dbdk"]
-        secoff = np.full(nsec_p + 1, spec["secoff"][-1], np.int32)
-        secoff[:spec["nsec"] + 1] = spec["secoff"]
-        og = _env_gemm(epool_dev, jnp.asarray(W), jnp.asarray(eoff),
-                       jnp.asarray(dbdk), jnp.asarray(secoff),
-                       ns_p, dg_p)
+    for i, spec in enumerate(plan.gemms):
+        og = _env_gemm(epool_dev, d[f"wr{i}"], d[f"wc{i}"], d[f"wv{i}"],
+                       d[f"eoff{i}"], d[f"dbdk{i}"], d[f"secoff{i}"],
+                       spec["nw_p"], spec["ns_p"], spec["dg_p"])
         outs.append(og.reshape(-1))
     outflat = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     otp = _cap_class(plan.out_total + 1)
     if otp > outflat.shape[0]:
         outflat = jnp.concatenate(
             [outflat, jnp.zeros(otp - outflat.shape[0], dtype=outflat.dtype)])
-    t = plan.tables
     ncap = jnp.zeros(plan.ncap_out + 1, dtype=rdt)
-    return _place(outflat, jnp.asarray(t["sb_starts"]),
-                  jnp.asarray(t["sb_blksz"]), jnp.asarray(t["sb_dlk"]),
-                  jnp.asarray(t["sb_rowoff"]), jnp.asarray(t["sb_coloff"]),
-                  jnp.asarray(t["sb_celloff"]), jnp.asarray(t["sb_ncc"]),
-                  jnp.asarray(t["sb_cells"]), jnp.asarray(t["rowcell"]),
-                  jnp.asarray(t["rowin"]), jnp.asarray(t["colcell"]),
-                  jnp.asarray(t["colin"]), jnp.asarray(t["winsrc"]),
-                  jnp.asarray(t["windk"]), ncap)
+    return _place(outflat, d["sb_starts"], d["sb_blksz"], d["sb_dlk"],
+                  d["sb_rowoff"], d["sb_coloff"], d["sb_celloff"],
+                  d["sb_ncc"], d["sb_cells"], d["rowcell"], d["rowin"],
+                  d["colcell"], d["colin"], d["winsrc"], d["windk"],
+                  ncap)

@@ -913,17 +913,18 @@ class NoisePlan:
 
     __slots__ = ("it", "cum1", "cum2", "g1", "g2", "e1", "e2", "ng_live",
                  "nt1", "nrho", "T", "B", "sectors", "psi_idx", "wtd",
-                 "w_tid", "_dev")
+                 "w_tid", "_dev", "_devtok")
 
     # cross-process persistence (B2TPU_PLAN_CACHE): strip device handles
     def __getstate__(self):
         return {k: getattr(self, k) for k in self.__slots__
-                if k != "_dev"}
+                if k not in ("_dev", "_devtok")}
 
     def __setstate__(self, st):
         for k, v in st.items():
             object.__setattr__(self, k, v)
         object.__setattr__(self, "_dev", None)
+        object.__setattr__(self, "_devtok", None)
 
     def __init__(self, space, meta, group, side, T, psi_idx):
         from .tilev2 import _CFG
@@ -1092,15 +1093,20 @@ class NoisePlan:
              g2[self.ng_live:]]).astype(np.int32)
         self.it = it32
         self._dev = None
+        self._devtok = None
 
     def rho_device(self, xp, wpool):
         from .tilev2 import _tile_gather
-        if self._dev is None:
-            self._dev = tuple(jnp.asarray(a) for a in
-                              (self.psi_idx, self.it, self.cum1,
-                               self.cum2, self.g1, self.g2, self.e1,
-                               self.e2, self.wtd, self.w_tid))
-        pidx, it, c1, c2, g1, g2, e1, e2, wtd, w_tid = self._dev
+        from . import devcache
+        if self._devtok is None:
+            object.__setattr__(self, "_devtok", devcache.new_token())
+        dev = devcache.get((self._devtok,), lambda: {
+            str(i): jnp.asarray(a) for i, a in enumerate(
+                (self.psi_idx, self.it, self.cum1,
+                 self.cum2, self.g1, self.g2, self.e1,
+                 self.e2, self.wtd, self.w_tid))})
+        pidx, it, c1, c2, g1, g2, e1, e2, wtd, w_tid = (
+            dev[str(i)] for i in range(10))
         wt = _tile_gather(wpool, wtd, self.T)
         return _noise_exec(xp, wt, w_tid, pidx, it, c1, c2, g1, g2, e1,
                            e2, jnp.asarray(self.ng_live, jnp.int32),
@@ -1124,10 +1130,13 @@ def _mix_sig(meta_env, entries, fused, fused_ket, active, active_ket,
     non-env input (MPO entry content, fused bases, active sets, targets,
     output bond charges)."""
     from .blocking import _plan_args_sig
+    # the trailing 2 is the structural layout version (v2: sparse-COO W
+    # specs + device-cache tokens) — persisted plans from older layouts
+    # mismatch and rebuild
     return hash((meta_env.signature(),
                  _plan_args_sig(entries, fused, fused_ket, active,
                                 active_ket, comp_target, comp_target_ket),
-                 tuple(out_bond_dqs), _mix_ver()))
+                 tuple(out_bond_dqs), _mix_ver(), 2))
 
 
 def _mix_ver() -> int:
@@ -1400,10 +1409,17 @@ def execute_diag(dstruct, lpool, rpool, dev_cache=None):
     pools; returns the flat diag [sizb_p] on device (tiled layout
     flattened through sig_idx)."""
     if dev_cache is None:
-        dev_cache = {}
-    for k in ("gl", "gr", "a4", "b4", "sD", "sig_idx"):
-        if k not in dev_cache:
-            dev_cache[k] = jnp.asarray(dstruct[k])
+        from . import devcache
+        tok = dstruct.get("_devtok")
+        if tok is None:
+            tok = dstruct["_devtok"] = devcache.new_token()
+        dev_cache = devcache.get((tok,), lambda: {
+            k: jnp.asarray(dstruct[k])
+            for k in ("gl", "gr", "a4", "b4", "sD", "sig_idx")})
+    else:
+        for k in ("gl", "gr", "a4", "b4", "sD", "sig_idx"):
+            if k not in dev_cache:
+                dev_cache[k] = jnp.asarray(dstruct[k])
     dl = _dl_build(lpool, dev_cache["gl"], dstruct["dl_cap"],
                    dstruct["T"])
     dr = _dl_build(rpool, dev_cache["gr"], dstruct["dr_cap"],

@@ -275,6 +275,13 @@ def refresh_plan_sites(plan, bra_T, ket_T, quanta):
         plan.bra_pool = (bmats, boffs)
         plan.ket_pool = (kmats, koffs)
         plan._dev = None
+        ptok = getattr(plan, "_pooltok", None)
+        if ptok is not None:
+            # invalidate + free the device-cache entry holding the
+            # packed site-value pools (the static structure entry stays)
+            from .devcache import GLOBAL
+            GLOBAL.drop_token(ptok)
+            object.__setattr__(plan, "_pooltok", None)
     plan._src = (bra_T, ket_T)
     return plan
 

@@ -173,9 +173,18 @@ class TiledExecutor:
         assert np.array_equal(rb, struct["rbases"])
         self.lpool = jnp.asarray(lpool)
         self.rpool = jnp.asarray(rpool)
-        self._dev = {k: jnp.asarray(struct[k])
-                     for k in ("psi_idx", "sig_idx", "la", "pa", "s1",
-                               "ta", "ra", "s2")}
+        # static struct arrays through the budgeted device cache: the
+        # struct dict persists in `cache` across site visits, so warm
+        # visits skip the host->device upload (only the lw/rw operator
+        # pools above change between visits)
+        from . import devcache
+        tok = struct.get("_devtok")
+        if tok is None:
+            tok = struct["_devtok"] = devcache.new_token()
+        self._dev = devcache.get((tok,), lambda: {
+            k: jnp.asarray(struct[k])
+            for k in ("psi_idx", "sig_idx", "la", "pa", "s1",
+                      "ta", "ra", "s2")})
 
     # ------------------------------------------------------------------
     def _build_struct(self, eff, lw_ids, rw_ids, lw_shapes, rw_shapes,
@@ -351,9 +360,11 @@ class TiledExecutor:
         return np.asarray(out, dtype=host_dt)[:self.size]
 
     def free(self):
-        """Release device buffers deterministically (waiting for GC can
-        transiently double HBM across consecutive site steps)."""
-        for a in (self.lpool, self.rpool, *self._dev.values()):
+        """Release the per-visit operator pools deterministically
+        (waiting for GC can transiently double HBM across consecutive
+        site steps).  The static struct arrays stay in the global
+        budgeted device cache for the next visit."""
+        for a in (self.lpool, self.rpool):
             try:
                 a.delete()
             except Exception:

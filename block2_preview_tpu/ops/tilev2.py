@@ -502,12 +502,21 @@ class MatvecV2:
 
     # ------------------------------------------------------------------
     def to_device(self):
+        """Device handles of the static task struct, through the global
+        budgeted device cache: uploaded once per struct (the struct dict
+        is cached across sweeps in caches['v2'], so repeat site visits
+        and later sweeps reuse the resident arrays)."""
         if self._dev is None:
+            from . import devcache
             s = self.struct
-            self._dev = {k: jnp.asarray(s[k])
-                         for k in ("psi_idx", "sig_idx", "it", "cum1",
-                                   "cum2", "g1", "g2", "ltd", "rtd",
-                                   "l_tid", "r_tid")}
+            tok = s.get("_devtok")
+            if tok is None:
+                tok = s["_devtok"] = devcache.new_token()
+            self._dev = devcache.get((tok,), lambda: {
+                k: jnp.asarray(s[k])
+                for k in ("psi_idx", "sig_idx", "it", "cum1",
+                          "cum2", "g1", "g2", "ltd", "rtd",
+                          "l_tid", "r_tid")})
         return self._dev
 
     def device_bytes(self):
@@ -590,13 +599,11 @@ class MatvecV2:
             axis)
 
     def free(self):
-        if self._dev is not None:
-            for a in self._dev.values():
-                try:
-                    a.delete()
-                except Exception:
-                    pass
-            self._dev = None
+        """Release the instance handle only.  The device arrays stay in
+        the global budgeted cache (ops/devcache.py) so the next visit to
+        this site skips the upload; eviction is LRU under the byte
+        budget, not per-site."""
+        self._dev = None
 
 
 def _grid_a(x, T):
