@@ -329,21 +329,27 @@ def main():
         STATE["parity_error"] = repr(e)[:200]
     emit()
 
-    # live-device smoke tier (precision lowering / large-pool faults /
-    # tiled-engine energy floor)
-    try:
-        from block2_preview_tpu.utils.tpu_smoke import run_smoke
-        STATE["tpu_smoke"] = run_smoke()
-    except Exception as e:
-        STATE["tpu_smoke"] = {"ok": False, "error": repr(e)[:200]}
-    emit()
-
-    # north-star leg: Cr2/SVP sweep-0 D=250 (resident f32), bounded
-    STATE["cr2_svp_sweep0_d250"] = cr2_leg(dev_kind, 250, 480.0)
+    # north-star leg first: Cr2/SVP sweep-0 D=250 (resident f32), bounded
+    STATE["cr2_svp_sweep0_d250"] = cr2_leg(dev_kind, 250, 420.0)
     emit()
 
     # mixed-precision accuracy demo (f32 warmup + f64 polish <= 1e-6)
     STATE["mixed_precision_n2_d250"] = mixed_precision_leg(dev_kind, 300.0)
+    emit()
+
+    # live-device smoke tier (precision lowering / large-pool faults /
+    # tiled-engine energy floor) — bounded subprocess: cold compile
+    # storms made an in-process run eat the whole budget
+    here = os.path.dirname(os.path.abspath(__file__))
+    out, done, _ = _run_sub(
+        [os.path.join(here, "scripts", "run_smoke_cli.py")], 240.0)
+    if out is None:
+        STATE["tpu_smoke"] = {"skipped": "budget exhausted"}
+    else:
+        import re as _re
+        m = _re.search(r"SMOKE (\{.*\})", out)
+        STATE["tpu_smoke"] = json.loads(m.group(1)) if m else \
+            {"ok": False, "done": done}
     emit()
 
     # multi-device program sanity (virtual CPU mesh, subprocess)

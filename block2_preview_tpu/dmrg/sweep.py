@@ -147,7 +147,7 @@ def _average_rho_backward(eff: EffectiveHamiltonian2,
 
 
 def _decimate(rho: Dict[QN, np.ndarray], bond_dim: int,
-              trunc_cutoff: float = 1e-16, allowed=None
+              trunc_cutoff: float = 1e-16, allowed=None, keep_out=None
               ) -> Tuple[Dict[QN, np.ndarray], float]:
     eigs: List[Tuple[float, QN, int]] = []
     vecs: Dict[QN, np.ndarray] = {}
@@ -162,15 +162,66 @@ def _decimate(rho: Dict[QN, np.ndarray], bond_dim: int,
     total = sum(max(x, 0.0) for x, _, _ in eigs)
     kept: Dict[QN, List[int]] = {}
     kept_w = 0.0
+    kept_eigs: List[float] = []
     for (x, q, i) in eigs[:bond_dim]:
         if x <= max(trunc_cutoff * max(total, 1e-300), 0.0):
             break
         kept.setdefault(q, []).append(i)
         kept_w += x
+        kept_eigs.append(x)
     rot: Dict[QN, np.ndarray] = {}
     for q, idxs in kept.items():
         rot[q] = vecs[q][:, idxs]
     dw = max(0.0, (total - kept_w) / max(total, 1e-300))
+    if keep_out is not None:
+        # kept density-matrix eigenvalues = squared wavefunction singular
+        # values (reference DMRG::sweep_wfn_spectra / store_wfn_spectra,
+        # sweep_algorithm.hpp:127-130)
+        keep_out.append(np.sqrt(np.maximum(np.asarray(kept_eigs), 0.0)))
+    return rot, dw
+
+
+def _decimate_svd(mats: Dict[QN, np.ndarray], bond_dim: int,
+                  trunc_cutoff: float = 1e-16, allowed=None,
+                  keep_out=None, right: bool = False
+                  ) -> Tuple[Dict[QN, np.ndarray], float]:
+    """SVD-based decimation (reference DecompositionTypes::SVD,
+    moving_environment.hpp split_wavefunction_svd): rot columns are the
+    left (or right) singular vectors of the per-sector wavefunction
+    matrices; ranking/truncation uses s^2 so dw matches the
+    density-matrix path."""
+    eigs: List[Tuple[float, QN, int]] = []
+    vecs: Dict[QN, np.ndarray] = {}
+    for q, m in mats.items():
+        if allowed is not None and not allowed(q):
+            continue
+        try:
+            u, s, vh = np.linalg.svd(m, full_matrices=False)
+        except np.linalg.LinAlgError:
+            u, s, vh = np.linalg.svd(m + 1e-30, full_matrices=False)
+        # forward: rho = M M^H, eigvecs = U.  backward: the density path
+        # builds rho = b^T b^* = conj(M^H M), whose eigvecs are conj(V)
+        # = vh.T (identical for real dtypes)
+        vecs[q] = vh.T if right else u
+        for i, x in enumerate(s):
+            eigs.append((float(x) ** 2, q, i))
+    eigs.sort(key=lambda z: -z[0])
+    total = sum(x for x, _, _ in eigs)
+    kept: Dict[QN, List[int]] = {}
+    kept_w = 0.0
+    kept_eigs: List[float] = []
+    for (x, q, i) in eigs[:bond_dim]:
+        if x <= max(trunc_cutoff * max(total, 1e-300), 0.0):
+            break
+        kept.setdefault(q, []).append(i)
+        kept_w += x
+        kept_eigs.append(x)
+    rot: Dict[QN, np.ndarray] = {}
+    for q, idxs in kept.items():
+        rot[q] = vecs[q][:, idxs]
+    dw = max(0.0, (total - kept_w) / max(total, 1e-300))
+    if keep_out is not None:
+        keep_out.append(np.sqrt(np.maximum(np.asarray(kept_eigs), 0.0)))
     return rot, dw
 
 
@@ -195,17 +246,39 @@ _DM_T = {}
 
 
 def split_forward_update(eff, psis, weights, noise, bond_dim,
-                         allowed=None, rho_noise=None):
+                         allowed=None, rho_noise=None,
+                         decomp_type="density_matrix",
+                         trunc_cutoff=1e-16, keep_out=None):
     """Decimate psis into a left-canonical site tensor + per-root center
     tensors at t+1.  Returns (A_tensor, center_tensors, dw)."""
     g, target = eff.g, eff.target
     _t0 = time.time()
-    rho = _average_rho_forward(eff, psis, weights, noise,
-                               rho_noise=rho_noise)
-    _DM_T["rho"] = time.time() - _t0
-    _t0 = time.time()
-    rot, dw = _decimate(rho, bond_dim, allowed=allowed)
-    _DM_T["eigh"] = time.time() - _t0
+    if decomp_type == "svd" and noise == 0.0 and rho_noise is None:
+        # stack sqrt(w_r)-weighted root wavefunctions columnwise: the left
+        # singular vectors of the stack span the same space as the
+        # averaged density matrix eigenvectors (reference
+        # DecompositionTypes::SVD; with noise the density-matrix path is
+        # required and used instead)
+        mats: Dict[QN, np.ndarray] = {}
+        for w_r, psi in zip(weights, psis):
+            for (qL, qR), blk in psi.items():
+                cur = mats.get(qL)
+                piece = np.sqrt(w_r) * blk
+                mats[qL] = piece if cur is None \
+                    else np.concatenate([cur, piece], axis=1)
+        _DM_T["rho"] = time.time() - _t0
+        _t0 = time.time()
+        rot, dw = _decimate_svd(mats, bond_dim, trunc_cutoff=trunc_cutoff,
+                                allowed=allowed, keep_out=keep_out)
+        _DM_T["eigh"] = time.time() - _t0
+    else:
+        rho = _average_rho_forward(eff, psis, weights, noise,
+                                   rho_noise=rho_noise)
+        _DM_T["rho"] = time.time() - _t0
+        _t0 = time.time()
+        rot, dw = _decimate(rho, bond_dim, trunc_cutoff=trunc_cutoff,
+                            allowed=allowed, keep_out=keep_out)
+        _DM_T["eigh"] = time.time() - _t0
     a_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
     for qL, vmat in rot.items():
         for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
@@ -230,17 +303,35 @@ def split_forward_update(eff, psis, weights, noise, bond_dim,
 
 
 def split_backward_update(eff, psis, weights, noise, bond_dim,
-                          allowed=None, rho_noise=None):
+                          allowed=None, rho_noise=None,
+                          decomp_type="density_matrix",
+                          trunc_cutoff=1e-16, keep_out=None):
     """Decimate psis into a right-canonical site tensor at t+1 + per-root
     center tensors at t.  Returns (B_tensor, center_tensors, dw)."""
     g, target = eff.g, eff.target
     _t0 = time.time()
-    rho = _average_rho_backward(eff, psis, weights, noise,
-                                rho_noise=rho_noise)
-    _DM_T["rho"] = time.time() - _t0
-    _t0 = time.time()
-    rot, dw = _decimate(rho, bond_dim, allowed=allowed)
-    _DM_T["eigh"] = time.time() - _t0
+    if decomp_type == "svd" and noise == 0.0 and rho_noise is None:
+        mats: Dict[QN, np.ndarray] = {}
+        for w_r, psi in zip(weights, psis):
+            for (qL, qR), blk in psi.items():
+                cur = mats.get(qR)
+                piece = np.sqrt(w_r) * blk
+                mats[qR] = piece if cur is None \
+                    else np.concatenate([cur, piece], axis=0)
+        _DM_T["rho"] = time.time() - _t0
+        _t0 = time.time()
+        rot, dw = _decimate_svd(mats, bond_dim, trunc_cutoff=trunc_cutoff,
+                                allowed=allowed, keep_out=keep_out,
+                                right=True)
+        _DM_T["eigh"] = time.time() - _t0
+    else:
+        rho = _average_rho_backward(eff, psis, weights, noise,
+                                    rho_noise=rho_noise)
+        _DM_T["rho"] = time.time() - _t0
+        _t0 = time.time()
+        rot, dw = _decimate(rho, bond_dim, trunc_cutoff=trunc_cutoff,
+                            allowed=allowed, keep_out=keep_out)
+        _DM_T["eigh"] = time.time() - _t0
     b_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
     for qR, vmat in rot.items():
         ql_new = g.sub(target, qR)
@@ -297,9 +388,28 @@ class DMRG:
                  proj_weights: Optional[Sequence[float]] = None,
                  env_disk_dir: Optional[str] = None,
                  env_disk_window: int = 2,
-                 last_site_1site: bool = False):
+                 last_site_1site: bool = False,
+                 dav_max_subspace: Optional[int] = None,
+                 dav_soft_max_iter: Optional[int] = None,
+                 trunc_cutoff: float = 1e-16,
+                 decomp_type: str = "density_matrix",
+                 store_wfn_spectra: bool = False):
         self.mpo = mpo
         self.mps = mps
+        # solver/truncation tuning (reference CLI keywords
+        # davidson_max_iter / davidson_soft_max_iter /
+        # davidson_def_max_size / cutoff / decomp_type /
+        # store_wfn_spectra; sweep_algorithm.hpp:96-133)
+        self.dav_max_subspace = dav_max_subspace
+        self.dav_soft_max_iter = dav_soft_max_iter
+        self.trunc_cutoff = trunc_cutoff
+        if decomp_type not in ("density_matrix", "svd"):
+            raise ValueError("decomp_type must be density_matrix | svd")
+        self.decomp_type = decomp_type
+        self.store_wfn_spectra = store_wfn_spectra
+        # per-site kept singular-value spectra of the last sweep
+        # (reference DMRG::sweep_wfn_spectra)
+        self.wfn_spectra: List[np.ndarray] = []
         # big-site specialization (reference
         # sweep_algorithm_big_site.hpp:44 DMRGBigSite last_site_1site):
         # in a two-site sweep the last site gets a one-site update, so a
@@ -499,19 +609,23 @@ class DMRG:
                    proj_vecs=None):
         pv = dict(ortho=proj_vecs, proj_weights=self._proj_weights) \
             if proj_vecs else {}
+        # soft cap: bounded iterations without treating the cap as an
+        # error (reference davidson_soft_max_iter; our davidson already
+        # returns the best estimate at the cap, so both keys map here)
+        dmi = self.dav_soft_max_iter or self.dav_max_iter
         if not self.hermitian:
             from ..ops.davidson import davidson_non_hermitian
             w, v, nmv = davidson_non_hermitian(
                 eff.matvec_np, eff.rmatvec_np, diag, x0,
                 n_roots=self.n_roots, conv_thrd=dav_thrd,
-                max_iter=self.dav_max_iter)
+                max_iter=dmi)
             return np.real(w), np.real_if_close(v), nmv
         # tiny centers: per-call device dispatch + transfers dominate; the
         # host reference matvec is faster below a few thousand unknowns
         if self.backend in ("jax", "jax_device", "jax_stacked",
                             "jax_tiled") and eff.size < 4096:
             return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,
-                            conv_thrd=dav_thrd, max_iter=self.dav_max_iter,
+                            conv_thrd=dav_thrd, max_iter=dmi,
                             **pv)
         if self.backend == "jax_tiled":
             # the tiled engine wins across regimes after the T=128 chunk
@@ -531,11 +645,11 @@ class DMRG:
                 if self.n_roots == 1 and not proj_vecs:
                     th, xv, nmv = ex.solve_ground_state(
                         x0[:, 0], diag, conv_thrd=dav_thrd,
-                        max_iter=self.dav_max_iter, max_subspace=20)
+                        max_iter=dmi, max_subspace=self.dav_max_subspace or 20)
                     return np.array([th]), xv[:, None], nmv
                 return davidson(ex.matvec, diag, x0,
                                 n_roots=self.n_roots, conv_thrd=dav_thrd,
-                                max_iter=self.dav_max_iter, **pv)
+                                max_iter=dmi, **pv)
             finally:
                 ex.free()
         if self.backend == "jax_device" and self.n_roots == 1 \
@@ -546,8 +660,8 @@ class DMRG:
             from ..ops.exec_jax import FusedPlanExecutor
             ex = FusedPlanExecutor(eff, dtype=self.dtype)
             th, xv, nmv = ex.solve_ground_state(
-                x0[:, 0], diag, conv_thrd=dav_thrd, max_iter=200,
-                max_subspace=20)
+                x0[:, 0], diag, conv_thrd=dav_thrd, max_iter=dmi,
+                max_subspace=self.dav_max_subspace or 20)
             return np.array([th]), xv[:, None], nmv
         if self.backend in ("jax", "jax_device", "jax_stacked"):
             from ..ops.exec_jax import FusedPlanExecutor
@@ -557,10 +671,10 @@ class DMRG:
                                    cache=self._exec_cache,
                                    cache_key=(type(eff).__name__, eff.t))
             return davidson(ex.matvec, diag, x0, n_roots=self.n_roots,
-                            conv_thrd=dav_thrd, max_iter=self.dav_max_iter,
+                            conv_thrd=dav_thrd, max_iter=dmi,
                             **pv)
         return davidson(eff.matvec_np, diag, x0, n_roots=self.n_roots,
-                        conv_thrd=dav_thrd, max_iter=self.dav_max_iter,
+                        conv_thrd=dav_thrd, max_iter=dmi,
                         **pv)
 
     def update_two_dot(self, t: int, forward: bool, bond_dim: int,
@@ -593,7 +707,7 @@ class DMRG:
                 tm.teff += t1 - t0
                 th, xv, nmv = rs.solve_ground_state(
                     x0[:, 0], conv_thrd=dav_thrd,
-                    max_iter=self.dav_max_iter)
+                    max_iter=self.dav_soft_max_iter or self.dav_max_iter)
                 w, v = np.array([th]), xv[:, None]
                 t2 = time.time()
                 tm.teig += t2 - t1
@@ -634,11 +748,13 @@ class DMRG:
         psis = [eff.unflatten(v[:, r]) for r in range(self.n_roots)]
         g, target = eff.g, eff.target
 
+        spectra = [] if self.store_wfn_spectra else None
         if forward:
             a_tensor, centers, dw = split_forward_update(
                 eff, psis, self.weights, noise, bond_dim,
                 allowed=_bond_window(self.mps.info, t + 1),
-                rho_noise=rho_noise)
+                rho_noise=rho_noise, decomp_type=self.decomp_type,
+                trunc_cutoff=self.trunc_cutoff, keep_out=spectra)
             t3 = time.time()
             tm.tdm += t3 - t2
             self.mps.tensors[t] = a_tensor
@@ -655,7 +771,8 @@ class DMRG:
                 eff, psis, self.weights, noise, bond_dim,
                 allowed=_bond_window(self.mps.info, t + 1,
                                      complement_of=eff.target),
-                rho_noise=rho_noise)
+                rho_noise=rho_noise, decomp_type=self.decomp_type,
+                trunc_cutoff=self.trunc_cutoff, keep_out=spectra)
             t3 = time.time()
             tm.tdm += t3 - t2
             self.mps.tensors[t + 1] = b_tensor
@@ -666,6 +783,8 @@ class DMRG:
             self.me.invalidate_left(t)
             if self.me.resident:
                 self.me.free_stk_device("l", t)
+        if spectra:
+            self.wfn_spectra.append(spectra[0])
         for p in self._proj:
             p.dirty(t, t + 1)
         t4 = time.time()
@@ -744,7 +863,8 @@ class DMRG:
                         acc = rho.get(q)
                         add = (noise / tr) * vv
                         rho[q] = add if acc is None else acc + add
-            rot, dw = _decimate(rho, bond_dim)
+            rot, dw = _decimate(rho, bond_dim,
+                                trunc_cutoff=self.trunc_cutoff)
             a_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
             for qL, vmat in rot.items():
                 for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
@@ -792,7 +912,8 @@ class DMRG:
                         acc = rho.get(q)
                         add = (noise / tr) * vv
                         rho[q] = add if acc is None else acc + add
-            rot, dw = _decimate(rho, bond_dim)
+            rot, dw = _decimate(rho, bond_dim,
+                                trunc_cutoff=self.trunc_cutoff)
             b_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
             for qRf, vmat in rot.items():
                 ql_new = g.sub(target, qRf)

@@ -79,10 +79,17 @@ class TDDMRG:
                 self.me.update_right(t + 1)
                 self.me.invalidate_left(t)
 
-    def solve(self, n_steps: int, dt: float, bond_dim: int) -> float:
+    def solve(self, n_steps: int, dt: float, bond_dim: int,
+              n_sub_sweeps: int = 1) -> float:
         for istep in range(n_steps):
-            self.sweep(True, dt, bond_dim)
-            self.sweep(False, dt, bond_dim)
+            # n_sub_sweeps > 1 splits each time step across several
+            # forward/backward RK4 sweep pairs (reference TDDMRG
+            # n_sub_sweeps, sweep_algorithm_td.hpp:62: extra sweeps per
+            # step refine the time-step-targeted MPS basis)
+            sub = max(1, int(n_sub_sweeps))
+            for _ in range(sub):
+                self.sweep(True, dt / sub, bond_dim)
+                self.sweep(False, dt / sub, bond_dim)
             eff = EffectiveHamiltonian2(self.me, 0)
             psi = eff.flatten(eff.initial_guess())
             nrm2 = float(np.vdot(psi, psi).real)

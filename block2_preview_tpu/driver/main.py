@@ -40,6 +40,133 @@ def reorder_fcidump(fd: FCIDUMP, order: np.ndarray) -> FCIDUMP:
     return fd2
 
 
+def _run_model(dic, base: str, iprint: int) -> float:
+    """Model-Hamiltonian decks (reference block2main `model` /
+    `heisenberg` / `k_symmetry` keywords, keywords.rst:35-40): Hubbard
+    real-space (open/periodic), Hubbard momentum-space with K-point
+    symmetry (SZK analog, symmetry.hpp:738), Heisenberg spin chains on
+    SGB sites (heisenberg.hpp:31)."""
+    from ..core.expr import build_term_table, qc_raw_terms, qc_term_table
+    from ..dmrg.mpo_builder import build_mpo
+    from ..dmrg.mps import MPS, MPSInfo
+    from ..dmrg.sweep import DMRG
+
+    n_sweeps = int(str(dic.get("maxiter", 20)))
+    bond_dims, noises, dav_thrds = expand_schedule(dic, n_sweeps)
+    sweep_tol = float(str(dic.get("sweep_tol", 1e-8)))
+
+    toks = str(dic.get("model", "")).split()
+    kind = toks[0].lower() if toks else "heisenberg"
+    per_site = "per-site" in toks
+
+    if kind == "heisenberg" or "heisenberg" in dic:
+        from ..models.heisenberg import (SGB_GROUP, heisenberg_term_table)
+        from ..ops.local_ops import SGB_SPIN_HALF_SITE
+        if kind == "heisenberg" and len(toks) >= 2:
+            L = int(toks[1])
+            j = float(toks[2]) if len(toks) > 2 else 1.0
+            tt = heisenberg_term_table(L, j)
+            mpo = build_mpo(tt, spec=SGB_SPIN_HALF_SITE)
+            target = (int(str(dic.get("spin", 0))),)
+            sq = [SGB_SPIN_HALF_SITE.quanta(0) for _ in range(L)]
+            info = MPSInfo(SGB_GROUP, sq, target, bond_dims[0])
+            mps = MPS.random(info)
+            solver = DMRG(mpo, mps,
+                          iprint=min(iprint, 1) if iprint else 0)
+            e = solver.solve(bond_dims, noises, dav_thrds,
+                             n_sweeps=n_sweeps, tol=sweep_tol)
+            print("DMRG Energy = %20.15f" % e)
+            return float(e)
+        else:
+            # couplings from the FCIDUMP h1e matrix (reference
+            # HeisenbergFCIDUMP reads J_ij the same way)
+            fd_path = str(dic["orbitals"])
+            if not os.path.isabs(fd_path):
+                fd_path = os.path.join(base, fd_path)
+            fd = FCIDUMP.parse(fd_path)
+            from ..models.heisenberg import heisenberg_raw_terms
+            L = fd.n_sites
+            terms = []
+            from ..ops.local_ops import CRE_A, CRE_B, DES_A
+            for i in range(L):
+                for jx in range(i + 1, L):
+                    jij = float(fd.h1e[i, jx])
+                    if jij == 0.0:
+                        continue
+                    terms.append((0.25 * jij, [(i, CRE_B), (jx, CRE_B)]))
+                    terms.append((0.5 * jij, [(i, CRE_A), (jx, DES_A)]))
+                    terms.append((0.5 * jij, [(i, DES_A), (jx, CRE_A)]))
+            tt = build_term_table(L, terms, group=SGB_GROUP,
+                                  spec=SGB_SPIN_HALF_SITE)
+        mpo = build_mpo(tt, spec=SGB_SPIN_HALF_SITE)
+        target = (int(str(dic.get("spin", 0))),)
+        sq = [SGB_SPIN_HALF_SITE.quanta(0) for _ in range(L)]
+        info = MPSInfo(SGB_GROUP, sq, target, bond_dims[0])
+        mps = MPS.random(info)
+        solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0)
+        e = solver.solve(bond_dims, noises, dav_thrds,
+                         n_sweeps=n_sweeps, tol=sweep_tol)
+        print("DMRG Energy = %20.15f" % e)
+        return float(e)
+
+    if kind in ("hubbard", "hubbard_periodic"):
+        L, t, u = int(toks[1]), float(toks[2]), float(toks[3])
+        n_elec = int(str(dic.get("nelec", L)))
+        twos = int(str(dic.get("spin", 0)))
+        fd = FCIDUMP.hubbard(L, u=u, t=t, n_elec=n_elec, twos=twos)
+        if kind == "hubbard_periodic":
+            fd.h1e[0, L - 1] = fd.h1e[L - 1, 0] = -t
+        tt = qc_term_table(fd)
+        mpo = build_mpo(tt, site_pgs=fd.orb_sym, const_e=fd.const_e)
+        target = (fd.n_elec, fd.twos, fd.ipg)
+        info = MPSInfo(mpo.group, mpo.site_quanta, target, bond_dims[0])
+        mps = MPS.random(info)
+        solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0)
+        e = solver.solve(bond_dims, noises, dav_thrds,
+                         n_sweeps=n_sweeps, tol=sweep_tol)
+        if per_site:
+            from ..dmrg.expect import pdm1
+            dm = pdm1(mps)
+            occ = np.diag(dm[0] + dm[1])
+            for i, x in enumerate(occ):
+                print("Site %4d <N> = %15.10f" % (i, x))
+        print("DMRG Energy = %20.15f" % e)
+        return float(e)
+
+    if kind == "hubbard_kspace":
+        from ..models.hubbard import hubbard_kspace
+        L, t, u = int(toks[1]), float(toks[2]), float(toks[3])
+        n_elec = int(str(dic.get("nelec", L)))
+        fd, group, site_quanta, target = hubbard_kspace(L, u=u, t=t,
+                                                        n_elec=n_elec)
+        if "k_symmetry" in dic:
+            kmod = int(str(dic.get("k_mod") or L))
+            kirr = [int(x) for x in str(dic.get("k_irrep") or "0").split()]
+            target = (n_elec, int(str(dic.get("spin", 0))), kirr[0] % kmod)
+            raw = qc_raw_terms(fd, cutoff=1e-13, pg_mode=kmod)
+            tt = build_term_table(L, raw, group=group)
+            mpo = build_mpo(tt, const_e=fd.const_e,
+                            site_quanta=site_quanta)
+            info = MPSInfo(group, site_quanta, target, bond_dims[0])
+        else:
+            # no momentum label: plain SZ mode on the k-space integrals
+            fd.orb_sym = np.zeros(L, dtype=np.int64)
+            tt = qc_term_table(fd)
+            mpo = build_mpo(tt, site_pgs=fd.orb_sym, const_e=fd.const_e)
+            info = MPSInfo(mpo.group, mpo.site_quanta,
+                           (n_elec, int(str(dic.get("spin", 0))), 0),
+                           bond_dims[0])
+        mps = MPS.random(info)
+        solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0)
+        e = solver.solve(bond_dims, noises, dav_thrds,
+                         n_sweeps=n_sweeps, tol=sweep_tol)
+        print("DMRG Energy = %20.15f" % e)
+        return float(e)
+
+    raise ValueError(f"unknown model '{kind}' (hubbard | hubbard_periodic"
+                     " | hubbard_kspace | heisenberg)")
+
+
 def run(config_path: str) -> float:
     dic = parse(config_path)
     base = os.path.dirname(os.path.abspath(config_path))
@@ -80,6 +207,13 @@ def run(config_path: str) -> float:
         save_mps(mps, os.path.join(scr, "mps.%s.npz" % tag))
         return nrm2
 
+    # model Hamiltonian decks: `model hubbard L t U`, `model
+    # hubbard_periodic ...`, `model hubbard_kspace ...` (+ k_symmetry /
+    # k_irrep / k_mod), `model heisenberg L J` / `heisenberg` (reference
+    # keywords.rst:35-40; hubbard.hpp:31,81; heisenberg.hpp:31)
+    if "model" in dic or "heisenberg" in dic:
+        return _run_model(dic, base, iprint)
+
     fd_path = str(dic["orbitals"])
     if not os.path.isabs(fd_path):
         for cand in (os.path.join(os.getcwd(), fd_path),
@@ -113,6 +247,40 @@ def run(config_path: str) -> float:
         fd = reorder_fcidump(fd, order)
         drv.orb_sym = fd.orb_sym
 
+    # integral preprocessing (reference block2main:919-934):
+    # symmetrize_ints averages g2e over its 8-fold permutation symmetry
+    # (reporting the asymmetry), integral_tol zeroes tiny elements,
+    # integral_rescale shifts the core energy onto the h1e diagonal
+    if "symmetrize_ints" in dic:
+        siv = str(dic.get("symmetrize_ints") or "1e-10")
+        g = fd.g2e
+        gs = (g + g.transpose(1, 0, 2, 3) + g.transpose(0, 1, 3, 2)
+              + g.transpose(1, 0, 3, 2) + g.transpose(2, 3, 0, 1)
+              + g.transpose(3, 2, 0, 1) + g.transpose(2, 3, 1, 0)
+              + g.transpose(3, 2, 1, 0)) / 8.0
+        err = float(np.abs(g - gs).max())
+        if iprint:
+            print("integral symmetrize error = %g" % err)
+        if err > float(siv):
+            raise ValueError(
+                "integral asymmetry %g exceeds symmetrize_ints tol %s"
+                % (err, siv))
+        fd.g2e = gs
+        fd.h1e = 0.5 * (fd.h1e + fd.h1e.T)
+    if "integral_tol" in dic:
+        itol = float(str(dic.get("integral_tol") or 1e-12))
+        fd.h1e = np.where(np.abs(fd.h1e) < itol, 0.0, fd.h1e)
+        fd.g2e = np.where(np.abs(fd.g2e) < itol, 0.0, fd.g2e)
+    irs = str(dic.get("integral_rescale", "none")).lower()
+    if irs not in ("", "none", "auto"):
+        # shift const_e to the requested value, compensating on the h1e
+        # diagonal so the Hamiltonian in the target N-electron sector is
+        # unchanged (reference FCIDUMP::rescale, integral.hpp)
+        target_e = float(irs)
+        shift = (fd.const_e - target_e) / max(fd.n_elec, 1)
+        fd.h1e = fd.h1e + shift * np.eye(fd.n_sites)
+        fd.const_e = target_e
+
     n_sweeps = int(str(dic.get("maxiter", 20)))
     bond_dims, noises, dav_thrds = expand_schedule(dic, n_sweeps)
     sweep_tol = float(str(dic.get("sweep_tol", 1e-8)))
@@ -120,8 +288,11 @@ def run(config_path: str) -> float:
     t2o = int(str(t2o)) if t2o not in (None, "") else None
     n_roots = int(str(dic.get("nroots", 1)))
 
-    # time evolution workflow (delta_t / target_t keywords)
+    # time evolution workflow (delta_t / target_t keywords); te_type
+    # selects tangent-space TDVP (default) vs RK4 time-step targeting
+    # (reference TETypes, sweep_algorithm_td.hpp:43)
     if "delta_t" in dic:
+        from ..dmrg.tddmrg import TDDMRG
         from ..dmrg.tdvp import TimeEvolution
         mpo = drv.get_qc_mpo(fcidump=fd)
         target = (drv.n_elec, drv.spin, drv.pg_irrep)
@@ -131,9 +302,19 @@ def run(config_path: str) -> float:
         dt = float(str(dic["delta_t"]))
         tt_tot = float(str(dic.get("target_t", abs(dt) * 10)))
         nst = max(1, int(round(tt_tot / abs(dt))))
-        te = TimeEvolution(mpo, mps, imaginary=dt > 0,
-                           iprint=min(iprint, 1))
-        e = te.solve(nst, abs(dt), bond_dims[-1])
+        te_type = str(dic.get("te_type", "tdvp")).lower()
+        if te_type in ("rk4", "rk4pp", "tdvp_rk4"):
+            te = TDDMRG(mpo, mps, imaginary=dt > 0,
+                        iprint=min(iprint, 1))
+        elif te_type in ("tdvp", "tangent_space", ""):
+            te = TimeEvolution(mpo, mps, imaginary=dt > 0,
+                               iprint=min(iprint, 1))
+        else:
+            raise ValueError("te_type must be tdvp | rk4")
+        nss = int(str(dic.get("n_sub_sweeps") or 1))
+        e = te.solve(nst, abs(dt), bond_dims[-1],
+                     **(dict(n_sub_sweeps=nss)
+                        if isinstance(te, TDDMRG) else {}))
         print("Final TE Energy = %20.15f" % e)
         print("DMRG Energy = %20.15f" % e)
         return float(e)
@@ -149,7 +330,11 @@ def run(config_path: str) -> float:
                   "restart_fourpdm", "delta_t", "orbital_entropy",
                   "sample", "spin_penalty", "extrapolation",
                   "fp_cps_cutoff", "nevpt2", "mrrept", "backend",
-                  "compression", "diag_twopdm", "restart_diag_twopdm")
+                  "compression", "diag_twopdm", "restart_diag_twopdm",
+                  "oh", "tran_oh", "restart_tran_oh", "correlation",
+                  "restart_correlation", "store_wfn_spectra",
+                  "model", "heisenberg", "k_symmetry",
+                  "stopt_dmrg", "stopt_compression", "stopt_sampling")
     if "nonspinadapted" not in dic \
             and not any(k in dic for k in su2_extras):
         from ..utils.io import load_su2_tensors, save_su2_tensors
@@ -378,7 +563,26 @@ def run(config_path: str) -> float:
         occs = np.array([float(x) for x in hf_occ.split()])
         if "noreorder" not in dic:
             occs = occs[order]
-    mps = drv.get_random_mps(bond_dims[0], target=target, occs=occs)
+    # explicit occupancy file/list (reference block2main `occ` key; may be
+    # an inline list or a filename), biased by `bias`/`cbias`
+    # (block2main:1382-1401: cbias pulls occupancies toward 1)
+    occ_key = str(dic.get("occ", ""))
+    if occ_key:
+        if len(occ_key.split()) == 1 and os.path.exists(
+                os.path.join(base, occ_key)):
+            occs = np.loadtxt(os.path.join(base, occ_key)).ravel()
+        else:
+            occs = np.array([float(x) for x in occ_key.split()])
+        if "noreorder" not in dic:
+            occs = occs[order]
+    if occs is not None and "cbias" in dic:
+        cbias = float(str(dic.get("cbias") or 0.2))
+        occs = np.array([c - cbias if c >= 1 else c + cbias for c in occs])
+    if "random_mps_init" in dic:
+        occs = None
+    bias = float(str(dic.get("bias") or 1.0)) if "bias" in dic else 1.0
+    mps = drv.get_random_mps(bond_dims[0], target=target, occs=occs,
+                             bias=bias)
     # backend: numpy (host) | jax | jax_device | jax_stacked | jax_tiled
     # (compile-once accelerator engine); dtype: f64 | f32
     backend = str(dic.get("backend", "numpy")).lower()
@@ -387,6 +591,28 @@ def run(config_path: str) -> float:
         raise ValueError(
             f"dtype must be one of f32 | f64, got {dtype_key!r}")
     cli_dtype = {"f32": np.float32, "f64": np.float64}[dtype_key]
+
+    # solver / truncation tuning keys (reference parser.py:44-46 and
+    # sweep_algorithm.hpp:96-133 control knobs)
+    tt_key = str(dic.get("trunc_type", "physical")).lower()
+    if tt_key not in ("physical", "reduced"):
+        raise ValueError("trunc_type must be physical | reduced")
+    solver_tuning = dict(
+        trunc_cutoff=float(str(dic.get("cutoff") or 1e-14))
+        if "cutoff" in dic else 1e-16,
+        decomp_type=str(dic.get("decomp_type")
+                        or "density_matrix").lower(),
+        store_wfn_spectra="store_wfn_spectra" in dic,
+    )
+    if "davidson_max_iter" in dic:
+        solver_tuning["dav_max_iter"] = \
+            int(str(dic.get("davidson_max_iter") or 200))
+    if "davidson_soft_max_iter" in dic:
+        solver_tuning["dav_soft_max_iter"] = \
+            int(str(dic.get("davidson_soft_max_iter") or 200))
+    if "davidson_def_max_size" in dic:
+        solver_tuning["dav_max_subspace"] = \
+            int(str(dic.get("davidson_def_max_size") or 30))
 
     scratch = str(dic.get("prefix", "."))
     from ..utils.io import load_mps, save_mps
@@ -450,7 +676,8 @@ def run(config_path: str) -> float:
         solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0,
                   n_roots=n_roots, backend=backend, dtype=cli_dtype,
                   proj_mpss=proj_mpss,
-                  proj_weights=proj_w if proj_mpss else None)
+                  proj_weights=proj_w if proj_mpss else None,
+                  **solver_tuning)
     if solver is not None:
         restart_dir = dic.get("restart_dir")
         e = solver.solve(
@@ -480,7 +707,7 @@ def run(config_path: str) -> float:
             dr = DMRG(mpo, mr, iprint=min(iprint, 1) if iprint else 0,
                       backend=backend, dtype=cli_dtype,
                       proj_mpss=roots or None,
-                      proj_weights=wr)
+                      proj_weights=wr, **solver_tuning)
             er = dr.solve(bond_dims, noises, dav_thrds, n_sweeps=n_sweeps,
                           tol=sweep_tol, twodot_to_onedot=t2o)
             roots.append(dr.mps)
@@ -500,6 +727,62 @@ def run(config_path: str) -> float:
         if scratch and not os.path.isdir(scratch):
             os.makedirs(scratch, exist_ok=True)
         save_mps(mps, os.path.join(scratch, "mps.%s.npz" % tag))
+
+    if "oh" in dic and solver is not None:
+        # post-solve <psi|H|psi> check (reference block2main:3809 oh)
+        from ..dmrg.expect import mpo_expectation, mps_overlap
+        e_oh = float(np.real(mpo_expectation(mpo, mps))) \
+            / float(np.real(mps_overlap(mps, mps)))
+        print("OH Energy = %20.15f" % e_oh)
+
+    if ("tran_oh" in dic or "restart_tran_oh" in dic) and n_roots > 1 \
+            and solver is not None:
+        # transition Hamiltonian matrix over the state-averaged roots
+        # (reference block2main:3841 tran_oh)
+        import copy as _copy
+        from ..dmrg.expect import mpo_expectation, mps_overlap
+        roots_t = []
+        for r in range(n_roots):
+            mr = _copy.copy(solver.mps)
+            mr.tensors = list(solver.mps.tensors)
+            if solver._center_tensors is not None:
+                mr.tensors[solver._center_pos] = solver._center_tensors[r]
+            roots_t.append(mr)
+        homat = np.zeros((n_roots, n_roots))
+        for i in range(n_roots):
+            for j in range(i + 1):
+                v = float(np.real(mpo_expectation(mpo, roots_t[j],
+                                                  bra=roots_t[i])))
+                ni = float(np.real(mps_overlap(roots_t[i], roots_t[i])))
+                nj = float(np.real(mps_overlap(roots_t[j], roots_t[j])))
+                homat[i, j] = homat[j, i] = v / np.sqrt(max(ni * nj,
+                                                            1e-300))
+                print("OH Energy %4d %4d = %20.15f" % (i, j, homat[i, j]))
+        np.save(os.path.join(scratch, "tran_oh.npy")
+                if os.path.isdir(scratch) else "tran_oh.npy", homat)
+
+    if "correlation" in dic or "restart_correlation" in dic:
+        # spin/charge one-particle correlation functions (reference
+        # qc_ncorr.hpp:43 NPC1MPOQC; block2main saves 1npc)
+        from ..dmrg.expect import npc1
+        npc = np.stack([npc1(mps, kind="charge"), npc1(mps, kind="spin")])
+        np.save(os.path.join(str(dic.get("prefix", ".")), "1npc.npy")
+                if os.path.isdir(str(dic.get("prefix", "."))) else
+                "1npc.npy", npc)
+        if iprint:
+            print("1NPC charge trace = %15.10f" % np.trace(npc[0]))
+
+    if "store_wfn_spectra" in dic and solver is not None \
+            and getattr(solver, "wfn_spectra", None):
+        spec = np.concatenate([np.sort(s)[::-1]
+                               for s in solver.wfn_spectra[-1:]])
+        np.save(os.path.join(scratch, "sweep_wfn_spectra.npy")
+                if os.path.isdir(scratch) else "sweep_wfn_spectra.npy",
+                np.array(solver.wfn_spectra, dtype=object),
+                allow_pickle=True)
+        if iprint:
+            print("WFN spectra: %d site spectra stored, largest s = %.6f"
+                  % (len(solver.wfn_spectra), float(spec[0])))
 
     if "onepdm" in dic or "restart_onepdm" in dic:
         from ..dmrg.expect import pdm1

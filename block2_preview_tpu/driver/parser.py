@@ -31,7 +31,50 @@ KNOWN_KEYS = {
     "normalize_mps", "conventional_npdm", "diag_twopdm",
     "restart_diag_twopdm",
     "compression", "overlap", "read_mps_tags",
+    # solver / truncation tuning (reference parser.py:44-46
+    # davidson_max_iter / davidson_soft_max_iter / davidson_def_max_size /
+    # linear_soft_max_iter / cutoff / decomp_type / trunc_type)
+    "cutoff", "davidson_max_iter", "davidson_soft_max_iter",
+    "davidson_def_max_size", "linear_soft_max_iter",
+    "decomp_type", "trunc_type", "store_wfn_spectra",
+    # occupancy-biased warmup (reference parser.py:22 occ/bias/cbias)
+    "occ", "bias", "cbias", "random_mps_init",
+    # default-schedule bounds (reference parser.py:20 startM/maxM;
+    # keys are lowercased by parse())
+    "startm",
+    # integral preprocessing (reference block2main:454-462,919-934)
+    "symmetrize_ints", "integral_tol", "integral_rescale",
+    # expectation-only workflows (reference block2main:3809,3841 oh /
+    # tran_oh) and N-particle correlation (qc_ncorr.hpp:43)
+    "oh", "tran_oh", "restart_tran_oh",
+    "correlation", "restart_correlation",
+    # time-evolution flavor (reference TETypes, sweep_algorithm_td.hpp:43)
+    "te_type", "n_sub_sweeps",
+    # model Hamiltonians + k-space symmetry (reference block2main
+    # `model`/`heisenberg`/`k_symmetry`/`k_irrep`/`k_mod` keys)
+    "model", "heisenberg", "k_symmetry", "k_irrep", "k_mod",
+    # uncontracted dynamic-correlation big-site decks (reference
+    # parser.py:67 DYN_CORR_KEYS)
+    "mrci", "mrcis", "mrcisd", "mrcisdt", "casci", "dmrgfci", "big_site",
+    # class-restricted MRPT (reference parser.py MRPT_KEYS)
+    "nevpt2s", "nevpt2sd", "nevpt2-ijrs", "nevpt2-ij", "nevpt2-rs",
+    "nevpt2-ijr", "nevpt2-rsi", "nevpt2-ir", "nevpt2-i", "nevpt2-r",
+    "mrrept2", "mrrept2s", "mrrept2sd", "mrrept2-ijrs", "mrrept2-ij",
+    "mrrept2-rs", "mrrept2-ijr", "mrrept2-rsi", "mrrept2-ir",
+    "mrrept2-i", "mrrept2-r",
+    # stochastic perturbative DMRG stages (reference block2main
+    # stopt_dmrg/stopt_compression/stopt_sampling -> sp_dmrg.py engine)
+    "stopt_dmrg", "stopt_compression", "stopt_sampling",
 }
+
+# keyword families used by the CLI dispatch (reference parser.py:67-73)
+DYN_CORR_KEYS = {"dmrgfci", "mrci", "mrcis", "mrcisd", "mrcisdt", "casci"}
+MRPT_KEYS = {"nevpt2", "nevpt2s", "nevpt2sd", "nevpt2-ijrs", "nevpt2-ij",
+             "nevpt2-rs", "nevpt2-ijr", "nevpt2-rsi", "nevpt2-ir",
+             "nevpt2-i", "nevpt2-r"}
+MRREPT_KEYS = {"mrrept", "mrrept2", "mrrept2s", "mrrept2sd", "mrrept2-ijrs",
+               "mrrept2-ij", "mrrept2-rs", "mrrept2-ijr", "mrrept2-rsi",
+               "mrrept2-ir", "mrrept2-i", "mrrept2-r"}
 
 
 def parse(path: str) -> Dict[str, object]:
@@ -85,16 +128,59 @@ def parse(path: str) -> Dict[str, object]:
     return dic
 
 
+def default_schedule(dic: Dict[str, object]
+                     ) -> List[Tuple[int, int, float, float]]:
+    """StackBlock-style default schedule from startM/maxM (reference
+    parser.py:470-530 get_schedule): ramp the bond dimension up a fixed
+    ladder with decaying noise/tolerance, then a noise-free tail."""
+    max_m = int(str(dic.get("maxm", 500)))
+    start_m = int(str(dic.get("startm", min(250, max_m))))
+    if max_m < start_m:
+        raise ValueError(f"maxM {max_m} cannot be smaller than "
+                         f"startM {start_m}")
+    def_m = [50, 100, 250, 500] + [1000 * x for x in range(1, 11)]
+    def_iter = [8] * 5 + [4] * 9
+    def_noise = [1e-3] * 3 + [1e-4] * 2 + [5e-5] * 9
+    def_tol = [1e-4] * 3 + [1e-5] * 2 + [5e-6] * 9
+    sweep_tol = float(str(dic.get("sweep_tol", 1e-5)))
+    sched: List[Tuple[int, int, float, float]] = []
+    if start_m == max_m:
+        sched = [(0, start_m, 1e-5, 1e-4), (8, start_m, 5e-6, 5e-5)]
+    else:
+        if start_m < def_m[0]:
+            def_m.insert(0, start_m)
+            for x in (def_iter, def_noise, def_tol):
+                x.insert(0, x[0])
+        elif start_m > def_m[-1]:
+            while start_m > def_m[-1]:
+                def_m.append(def_m[-1] + 1000)
+                for x in (def_iter, def_noise, def_tol):
+                    x.append(x[-1])
+        else:
+            for i in range(1, len(def_m)):
+                if start_m < def_m[i]:
+                    def_m[i - 1] = start_m
+                    break
+        isweep = 0
+        for i in range(len(def_m)):
+            if def_m[i] >= max_m:
+                sched.append((isweep, max_m, def_tol[i], def_noise[i]))
+                break
+            elif def_m[i] >= start_m:
+                sched.append((isweep, def_m[i], def_tol[i], def_noise[i]))
+                isweep += def_iter[i]
+    sched.append((sched[-1][0] + 8, max_m,
+                  1e-9 if sweep_tol == 0 else sweep_tol / 10, 0.0))
+    return sched
+
+
 def expand_schedule(dic: Dict[str, object], n_sweeps: int
                     ) -> Tuple[List[int], List[float], List[float]]:
     """Expand the sparse schedule into per-sweep lists (reference
     parser.py schedule handling / block2main)."""
     sched = dic.get("schedule")
     if sched is None or sched == "default":
-        maxm = int(str(dic.get("maxm", 500)))
-        sched = [(0, max(maxm // 2, 50), 1e-5, 1e-4),
-                 (4, maxm, 1e-6, 1e-5), (8, maxm, 1e-7, 1e-6),
-                 (12, maxm, 1e-8, 0.0)]
+        sched = default_schedule(dic)
     bond_dims, dav_thrds, noises = [], [], []
     for isw in range(n_sweeps):
         cur = sched[0]
