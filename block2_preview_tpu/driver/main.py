@@ -40,6 +40,27 @@ def reorder_fcidump(fd: FCIDUMP, order: np.ndarray) -> FCIDUMP:
     return fd2
 
 
+def _parse_cas_spec(val, fd) -> tuple:
+    """(n_inactive, n_cas, n_external) from a dynamic-correlation keyword
+    value: `ncas n_elec_cas` (2 ints) or `ni ncas next` (3 ints)
+    (reference keywords.rst "Uncontracted Dynamic Correlation")."""
+    toks = [int(x) for x in str(val).split()]
+    if len(toks) == 3:
+        ni, ncas, next_ = toks
+    elif len(toks) == 2:
+        ncas, ne_act = toks
+        ni = (fd.n_elec - ne_act) // 2
+        next_ = fd.n_sites - ni - ncas
+    else:
+        raise ValueError(
+            "dynamic correlation keyword needs 2 ints (ncas n_elec) or "
+            "3 ints (ninactive ncas nexternal)")
+    if ni < 0 or next_ < 0 or ni + ncas + next_ != fd.n_sites:
+        raise ValueError(f"inconsistent CAS spec {toks} for "
+                         f"{fd.n_sites} orbitals")
+    return ni, ncas, next_
+
+
 def _run_model(dic, base: str, iprint: int) -> float:
     """Model-Hamiltonian decks (reference block2main `model` /
     `heisenberg` / `k_symmetry` keywords, keywords.rst:35-40): Hubbard
@@ -335,8 +356,11 @@ def run(config_path: str) -> float:
                   "restart_correlation", "store_wfn_spectra",
                   "model", "heisenberg", "k_symmetry",
                   "stopt_dmrg", "stopt_compression", "stopt_sampling")
+    from .parser import DYN_CORR_KEYS, MRPT_KEYS, MRREPT_KEYS
     if "nonspinadapted" not in dic \
-            and not any(k in dic for k in su2_extras):
+            and not any(k in dic for k in su2_extras) \
+            and not any(k in dic for k in
+                        DYN_CORR_KEYS | MRPT_KEYS | MRREPT_KEYS):
         from ..utils.io import load_su2_tensors, save_su2_tensors
         scratch = str(dic.get("prefix", "."))
         ipr = min(iprint, 1) if iprint else 0
@@ -581,8 +605,44 @@ def run(config_path: str) -> float:
     if "random_mps_init" in dic:
         occs = None
     bias = float(str(dic.get("bias") or 1.0)) if "bias" in dic else 1.0
-    mps = drv.get_random_mps(bond_dims[0], target=target, occs=occs,
-                             bias=bias)
+
+    # uncontracted dynamic-correlation decks (reference parser.py:67
+    # DYN_CORR_KEYS; keywords.rst "Uncontracted Dynamic Correlation"):
+    # the keyword value is `ncas n_elec_cas` (2 ints) or
+    # `ninactive ncas nexternal` (3 ints); the wavefunction space is
+    # restricted through the CASCI/MRCI/NEVPT MPSInfo bond structures
+    # (reference mps.hpp:1293/1400/1494)
+    from .parser import DYN_CORR_KEYS
+    dyn_keys = [k for k in DYN_CORR_KEYS if k in dic]
+    if len(dyn_keys) > 1:
+        raise ValueError("at most one dynamic correlation keyword "
+                         f"allowed, got {dyn_keys}")
+    if dyn_keys:
+        dkey = dyn_keys[0]
+        ni, ncas, next_ = _parse_cas_spec(dic[dkey], fd)
+        from ..dmrg.mps import MPSInfo
+        if dkey == "casci":
+            info = MPSInfo.casci(mpo.group, mpo.site_quanta, target,
+                                 bond_dims[0], n_inactive=ni,
+                                 n_virtual=next_)
+        elif dkey == "dmrgfci":
+            # inactive + external treated by FCI: no restriction
+            info = MPSInfo(mpo.group, mpo.site_quanta, target,
+                           bond_dims[0])
+        else:
+            order = {"mrcis": 1, "mrci": 2, "mrcisd": 2,
+                     "mrcisdt": 3}[dkey]
+            info = MPSInfo.nevpt(mpo.group, mpo.site_quanta, target,
+                                 bond_dims[0], n_inactive=ni,
+                                 n_external=next_, hole_order=order,
+                                 particle_order=order)
+        if occs is not None:
+            info.set_bond_dimension_using_occ(occs, bias=bias)
+        from ..dmrg.mps import MPS as _MPS
+        mps = _MPS.random(info)
+    else:
+        mps = drv.get_random_mps(bond_dims[0], target=target, occs=occs,
+                                 bias=bias)
     # backend: numpy (host) | jax | jax_device | jax_stacked | jax_tiled
     # (compile-once accelerator engine); dtype: f64 | f32
     backend = str(dic.get("backend", "numpy")).lower()
@@ -879,14 +939,38 @@ def run(config_path: str) -> float:
         # lossy-compressed MPS checkpoint (reference fp_cps_cutoff)
         from ..utils.io import save_mps
         save_mps(mps, "mps.KET.npz", fp_tol=float(str(fp_tol)))
-    for key, h0 in (("nevpt2", "dyall"), ("mrrept", "fink")):
-        if dic.get(key) not in (None, ""):
-            toks = str(dic[key]).split()
-            ni, na = int(toks[0]), int(toks[1])
-            from ..uc.nevpt2 import mrpt2_energy
-            e0c, e2 = mrpt2_energy(fd, ni, na, h0=h0)
-            print("CASCI Energy = %20.15f" % e0c)
-            print("%s Energy = %20.15f" % (key.upper(), e0c + e2))
+    # uncontracted MRPT family (reference parser.py MRPT_KEYS): plain
+    # nevpt2/mrrept2 = sd (full doubles space), `s` variants cap the
+    # perturber space at one inactive hole / one virtual electron,
+    # `-<class>` variants restrict to a single excitation class
+    _class_pat = {"ijrs": (2, 2), "ijr": (2, 1), "ij": (2, 0),
+                  "rsi": (1, 2), "rs": (0, 2), "ir": (1, 1),
+                  "i": (1, 0), "r": (0, 1)}
+    for key in sorted(dic):
+        kl = str(key)
+        if kl.startswith("nevpt2") or kl == "nevpt2":
+            h0 = "dyall"
+        elif kl.startswith("mrrept"):
+            h0 = "fink"
+        else:
+            continue
+        if dic.get(key) in (None, ""):
+            raise ValueError(f"{key} needs a CAS spec "
+                             "(ninactive nactive)")
+        toks = str(dic[key]).split()
+        ni, na = int(toks[0]), int(toks[1])
+        kw = {}
+        if "-" in kl:
+            cls = kl.split("-", 1)[1]
+            if cls not in _class_pat:
+                raise ValueError(f"unknown MRPT class '{cls}'")
+            kw["pattern"] = _class_pat[cls]
+        elif kl.endswith("2s") or kl.endswith("t2s"):
+            kw["max_holes"] = kw["max_parts"] = 1
+        from ..uc.nevpt2 import mrpt2_energy
+        e0c, e2 = mrpt2_energy(fd, ni, na, h0=h0, **kw)
+        print("CASCI Energy = %20.15f" % e0c)
+        print("%s Energy = %20.15f" % (key.upper(), e0c + e2))
     if "orbital_entropy" in dic:
         from ..dmrg.expect import orbital_entropy_2site
         s2, minfo = orbital_entropy_2site(mps)

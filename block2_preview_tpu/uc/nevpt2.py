@@ -62,12 +62,40 @@ def casci_root(fd: FCIDUMP, n_inactive: int, n_active: int
     return float(w[0] + fd.const_e), v[:, 0], ix, mask
 
 
+def _subspace_counts(L: int, ix: np.ndarray, n_inactive: int,
+                     n_active: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-determinant (inactive hole count, virtual electron count) for
+    sector rows `ix` (base-4 site-major product states)."""
+    states = np.zeros((len(ix), L), dtype=np.int64)
+    rem = ix.copy()
+    for t in range(L - 1, -1, -1):
+        states[:, t] = rem % 4
+        rem //= 4
+    nel = np.array([0, 1, 1, 2], dtype=np.int64)[states]
+    holes = (2 * n_inactive - nel[:, :n_inactive].sum(axis=1)
+             if n_inactive else np.zeros(len(ix), dtype=np.int64))
+    parts = (nel[:, n_inactive + n_active:].sum(axis=1)
+             if n_inactive + n_active < L
+             else np.zeros(len(ix), dtype=np.int64))
+    return holes, parts
+
+
 def mrpt2_energy(fd: FCIDUMP, n_inactive: int, n_active: int,
                  h0: str = "dyall",
-                 rdm1_active: Optional[np.ndarray] = None
+                 rdm1_active: Optional[np.ndarray] = None,
+                 max_holes: Optional[int] = None,
+                 max_parts: Optional[int] = None,
+                 pattern: Optional[Tuple[int, int]] = None
                  ) -> Tuple[float, float]:
     """(E_casci, E2) — uncontracted NEVPT2 (h0='dyall') or REPT2
-    (h0='fink')."""
+    (h0='fink').
+
+    Perturber-space restrictions (reference block2main nevpt2s /
+    nevpt2-<class> keyword family, parser.py MRPT_KEYS): max_holes /
+    max_parts cap the inactive-hole and virtual-electron counts of the
+    first-order space ("s" variants use 1/1; "sd" = 2/2 = unrestricted
+    since H is a two-body operator); pattern=(nc, nv) restricts to one
+    excitation class (e.g. nevpt2-ijr -> (2, 1))."""
     L = fd.n_sites
     e0, c0m, ix, mask = casci_root(fd, n_inactive, n_active)
 
@@ -93,6 +121,15 @@ def mrpt2_energy(fd: FCIDUMP, n_inactive: int, n_active: int,
     e0_h0 = float(c0 @ (h0m @ c0)) + fd0.const_e
 
     out = ~mask
+    if max_holes is not None or max_parts is not None \
+            or pattern is not None:
+        holes, parts = _subspace_counts(L, ix, n_inactive, n_active)
+        if pattern is not None:
+            out &= (holes == pattern[0]) & (parts == pattern[1])
+        if max_holes is not None:
+            out &= holes <= max_holes
+        if max_parts is not None:
+            out &= parts <= max_parts
     rhs = (h @ c0)[out]
     a = h0m[np.ix_(np.where(out)[0], np.where(out)[0])]
     n_out = a.shape[0]
