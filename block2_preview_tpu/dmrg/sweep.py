@@ -1001,7 +1001,8 @@ class DMRG:
               dav_thrds: List[float], n_sweeps: int = 20,
               tol: float = 1e-8,
               twodot_to_onedot: Optional[int] = None,
-              restart_dir: Optional[str] = None) -> float:
+              restart_dir: Optional[str] = None,
+              restart_dir_per_sweep: Optional[str] = None) -> float:
         def sched(lst, i):
             return lst[min(i, len(lst) - 1)]
 
@@ -1042,6 +1043,15 @@ class DMRG:
                 from ..utils.io import save_mps
                 self.mps.center = max(self._center_pos, 0)
                 save_mps(self.mps, os.path.join(restart_dir, "mps.KET.npz"))
+            if restart_dir_per_sweep is not None:
+                # keep one checkpoint per sweep (reference
+                # allocator.hpp:348 restart_dir_per_sweep)
+                import os
+                from ..utils.io import save_mps
+                self.mps.center = max(self._center_pos, 0)
+                os.makedirs(restart_dir_per_sweep, exist_ok=True)
+                save_mps(self.mps, os.path.join(
+                    restart_dir_per_sweep, "mps.KET.%d.npz" % isw))
             if np.max(np.abs(e - last_e)) < tol and ns == 0:
                 break
             # graceful stop: a file BLOCK_STOP_CALCULATION containing STOP

@@ -568,15 +568,45 @@ def run(config_path: str) -> float:
                                  "mps.%s-%d.su2.npz" % (tag, r)))
         return float(energies[0])
 
+    # general-spin (SGF / spin-orbital) mode (reference block2main
+    # use_general_spin + trans_integral_to_spin_orbital; SGF universe
+    # symmetry.hpp:591): with the transform key the spatial integrals are
+    # expanded to interleaved spin orbitals, otherwise the FCIDUMP is
+    # assumed to already be spin-orbital (GHF/DHF files)
+    if "use_general_spin" in dic:
+        if "trans_integral_to_spin_orbital" in dic:
+            L0 = fd.n_sites
+            eye2 = np.eye(2)
+            h_so = np.kron(fd.h1e, eye2)
+            g_so = np.einsum("ijkl,ab,cd->iajbkcld", fd.g2e, eye2, eye2,
+                             optimize=True).reshape((2 * L0,) * 4)
+            fd = FCIDUMP(n_sites=2 * L0, n_elec=fd.n_elec, twos=0,
+                         ipg=fd.ipg, const_e=fd.const_e,
+                         orb_sym=np.repeat(np.asarray(fd.orb_sym), 2),
+                         h1e=h_so, g2e=g_so)
+        drv = DMRGDriver(SymmetryTypes.SGF)
+        drv.initialize_system(fd.n_sites, fd.n_elec, 0,
+                              orb_sym=fd.orb_sym, pg_irrep=fd.ipg)
+
     penalty = dic.get("spin_penalty")
     mpo_type = str(dic.get("qc_mpo_type", "bipartite")).lower()
     if penalty not in (None, ""):
         mpo = drv.get_qc_mpo_spin_penalty(fd, float(str(penalty)))
+    elif mpo_type == "svd" and ("svd_eps" in dic or "svd_cutoff" in dic):
+        # SVD-compressed MPO with explicit thresholds (reference
+        # block2main svd_eps/svd_cutoff keys; MPOAlgorithmTypes::SVD)
+        from ..core.expr import qc_term_table as _qtt
+        from ..dmrg.mpo_builder import build_mpo_svd
+        tt_ = _qtt(fd, group=drv.group)
+        mpo = build_mpo_svd(
+            tt_, site_pgs=fd.orb_sym, const_e=fd.const_e, spec=drv.spec,
+            svd_cutoff=float(str(dic.get("svd_eps") or
+                                 dic.get("svd_cutoff") or 1e-12)))
     else:
-        # qc_mpo_type: bipartite (default) | nc | cn | conventional
+        # qc_mpo_type: bipartite (default) | nc | cn | conventional | svd
         # (reference block2main qc_mpo_type keyword / QCTypes)
         mpo = drv.get_qc_mpo(fcidump=fd, algo_type=mpo_type)
-    target = (drv.n_elec, drv.spin, drv.pg_irrep)
+    target = drv.target   # (N, 2Sz, pg) in SZ mode; (N, pg) in SGF mode
     # hf_occ with an explicit per-orbital list = occupancy-biased warmup
     # (reference block2main:1362-1365 sets dic["occ"]; `hf_occ integral`
     # only toggles StackBlock-compatible init and sets no occupancies)
@@ -646,11 +676,22 @@ def run(config_path: str) -> float:
     # backend: numpy (host) | jax | jax_device | jax_stacked | jax_tiled
     # (compile-once accelerator engine); dtype: f64 | f32
     backend = str(dic.get("backend", "numpy")).lower()
-    dtype_key = str(dic.get("dtype", "f64")).lower()
-    if dtype_key not in ("f32", "f64"):
+    # dtype resolution: explicit `dtype` key wins; `single_prec` selects
+    # f32 (reference main.cpp single_prec / CMake USE_SINGLE_PREC);
+    # `use_complex`/`complex_mps` select complex scalars (USE_COMPLEX)
+    default_dt = "f64"
+    if "single_prec" in dic:
+        default_dt = "f32"
+    if "use_complex" in dic or "complex_mps" in dic:
+        default_dt = "c64" if "single_prec" in dic else "c128"
+    dtype_key = str(dic.get("dtype", default_dt)).lower()
+    dt_map = {"f32": np.float32, "f64": np.float64,
+              "c64": np.complex64, "c128": np.complex128}
+    if dtype_key not in dt_map:
         raise ValueError(
-            f"dtype must be one of f32 | f64, got {dtype_key!r}")
-    cli_dtype = {"f32": np.float32, "f64": np.float64}[dtype_key]
+            f"dtype must be one of f32 | f64 | c64 | c128, "
+            f"got {dtype_key!r}")
+    cli_dtype = dt_map[dtype_key]
 
     # solver / truncation tuning keys (reference parser.py:44-46 and
     # sweep_algorithm.hpp:96-133 control knobs)
@@ -720,6 +761,64 @@ def run(config_path: str) -> float:
             os.makedirs(scratch, exist_ok=True)
         save_mps(bra, os.path.join(scratch, "mps.%s.npz" % tag))
         return ovlp
+
+    if "stopt_compression" in dic:
+        # p-DMRG stage 2 (reference block2main:2647 stopt_compression):
+        # fit |BRA> ~ (H - E0)|KET> through the schedule, save it for the
+        # sampling stage
+        from ..dmrg.expect import mpo_expectation, mps_overlap
+        from ..dmrg.linear import Linear
+        ket_tag = str(dic.get("read_mps_tags", "KET")).split()[0]
+        ket_c = load_mps(os.path.join(scratch, "mps.%s.npz" % ket_tag))
+        e0 = float(np.real(mpo_expectation(mpo, ket_c))) \
+            / float(np.real(mps_overlap(ket_c, ket_c)))
+        import copy as _copy
+        mpo_s = _copy.copy(mpo)
+        mpo_s.const_e = mpo.const_e - e0
+        bra = drv.get_random_mps(bond_dims[0], target=ket_c.info.target)
+        lin = Linear(bra, [(mpo_s, ket_c)],
+                     iprint=min(iprint, 1) if iprint else 0)
+        for bd in bond_dims:
+            lin.solve(bd, n_sweeps=2, tol=0.0)
+        nrm2 = float(np.real(mps_overlap(bra, bra)))
+        print("<BRA|BRA> = %20.15f" % nrm2)
+        if scratch and not os.path.isdir(scratch):
+            os.makedirs(scratch, exist_ok=True)
+        save_mps(bra, os.path.join(scratch, "mps.%s.npz" % tag))
+        return nrm2
+
+    if "stopt_sampling" in dic:
+        # p-DMRG stage 3 (reference block2main:4479 + driver/stopt.py
+        # SPDMRG.kernel): Epstein-Nesbet PT2 correction from the stored
+        # variational MPS — deterministic below, sampled when a sample
+        # count is given
+        from ..core.expr import qc_term_table as _qtt
+        from ..dmrg.expect import mpo_expectation, mps_overlap
+        from ..sp_dmrg import StochasticPDMRG
+        ket_tag = str(dic.get("read_mps_tags", "KET")).split()[0]
+        ket_c = load_mps(os.path.join(scratch, "mps.%s.npz" % ket_tag))
+        e_var = float(np.real(mpo_expectation(mpo, ket_c))) \
+            / float(np.real(mps_overlap(ket_c, ket_c)))
+        tt_s = _qtt(fd)
+        sp = StochasticPDMRG(ket_c, tt_s, const_e=fd.const_e,
+                             e0=e_var - fd.const_e)
+        sval = str(dic.get("stopt_sampling") or "0").split()[0]
+        n_samp = int(sval) if sval else 0
+        if n_samp:
+            e2, err = sp.pt2_sample(n_samp)
+            print("E2(pt) = %20.12f +/- %.2e" % (e2, err))
+        else:
+            from ..utils.ed import sector_indices
+            ix = sector_indices(fd.n_sites, fd.n_elec, fd.twos)
+            dets = []
+            for row in ix:
+                occ = [(row // 4 ** (fd.n_sites - 1 - t)) % 4
+                       for t in range(fd.n_sites)]
+                dets.append(occ)
+            e2 = sp.pt2_deterministic(dets)
+            print("E2(pt) = %20.12f" % e2)
+        print("E(stopt) = %20.15f" % (e_var + e2))
+        return float(e_var + e2)
 
     if "restart_oh" in dic:
         # expectation-only restart (reference block2main restart_oh,
