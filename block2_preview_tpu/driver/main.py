@@ -355,7 +355,10 @@ def run(config_path: str) -> float:
                   "oh", "tran_oh", "restart_tran_oh", "correlation",
                   "restart_correlation", "store_wfn_spectra",
                   "model", "heisenberg", "k_symmetry",
-                  "stopt_dmrg", "stopt_compression", "stopt_sampling")
+                  "stopt_dmrg", "stopt_compression", "stopt_sampling",
+                  "use_general_spin", "use_complex", "complex_mps",
+                  "single_prec", "restart_sample",
+                  "restart_dir_per_sweep", "svd_eps", "svd_cutoff")
     from .parser import DYN_CORR_KEYS, MRPT_KEYS, MRREPT_KEYS
     if "nonspinadapted" not in dic \
             and not any(k in dic for k in su2_extras) \
@@ -820,7 +823,15 @@ def run(config_path: str) -> float:
         print("E(stopt) = %20.15f" % (e_var + e2))
         return float(e_var + e2)
 
-    if "restart_oh" in dic:
+    if "restart_sample" in dic:
+        # sampling-only restart (reference parser.py RESTART_KEYS
+        # restart_sample): reuse the stored MPS, skip the solve, let the
+        # `sample` block below run
+        mps = load_mps(os.path.join(scratch, "mps.%s.npz" % tag))
+        dic.setdefault("sample", dic.get("restart_sample"))
+        energies = np.atleast_1d(np.nan)
+        solver = None
+    elif "restart_oh" in dic:
         # expectation-only restart (reference block2main restart_oh,
         # main_test/027): load the tagged MPS and print <bra|H|bra>
         # without re-optimizing; PDM restarts below reuse the same MPS
@@ -839,10 +850,12 @@ def run(config_path: str) -> float:
                   **solver_tuning)
     if solver is not None:
         restart_dir = dic.get("restart_dir")
+        rdps = dic.get("restart_dir_per_sweep")
         e = solver.solve(
             bond_dims, noises, dav_thrds, n_sweeps=n_sweeps,
             tol=sweep_tol, twodot_to_onedot=t2o,
-            restart_dir=str(restart_dir) if restart_dir else None)
+            restart_dir=str(restart_dir) if restart_dir else None,
+            restart_dir_per_sweep=str(rdps) if rdps else None)
         energies = np.atleast_1d(e)
 
     # state-specific refinement of each state-averaged root (reference

@@ -65,6 +65,19 @@ KNOWN_KEYS = {
     # stochastic perturbative DMRG stages (reference block2main
     # stopt_dmrg/stopt_compression/stopt_sampling -> sp_dmrg.py engine)
     "stopt_dmrg", "stopt_compression", "stopt_sampling",
+    # scalar/universe selection (reference main.cpp:785-840 single_prec /
+    # use_complex / general_spin; CMake USE_SINGLE_PREC/USE_COMPLEX/USE_SG)
+    "single_prec", "use_complex", "complex_mps", "use_general_spin",
+    "trans_integral_to_spin_orbital",
+    # SVD-MPO thresholds (reference block2main svd_eps/svd_cutoff)
+    "svd_eps", "svd_cutoff",
+    # checkpointing + restarts (reference allocator.hpp:342-355,
+    # parser.py RESTART_KEYS)
+    "restart_dir_per_sweep", "restart_sample",
+    # FCI-bounded bond spaces -- this framework's MPSInfo is FCI-bounded
+    # by construction (core/state_info.py), so the keyword is the default
+    # behavior made explicit (reference mps.hpp:101-106)
+    "full_fci_space",
 }
 
 # keyword families used by the CLI dispatch (reference parser.py:67-73)

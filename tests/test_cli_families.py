@@ -181,3 +181,29 @@ def test_unknown_key_still_rejected(tmp_path):
     from block2_preview_tpu.driver.parser import parse
     with pytest.raises(ValueError):
         parse(str(p))
+
+
+def test_use_general_spin_transform(tmp_path):
+    """use_general_spin + trans_integral_to_spin_orbital: spin-orbital
+    (SGF) run must match the spatial FCI energy."""
+    out = _run_cli(
+        "orbitals /root/reference/data/HUBBARD-L6.FCIDUMP\n"
+        "nelec 6\nspin 0\nuse_general_spin\n"
+        "trans_integral_to_spin_orbital\n"
+        + SCHED.replace("0 100", "0 120").replace("4 100", "4 120"),
+        tmp_path)
+    assert abs(_energy(out) - (-4.5463137943)) < 1e-8
+
+
+def test_stopt_stages(tmp_path):
+    """stopt_dmrg -> stopt_sampling pipeline: deterministic E2 on a
+    small-D variational state recovers most of the FCI gap."""
+    base = ("orbitals /root/reference/data/HUBBARD-L6.FCIDUMP\n"
+            "nelec 6\nspin 0\nnonspinadapted\nnoreorder\n")
+    _run_cli(base + "stopt_dmrg\nschedule\n0 20 1e-7 1e-5\nend\n"
+             "maxiter 6\nsweep_tol 1e-9\n", tmp_path, "s1.conf")
+    out = _run_cli(base + "stopt_sampling 0\nfullrestart\nschedule\n"
+                   "0 20 1e-7 0\nend\nmaxiter 1\n", tmp_path, "s2.conf")
+    e = _energy(out, "E(stopt) =")
+    # variational D=20 energy is above FCI; PT2 must close most of the gap
+    assert e < -4.54 and e > -4.58
