@@ -539,12 +539,23 @@ class SU2FermionDMRG:
                 dims[ql] = b.shape[0]
         return dims
 
-    def _effective(self, t: int):
-        env_l = self.lenvs[t]
-        env_r = self.renvs[t + 2]
-        bond_l = self.bonds_actual(t, "left")
-        bond_r = self.bonds_actual(t + 2, "right")
-        mults_t, mults_u = self.mults[t], self.mults[t + 1]
+    def _eff_plan(self, t: int, bond_l, bond_r):
+        """Structural plan for the two-site effective Hamiltonian at t,
+        cached by (t, bond signature): fused-sector layout plus lazily
+        extended per-(entry, env-key) contribution rows.  The row lists
+        depend only on the bond structure — only env block VALUES change
+        across sweeps — so after the first visit a site update skips all
+        fusion enumeration and Wigner-9j evaluation (the SU(2) analog of
+        the abelian engine's ConnectionInfo precompute, reference
+        sparse_matrix.hpp:71)."""
+        sig = (t, tuple(sorted(bond_l.items())),
+               tuple(sorted(bond_r.items())))
+        cache = getattr(self, "_eff_plans", None)
+        if cache is None:
+            cache = self._eff_plans = {}
+        plan = cache.get(sig)
+        if plan is not None:
+            return plan
         fl: Dict[Tuple, List[Tuple]] = {}   # Q -> [(ql, m, off, d)]
         for ql, d in sorted(bond_l.items()):
             for m, Q in self._fuse_l(ql, t):
@@ -565,140 +576,180 @@ class SU2FermionDMRG:
         for Q in keys:
             offsets[Q] = off
             off += dims[Q][0] * dims[Q][1]
-        size = off
+        plan = {
+            "fl": fl, "fr": fr, "keys": keys, "dims": dims,
+            "offsets": offsets, "size": off,
+            # (qlb, mb, Q) -> (off, d): the same (bond, multiplet) pair
+            # fuses into SEVERAL total spins, so Q is part of the key
+            "lmap": {(r[0], r[1], Q): (r[2], r[3])
+                     for Q, runs in fl.items() for r in runs},
+            "rmap": {(r[0], r[1], Q): (r[2], r[3])
+                     for Q, runs in fr.items() for r in runs},
+            "lw_rows": {}, "rw_rows": {}, "mv": None,
+        }
+        cache[sig] = plan
+        return plan
+
+    def _lw_rows_for(self, plan, t, eidx, entry, env_key):
+        """Rows (tgt_key, o1, d1, o2, d2, coeff) for one (site-t entry,
+        left-env block); computed once per plan and memoized."""
+        rows = plan["lw_rows"].get((eidx, env_key))
+        if rows is not None:
+            return rows
+        (i, o, w, cf) = entry
+        qlb, qlk = env_key
+        mults_t = self.mults[t]
+        wred, k_w, dn_w = self._op_at(t, w)
+        p_w = abs(dn_w) % 2
+        k_i, k_m = self.rank[i], self.rank[o]
+        phase = -1.0 if (p_w and (qlk[0] & 1)) else 1.0
+        lmap = plan["lmap"]
+        fl = plan["fl"]
+        out = []
+        for mb, Qb in self._fuse_l(qlb, t):
+            hb = lmap.get((qlb, mb, Qb))
+            if hb is None:
+                continue
+            for mk, Qk in self._fuse_l(qlk, t):
+                hk = lmap.get((qlk, mk, Qk))
+                if hk is None:
+                    continue
+                r = wred[mb, mk]
+                if r == 0.0:
+                    continue
+                fac = coupled_factor(
+                    qlk[1], mults_t[mk][1], Qk[1], k_i, k_w, k_m,
+                    qlb[1], mults_t[mb][1], Qb[1])
+                if abs(fac) < 1e-14:
+                    continue
+                out.append(((Qb, Qk), hb[0], hb[1], hk[0], hk[1],
+                            phase * fac * r * cf))
+        plan["lw_rows"][(eidx, env_key)] = out
+        return out
+
+    def _rw_rows_for(self, plan, t, eidx, entry, env_key):
+        rows = plan["rw_rows"].get((eidx, env_key))
+        if rows is not None:
+            return rows
+        (i, o, w, cf) = entry
+        qr2b, qr2k = env_key
+        mults_u = self.mults[t + 1]
+        wred, k_w, dn_w = self._op_at(t + 1, w)
+        p_o = abs(self.dn[o]) % 2
+        k_m, k_o = self.rank[i], self.rank[o]
+        rmap = plan["rmap"]
+        fr = plan["fr"]
+        out = []
+        for mb, Qb in self._fuse_r(qr2b, t + 1):
+            hb = rmap.get((mb, qr2b, Qb))
+            if hb is None:
+                continue
+            for mk, Qk in self._fuse_r(qr2k, t + 1):
+                hk = rmap.get((mk, qr2k, Qk))
+                if hk is None:
+                    continue
+                r = wred[mb, mk]
+                if r == 0.0:
+                    continue
+                phase = -1.0 if (p_o and (mults_u[mk][0] & 1)) else 1.0
+                fac = coupled_factor(
+                    mults_u[mk][1], qr2k[1], Qk[1], k_w, k_o, k_m,
+                    mults_u[mb][1], qr2b[1], Qb[1])
+                if abs(fac) < 1e-14:
+                    continue
+                out.append(((Qb, Qk), hb[0], hb[1], hk[0], hk[1],
+                            phase * fac * r * cf))
+        plan["rw_rows"][(eidx, env_key)] = out
+        return out
+
+    def _effective(self, t: int):
+        env_l = self.lenvs[t]
+        env_r = self.renvs[t + 2]
+        bond_l = self.bonds_actual(t, "left")
+        bond_r = self.bonds_actual(t + 2, "right")
+        plan = self._eff_plan(t, bond_l, bond_r)
+        fl, fr = plan["fl"], plan["fr"]
+        keys, dims = plan["keys"], plan["dims"]
+        offsets, size = plan["offsets"], plan["size"]
+        fld = {Q: sum(x[3] for x in fl[Q]) for Q in fl}
+        frd = {Q: sum(x[3] for x in fr[Q]) for Q in fr}
 
         # LW[m][(Qb, Qk)] from [E_l[i] (x) w_t]
         LW: Dict[int, Dict] = {}
-        for (i, o, w, cf) in self.site_entries[t]:
-            e = env_l.get(i)
+        for eidx, entry in enumerate(self.site_entries[t]):
+            e = env_l.get(entry[0])
             if e is None:
                 continue
-            wred, k_w, dn_w = self._op_at(t, w)
-            p_w = abs(dn_w) % 2
-            k_i, k_m = self.rank[i], self.rank[o]
-            for (qlb, qlk), eb in e.items():
-                phase = -1.0 if (p_w and (qlk[0] & 1)) else 1.0
-                for mb, Qb in self._fuse_l(qlb, t):
-                    if Qb not in fl:
-                        continue
-                    ob = {(r[0], r[1]): (r[2], r[3]) for r in fl[Qb]}
-                    if (qlb, mb) not in ob:
-                        continue
-                    for mk, Qk in self._fuse_l(qlk, t):
-                        if Qk not in fl:
-                            continue
-                        ok = {(r[0], r[1]): (r[2], r[3]) for r in fl[Qk]}
-                        if (qlk, mk) not in ok:
-                            continue
-                        r = wred[mb, mk]
-                        if r == 0.0:
-                            continue
-                        fac = coupled_factor(
-                            qlk[1], mults_t[mk][1], Qk[1], k_i, k_w, k_m,
-                            qlb[1], mults_t[mb][1], Qb[1])
-                        if abs(fac) < 1e-14:
-                            continue
-                        o1, d1 = ob[(qlb, mb)]
-                        o2, d2 = ok[(qlk, mk)]
-                        dm = LW.setdefault(o, {})
-                        blk = dm.get((Qb, Qk))
-                        if blk is None:
-                            blk = np.zeros((sum(x[3] for x in fl[Qb]),
-                                            sum(x[3] for x in fl[Qk])))
-                            dm[(Qb, Qk)] = blk
-                        blk[o1:o1 + d1, o2:o2 + d2] += \
-                            (phase * fac * r * cf) * eb
+            o = entry[1]
+            for env_key, eb in e.items():
+                for (tgt, o1, d1, o2, d2, c) in self._lw_rows_for(
+                        plan, t, eidx, entry, env_key):
+                    dm = LW.setdefault(o, {})
+                    blk = dm.get(tgt)
+                    if blk is None:
+                        blk = np.zeros((fld[tgt[0]], fld[tgt[1]]))
+                        dm[tgt] = blk
+                    blk[o1:o1 + d1, o2:o2 + d2] += c * eb
         # RW[m][(Qb, Qk)] from [w_{t+1} (x) E_r[o]]
         RW: Dict[int, Dict] = {}
-        for (i, o, w, cf) in self.site_entries[t + 1]:
-            e = env_r.get(o)
+        for eidx, entry in enumerate(self.site_entries[t + 1]):
+            e = env_r.get(entry[1])
             if e is None:
                 continue
-            wred, k_w, dn_w = self._op_at(t + 1, w)
-            p_o = abs(self.dn[o]) % 2
-            k_m, k_o = self.rank[i], self.rank[o]
-            for (qr2b, qr2k), eb in e.items():
-                for mb, Qb in self._fuse_r(qr2b, t + 1):
-                    if Qb not in fr:
-                        continue
-                    ob = {(r[0], r[1]): (r[2], r[3]) for r in fr[Qb]}
-                    if (mb, qr2b) not in ob:
-                        continue
-                    for mk, Qk in self._fuse_r(qr2k, t + 1):
-                        if Qk not in fr:
-                            continue
-                        ok = {(r[0], r[1]): (r[2], r[3]) for r in fr[Qk]}
-                        if (mk, qr2k) not in ok:
-                            continue
-                        r = wred[mb, mk]
-                        if r == 0.0:
-                            continue
-                        phase = -1.0 if (p_o and (mults_u[mk][0] & 1)) \
-                            else 1.0
-                        fac = coupled_factor(
-                            mults_u[mk][1], qr2k[1], Qk[1], k_w, k_o, k_m,
-                            mults_u[mb][1], qr2b[1], Qb[1])
-                        if abs(fac) < 1e-14:
-                            continue
-                        o1, d1 = ob[(mb, qr2b)]
-                        o2, d2 = ok[(mk, qr2k)]
-                        dm = RW.setdefault(i, {})
-                        blk = dm.get((Qb, Qk))
-                        if blk is None:
-                            blk = np.zeros((sum(x[3] for x in fr[Qb]),
-                                            sum(x[3] for x in fr[Qk])))
-                            dm[(Qb, Qk)] = blk
-                        blk[o1:o1 + d1, o2:o2 + d2] += \
-                            (phase * fac * r * cf) * eb
+            i = entry[0]
+            for env_key, eb in e.items():
+                for (tgt, o1, d1, o2, d2, c) in self._rw_rows_for(
+                        plan, t, eidx, entry, env_key):
+                    dm = RW.setdefault(i, {})
+                    blk = dm.get(tgt)
+                    if blk is None:
+                        blk = np.zeros((frd[tgt[0]], frd[tgt[1]]))
+                        dm[tgt] = blk
+                    blk[o1:o1 + d1, o2:o2 + d2] += c * eb
 
         ranks = {m: self.rank[m] for m in set(LW) | set(RW)}
 
-        def matvec(x):
-            psi = {Q: x[offsets[Q]:offsets[Q] + dims[Q][0] * dims[Q][1]]
-                   .reshape(dims[Q]) for Q in keys}
-            sig = {Q: np.zeros(dims[Q]) for Q in keys}
-            for m, lw in LW.items():
-                rw = RW.get(m)
-                if rw is None:
-                    continue
-                km = ranks[m]
-                p_m = abs(self.dn[m]) % 2
-                for (Qb, Qk), lb in lw.items():
-                    if Qk not in psi or Qb not in sig:
-                        continue
-                    rb = rw.get((Qb, Qk))
-                    if rb is None:
-                        continue
-                    cross = coupled_factor(Qk[1], Qk[1], 0, km, km, 0,
-                                           Qb[1], Qb[1], 0)
-                    if abs(cross) < 1e-14:
-                        continue
-                    phase = -1.0 if (p_m and (Qk[0] & 1)) else 1.0
-                    sig[Qb] += (phase * cross) * (lb @ psi[Qk] @ rb.T)
-            out = np.zeros(size)
-            for Q in keys:
-                out[offsets[Q]:offsets[Q] + sig[Q].size] = sig[Q].ravel()
-            return out
-
-        diag = np.zeros(size)
+        # sigma triples with precomputed cross factors: the per-call
+        # matvec is a flat loop of small GEMMs (reference
+        # tensor_product_multiply semantics)
+        triples = []
         for m, lw in LW.items():
             rw = RW.get(m)
             if rw is None:
                 continue
             km = ranks[m]
             p_m = abs(self.dn[m]) % 2
-            for Q in keys:
-                lb = lw.get((Q, Q))
-                rb = rw.get((Q, Q))
-                if lb is None or rb is None:
+            for (Qb, Qk), lb in lw.items():
+                if Qk not in offsets or Qb not in offsets:
                     continue
-                cross = coupled_factor(Q[1], Q[1], 0, km, km, 0,
-                                       Q[1], Q[1], 0)
-                phase = -1.0 if (p_m and (Q[0] & 1)) else 1.0
-                o = offsets[Q]
-                diag[o:o + dims[Q][0] * dims[Q][1]] += \
-                    (phase * cross * np.diag(lb)[:, None]
-                     * np.diag(rb)[None, :]).ravel()
+                rb = rw.get((Qb, Qk))
+                if rb is None:
+                    continue
+                cross = coupled_factor(Qk[1], Qk[1], 0, km, km, 0,
+                                       Qb[1], Qb[1], 0)
+                if abs(cross) < 1e-14:
+                    continue
+                phase = -1.0 if (p_m and (Qk[0] & 1)) else 1.0
+                triples.append((Qb, Qk, phase * cross, lb, rb))
+
+        def matvec(x):
+            psi = {Q: x[offsets[Q]:offsets[Q] + dims[Q][0] * dims[Q][1]]
+                   .reshape(dims[Q]) for Q in keys}
+            sig = {Q: np.zeros(dims[Q]) for Q in keys}
+            for (Qb, Qk, c, lb, rb) in triples:
+                sig[Qb] += c * (lb @ psi[Qk] @ rb.T)
+            out = np.zeros(size)
+            for Q in keys:
+                out[offsets[Q]:offsets[Q] + sig[Q].size] = sig[Q].ravel()
+            return out
+
+        diag = np.zeros(size)
+        for (Qb, Qk, c, lb, rb) in triples:
+            if Qb != Qk:
+                continue
+            o = offsets[Qb]
+            diag[o:o + dims[Qb][0] * dims[Qb][1]] += \
+                (c * np.diag(lb)[:, None] * np.diag(rb)[None, :]).ravel()
         self._last_ops = (LW, RW, ranks)
         return keys, dims, offsets, size, fl, fr, matvec, diag
 
@@ -727,11 +778,13 @@ class SU2FermionDMRG:
                                       size) for p in self._proj] or None
             pv = dict(ortho=pvecs, proj_weights=self._proj_weights) \
                 if pvecs else {}
-            if self.backend == "jax_tiled" and self.n_roots == 1 \
-                    and not pvecs and \
-                    size >= getattr(self, "exec_threshold", 4096):
+            if self.backend == "jax_tiled" \
+                    and size >= getattr(self, "exec_threshold", 4096):
+                # device sigma matvec for every root count: the fully
+                # fused on-device Davidson for the plain single-root
+                # case, host Davidson around the device matvec when
+                # roots/projections ask for the general solver
                 from ..ops.tiled import TiledExecutor
-                from .su2_spin import coupled_factor as _cfac
                 LW, RW, ranks2 = self._last_ops
                 ad = _SU2EffAdapter(keys, dims, offsets, size, LW, RW,
                                     ranks2, self.dn)
@@ -740,12 +793,27 @@ class SU2FermionDMRG:
                 ex = TiledExecutor(ad, dtype=self.exec_dtype,
                                    cache=self._tiled_cache, cache_key=t)
                 try:
-                    th, xv, nmv = ex.solve_ground_state(
-                        x0, diag, conv_thrd=dav_thrd, max_iter=400,
-                        max_subspace=40)
+                    if self.n_roots == 1 and not pvecs:
+                        th, xv, nmv = ex.solve_ground_state(
+                            x0, diag, conv_thrd=dav_thrd, max_iter=400,
+                            max_subspace=40)
+                        w, v = np.array([th]), xv[:, None]
+                    else:
+                        if self.n_roots > 1:
+                            rngr = np.random.RandomState(23 + t)
+                            x0 = np.concatenate(
+                                [x0[:, None]] +
+                                [rngr.standard_normal((size, 1))
+                                 for _ in range(self.n_roots - 1)],
+                                axis=1)
+                        elif x0.ndim == 1:
+                            x0 = x0[:, None]
+                        w, v, nmv = davidson(
+                            ex.matvec, diag, x0, n_roots=self.n_roots,
+                            conv_thrd=dav_thrd, max_iter=400,
+                            max_subspace=40, **pv)
                 finally:
                     ex.free()
-                w, v = np.array([th]), xv[:, None]
             else:
                 if self.n_roots > 1:
                     rngr = np.random.RandomState(23 + t)

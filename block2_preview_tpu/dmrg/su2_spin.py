@@ -37,11 +37,18 @@ from ..core.clebsch_gordan import clebsch_gordan, wigner_9j
 from ..ops.davidson import davidson
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 20)
 def coupled_factor(ja, jb, j, k1, k2, k, jap, jbp, jp) -> float:
     """Reduced element of [A^{k1} x B^{k2}]^{k} on a CG-fused pair basis,
-    divided by <A><B>.  Doubled spins."""
-    return (np.sqrt((j + 1.0) * (k + 1.0) * (jap + 1.0) * (jbp + 1.0))
-            * wigner_9j(ja, jb, j, k1, k2, k, jap, jbp, jp))
+    divided by <A><B>.  Doubled spins.  Hot in the SU(2) QC engine
+    (hundreds of thousands of lookups per sweep) — cached whole, not just
+    the 9j part, to skip the sqrt arithmetic too."""
+    return float(
+        np.sqrt((j + 1.0) * (k + 1.0) * (jap + 1.0) * (jbp + 1.0))
+        * wigner_9j(ja, jb, j, k1, k2, k, jap, jbp, jp))
 
 
 def spin_reduced_element(tj: int = 1) -> float:

@@ -12,6 +12,24 @@ import time
 
 import numpy as np
 
+
+def _warm_backend(retries: int = 5) -> None:
+    """Touch the accelerator backend before the heavy host-side setup:
+    the remote-TPU plugin registration can time out when it first runs
+    minutes into a CPU-saturated process, which kills the whole run."""
+    import jax
+    for i in range(retries):
+        try:
+            print("devices:", jax.devices(), flush=True)
+            return
+        except RuntimeError as e:
+            print(f"backend init retry {i}: {e}", flush=True)
+            time.sleep(5.0)
+    raise RuntimeError("accelerator backend failed to initialize")
+
+
+_warm_backend()
+
 from block2_preview_tpu.core.expr import qc_term_table
 from block2_preview_tpu.core.fcidump import FCIDUMP
 from block2_preview_tpu.dmrg.mpo_builder import build_mpo

@@ -98,3 +98,16 @@ def test_singlet_embedding_parity():
     e_emb = eng2.solve(n_sweeps=10, tol=1e-10, noises=[1e-4, 1e-5, 0],
                        dav_thrds=[1e-10])
     assert abs(e_dir - e_emb) < 1e-9
+
+
+def test_su2_multiroot_device_path():
+    """Multiroot + projected solves through the jax_tiled executor
+    (round-3: device sigma matvec for every root count)."""
+    import numpy as np
+    fd, mpo = _mpo()
+    eng = _eng(mpo, fd, n_roots=2, backend="jax_tiled",
+               exec_dtype=np.float64)
+    eng.exec_threshold = 256
+    e = eng.solve(n_sweeps=10, tol=1e-10, noises=[1e-4, 1e-5, 0],
+                  dav_thrds=[1e-10])
+    assert abs(e[0] - E0) < 1e-8 and abs(e[1] - E1) < 1e-7
