@@ -30,6 +30,7 @@ class SymmetryTypes(enum.Enum):
     SZ = "sz"
     SGF = "sgf"
     SU2 = "su2"
+    SAny = "sany"
 
 
 # SZ-mode operator letters, matching pyblock2's ExprBuilder vocabulary
@@ -54,7 +55,9 @@ class ExprBuilder:
             self.const_e += co
             return self
         assert len(expr) == len(idx)
-        ops = [(int(i), _OP_LETTERS[ch]) for ch, i in zip(expr, idx)]
+        letters = getattr(self.driver, "_custom_letters", None) \
+            or _OP_LETTERS
+        ops = [(int(i), letters[ch]) for ch, i in zip(expr, idx)]
         self.terms.append((co, ops))
         return self
 
@@ -67,6 +70,10 @@ class ExprBuilder:
         return self
 
     def finalize(self) -> TermTable:
+        spec = getattr(self.driver, "_custom_specs", None)
+        if spec is not None:
+            return build_term_table(self.driver.n_sites, self.terms,
+                                    group=self.driver.group, spec=spec)
         return build_term_table(self.driver.n_sites, self.terms,
                                 group=self.driver.group)
 
@@ -93,6 +100,86 @@ class DMRGDriver:
         self.orb_sym: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
+    def set_symmetry_groups(self, *names: str, hints=None) -> None:
+        """Runtime-composable symmetry (the SAny analog, reference
+        src/core/symmetry.hpp:58 SAnyT and pyblock2 core.py:507
+        set_symmetry_groups): compose up to 6 factors from "U1",
+        "U1Fermi", "LZ", "AbelianPG", "Z<n>", "Z<n>Fermi".  The first
+        *Fermi factor carries the fermion parity.  Non-abelian "SU2"
+        factors are served by the dedicated spin-adapted universe
+        (SymmetryTypes.SU2 / dmrg/su2_fermion.py) rather than by factor
+        composition."""
+        assert 0 < len(names) <= 6
+        kinds: List[str] = []
+        lows: List[str] = []
+        fermi = None
+        for i, nm in enumerate(names):
+            if nm in ("U1", "LZ"):
+                kinds.append("u1")
+            elif nm == "U1Fermi":
+                kinds.append("u1")
+                fermi = i if fermi is None else fermi
+            elif nm == "AbelianPG":
+                kinds.append("xor")
+            elif nm.startswith("Z") and nm.endswith("Fermi"):
+                kinds.append(f"mod{int(nm[1:-5])}")
+                fermi = i if fermi is None else fermi
+            elif nm.startswith("Z"):
+                kinds.append(f"mod{int(nm[1:])}")
+            elif nm.startswith("SU2"):
+                raise NotImplementedError(
+                    "SU2 factors in SAny composition are served by "
+                    "SymmetryTypes.SU2 (the spin-adapted universe); "
+                    "compose the remaining abelian factors here")
+            else:
+                raise ValueError(f"unknown symmetry group '{nm}'")
+            lows.append(nm.lower())
+        self.symm_type = SymmetryTypes.SAny
+        self._sany_fermionic = fermi is not None
+        self.group = SymmetryGroup(tuple(kinds), tuple(lows),
+                                   fermion_index=fermi or 0)
+        self._sany_names = names
+
+    def get_custom_hamiltonian(self, site_basis, site_ops,
+                               orb_dependent_ops: str = "cdCD"):
+        """Custom site bases + elementary operators for the composed
+        symmetry (reference pyblock2 core.py:2430 get_custom_hamiltonian
+        / general_hamiltonian.hpp:1080): site_basis[t] is a list of
+        (quantum-number tuple, multiplicity); site_ops[t] maps one-letter
+        operator names to dense (dim, dim) matrices over that basis.
+        Returns self (the driver doubles as the Hamiltonian handle) with
+        expr_builder()/get_mpo()/get_random_mps wired to the custom
+        sites."""
+        from ..ops.local_ops import SiteBasisSpec
+        assert self.symm_type == SymmetryTypes.SAny, \
+            "set_symmetry_groups first"
+        L = len(site_basis)
+        self.n_sites = L
+        letters: Dict[str, int] = {}
+        specs: List[SiteBasisSpec] = []
+        fermionic = self._sany_fermionic
+        for t in range(L):
+            quanta = [tuple(q) for (q, c) in site_basis[t]
+                      for _ in range(int(c))]
+            dim = len(quanta)
+            par = np.diag([-1.0 if (fermionic and self.group.is_fermion(q))
+                           else 1.0 for q in quanta])
+            elem: Dict[int, np.ndarray] = {}
+            for letter, mat in site_ops[t].items():
+                code = letters.setdefault(letter, 100 + len(letters))
+                mat = np.asarray(mat)
+                assert mat.shape == (dim, dim), \
+                    f"site {t} op '{letter}' shape {mat.shape} != {dim}"
+                elem[code] = mat
+            specs.append(SiteBasisSpec(
+                f"sany{t}", dim, elem, np.eye(dim), par,
+                (lambda q_: (lambda pg=0: list(q_)))(quanta),
+                fermionic=fermionic))
+        self._custom_specs = specs
+        self._custom_letters = letters
+        self.orb_sym = np.zeros(L, dtype=np.int64)
+        return self
+
     def initialize_system(self, n_sites: int, n_elec: int = 0, spin: int = 0,
                           orb_sym: Optional[Sequence[int]] = None,
                           pg_irrep: int = 0, pg_mod: int = 0) -> None:
@@ -208,6 +295,10 @@ class DMRGDriver:
             return build_mpo_svd(term_table, site_pgs=self.orb_sym,
                                  const_e=const_e, svd_cutoff=svd_cutoff,
                                  variant=variant, **svd_kwargs)
+        specs = getattr(self, "_custom_specs", None)
+        if specs is not None:
+            return build_mpo(term_table, const_e=const_e, spec=specs,
+                             site_quanta=[sp.quanta(0) for sp in specs])
         return build_mpo(term_table, site_pgs=self.orb_sym, const_e=const_e)
 
     def expr_builder(self) -> ExprBuilder:
@@ -222,7 +313,12 @@ class DMRGDriver:
         if self.symm_type == SymmetryTypes.SU2:
             return SU2MPSSpec(target or self.target, bond_dim, seed=seed,
                               init_tensors=init_tensors)
-        site_quanta = [self.spec.quanta(int(p)) for p in self.orb_sym]
+        specs = getattr(self, "_custom_specs", None)
+        if specs is not None:
+            site_quanta = [sp.quanta(0) for sp in specs]
+        else:
+            site_quanta = [self.spec.quanta(int(p))
+                           for p in self.orb_sym]
         info = MPSInfo(self.group, site_quanta, target or self.target,
                        bond_dim)
         if occs is not None:
