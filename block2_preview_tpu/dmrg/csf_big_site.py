@@ -42,7 +42,10 @@ class ExternalSpace:
         self.pgs = [0] * n_orbs if pgs is None else [int(p) for p in pgs]
         self.max_elec = max_elec
         self.basis = basis
-        assert max_elec <= 2, "external space restricted to <= 2 electrons"
+        # arbitrary CI order (reference DRTBigSite drt_big_site.hpp:1964
+        # supports any number of external electrons; max_elec=2 is the
+        # MRCISD case, 3 = MRCISDT, ...); the determinant work space is
+        # C(2n, max_elec+2) — guard against accidental blowups
         nso = 2 * n_orbs
         # WORK space: N <= max_elec + 2 so composites whose creation
         # parts act before their annihilation parts keep exact
@@ -50,6 +53,12 @@ class ExternalSpace:
         # restricted to N <= max_elec
         from itertools import combinations
         work_max = min(max_elec + 2, nso)
+        from math import comb
+        work_dim = sum(comb(nso, ne) for ne in range(work_max + 1))
+        assert work_dim <= 200_000, (
+            f"external work space {work_dim} determinants is too large "
+            f"for the dense composite construction (n_orbs={n_orbs}, "
+            f"max_elec={max_elec})")
         dets: List[Tuple[int, ...]] = []
         for ne in range(work_max + 1):
             dets += list(combinations(range(nso), ne))
@@ -234,7 +243,9 @@ def su2_mrcisd_dmrg(h1e: np.ndarray, g2e: Optional[np.ndarray],
                     bond_dim: int = 200, pgs: Optional[Sequence[int]] = None,
                     ipg: int = 0, n_sweeps: int = 12, tol: float = 1e-9,
                     noises: Sequence[float] = (1e-4, 1e-5, 0.0),
-                    iprint: int = 0, basis: str = "s2", **kw):
+                    iprint: int = 0, basis: str = "s2",
+                    ci_order: int = 2, n_inactive: int = 0,
+                    hole_order: Optional[int] = None, **kw):
     """Spin-adapted uncontracted MRCISD: DMRG over the internal orbitals
     with the external space (orbitals >= n_int, <= 2 electrons) as a CSF
     big site (reference DMRGBigSite + CSFBigSite,
@@ -245,12 +256,22 @@ def su2_mrcisd_dmrg(h1e: np.ndarray, g2e: Optional[np.ndarray],
 
     K = h1e.shape[0]
     pgs = [0] * K if pgs is None else [int(p) for p in pgs]
-    ext = ExternalSpace(K - n_int, pgs[n_int:], basis=basis)
+    ext = ExternalSpace(K - n_int, pgs[n_int:], max_elec=ci_order,
+                        basis=basis)
     tt = qc_su2_big_term_table(h1e, g2e, ecore, n_int, ext)
     entries, n_sym, sym_dn, sym_rank, registry = compile_su2_entries(tt)
     site_mults = [[(0, 0, 0), (1, 1, pgs[t]), (2, 0, 0)]
                   for t in range(n_int)] + [list(ext.mults)]
     site_ops = {n_int: {"I": (np.eye(ext.n_mult), 0, 0)}}
+    if hole_order is not None and n_inactive > 0:
+        # at most `hole_order` holes in the first n_inactive orbitals
+        # (reference MRCIMPSInfo hole restriction, mps.hpp:1400)
+        n_min = [0] * (n_int + 2)
+        n_max = [n_elec] * (n_int + 2)
+        for t in range(n_inactive + 1):
+            n_min[t] = max(0, 2 * t - hole_order)
+            n_max[t] = min(n_elec, 2 * t)
+        kw = dict(kw, bond_nrange=(n_min, n_max))
     eng = SU2FermionDMRG(
         n_int + 1, entries, n_sym, sym_dn,
         target=(n_elec, twos, ipg), bond_dim=bond_dim,

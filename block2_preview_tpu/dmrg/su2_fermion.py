@@ -249,7 +249,9 @@ class SU2FermionDMRG:
                  site_mults: Optional[List[List[Tuple]]] = None,
                  site_ops: Optional[Dict[int, Dict]] = None,
                  pg_mod: int = 0,
-                 left_vacuum: Optional[Tuple[int, int, int]] = None):
+                 left_vacuum: Optional[Tuple[int, int, int]] = None,
+                 bond_nrange: Optional[Tuple[Sequence[int],
+                                             Sequence[int]]] = None):
         # backend="jax_tiled": the compile-once tiled accelerator executor
         # for the reduced-matrix sigma matvec (spin-adapted TPU path)
         self.backend = backend
@@ -334,6 +336,13 @@ class SU2FermionDMRG:
                         if self.rank[o] is None:
                             raise ValueError("ambiguous symbol rank")
                         changed = True
+        # cumulative-particle-number windows per bond (the SU(2) analog
+        # of MRCIMPSInfo/NEVPTMPSInfo bond restrictions, reference
+        # mps.hpp:1400/1494): n_min[t] <= N(bond t) <= n_max[t]
+        self._nrange = None
+        if bond_nrange is not None:
+            self._nrange = (list(bond_nrange[0]), list(bond_nrange[1]))
+            assert len(self._nrange[0]) == L + 1
         self.bonds = self._fci_bonds(L, bond_dim)
         rng = np.random.RandomState(seed)
         # tensor blocks keyed (ql, mult, qr)
@@ -421,6 +430,9 @@ class SU2FermionDMRG:
         for t in range(L + 1):
             caps = {q: min(left[t][q], right[t][q])
                     for q in left[t] if q in right[t]}
+            if self._nrange is not None:
+                lo, hi = self._nrange[0][t], self._nrange[1][t]
+                caps = {q: c for q, c in caps.items() if lo <= q[0] <= hi}
             tot = sum(caps.values())
             if tot > maxd:
                 caps = {q: max(1, int(round(c * maxd / tot)))
@@ -569,6 +581,11 @@ class SU2FermionDMRG:
                 off = sum(r[3] for r in runs)
                 runs.append((m, qr2, off, d))
         keys = [Q for Q in sorted(fl) if Q in fr]
+        if self._nrange is not None:
+            # the fused two-dot sector label IS the interior (t+1) bond
+            # quantum number, so the particle window applies directly
+            lo, hi = self._nrange[0][t + 1], self._nrange[1][t + 1]
+            keys = [Q for Q in keys if lo <= Q[0] <= hi]
         dims = {Q: (sum(r[3] for r in fl[Q]), sum(r[3] for r in fr[Q]))
                 for Q in keys}
         offsets = {}
@@ -865,7 +882,11 @@ class SU2FermionDMRG:
         eigs.sort(key=lambda z: -z[0])
         kept: Dict[Tuple, List[int]] = {}
         budget = self.D
+        nr = self._nrange
         for (x, Q, i) in eigs:
+            if nr is not None and not \
+                    (nr[0][t + 1] <= Q[0] <= nr[1][t + 1]):
+                continue
             # keep states up to the multiplet budget even at (near-)zero
             # weight: at FCI-capped bonds this preserves exactness; dropping
             # zero-weight multiplets creates noise-free local minima

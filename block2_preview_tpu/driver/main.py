@@ -309,6 +309,29 @@ def run(config_path: str) -> float:
     t2o = int(str(t2o)) if t2o not in (None, "") else None
     n_roots = int(str(dic.get("nroots", 1)))
 
+    # spin-adapted uncontracted MRCI with the external space as a CSF
+    # big site (reference big_site keyword + CSFBigSite/DRTBigSite,
+    # csf_big_site.hpp:1060 / drt_big_site.hpp:1964): <= k electrons in
+    # the external orbitals AND <= k holes in the inactive orbitals
+    _mrci_keys = [k for k in ("mrcisdt", "mrcisd", "mrcis", "mrci")
+                  if k in dic]
+    if _mrci_keys and "big_site" in dic and "nonspinadapted" not in dic:
+        dkey = _mrci_keys[0]
+        ni, ncas, next_ = _parse_cas_spec(dic[dkey], fd)
+        order = {"mrcis": 1, "mrci": 2, "mrcisd": 2, "mrcisdt": 3}[dkey]
+        bs_val = str(dic.get("big_site", "")).lower()
+        basis = "drt" if bs_val in ("drt", "bigdrt") else "s2"
+        from ..dmrg.csf_big_site import su2_mrcisd_dmrg
+        e, _eng = su2_mrcisd_dmrg(
+            fd.h1e, fd.g2e, fd.const_e, ni + ncas, fd.n_elec, fd.twos,
+            bond_dim=max(bond_dims), pgs=[int(p) for p in fd.orb_sym],
+            ipg=drv.pg_irrep, n_sweeps=n_sweeps, tol=sweep_tol,
+            noises=noises, iprint=min(iprint, 1) if iprint else 0,
+            basis=basis, ci_order=order, n_inactive=ni,
+            hole_order=order)
+        print("DMRG Energy = %20.15f" % e)
+        return float(e)
+
     # time evolution workflow (delta_t / target_t keywords); te_type
     # selects tangent-space TDVP (default) vs RK4 time-step targeting
     # (reference TETypes, sweep_algorithm_td.hpp:43)

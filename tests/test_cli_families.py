@@ -207,3 +207,61 @@ def test_stopt_stages(tmp_path):
     e = _energy(out, "E(stopt) =")
     # variational D=20 energy is above FCI; PT2 must close most of the gap
     assert e < -4.54 and e > -4.58
+
+
+def test_big_site_mrcisd_su2_deck(tmp_path):
+    """Spin-adapted mrcisd with the external space as a CSF big site
+    (reference big_site keyword; csf_big_site.hpp): matches the
+    <=2-external-electron restricted ED."""
+    out = _run_cli(
+        "orbitals /root/reference/data/HUBBARD-L6.FCIDUMP\n"
+        "nelec 6\nspin 0\nbig_site csf\nmrcisd 0 4 2\n"
+        "schedule\n0 150 1e-8 1e-5\n4 150 1e-10 0\nend\n"
+        "maxiter 10\nsweep_tol 1e-10\nnoreorder\n", tmp_path)
+    import sys
+    sys.path.insert(0, os.path.join(HERE, "tests"))
+    from test_csf_big_site import restricted_ed_order
+    from block2_preview_tpu.core.fcidump import FCIDUMP
+    fd = FCIDUMP.parse("/root/reference/data/HUBBARD-L6.FCIDUMP")
+    ref = restricted_ed_order(fd.h1e, fd.g2e, fd.const_e, 4, 6, 0, 2)
+    assert abs(_energy(out) - ref[0]) < 1e-8
+
+
+def test_su2_hole_restriction_bond_nrange():
+    """Inactive-hole window in the SU(2) engine (MRCIMPSInfo analog):
+    mrcisd with 1 inactive orbital must match the ED restricted to both
+    <=2 external electrons and <=2 inactive holes."""
+    import sys
+    sys.path.insert(0, os.path.join(HERE, "tests"))
+    from test_csf_big_site import restricted_ed_order
+    from block2_preview_tpu.core.fcidump import FCIDUMP
+    from block2_preview_tpu.core.expr import (build_term_table,
+                                              qc_term_table,
+                                              spin_square_raw_terms)
+    from block2_preview_tpu.dmrg.csf_big_site import su2_mrcisd_dmrg
+    from block2_preview_tpu.utils.ed import (sector_indices,
+                                             term_table_to_sparse)
+    fd = FCIDUMP.parse("/root/reference/data/HUBBARD-L6.FCIDUMP")
+    ni, ncas, nxt = 1, 3, 2
+    e, _ = su2_mrcisd_dmrg(fd.h1e, fd.g2e, fd.const_e, ni + ncas,
+                           fd.n_elec, 0, bond_dim=150, n_sweeps=10,
+                           ci_order=1, n_inactive=ni, hole_order=1)
+    # ED restricted to <=1 external electron and <=1 inactive hole
+    K = 6
+    h = term_table_to_sparse(qc_term_table(fd))
+    ix = sector_indices(K, 6, 0)
+    nel = np.array([0, 1, 1, 2])
+
+    def keep(row):
+        s = [(row // 4 ** (K - 1 - t)) % 4 for t in range(K)]
+        ns = nel[np.array(s)]
+        return (2 * ni - ns[:ni].sum()) <= 1 and ns[ni + ncas:].sum() <= 1
+
+    rows = ix[[keep(r) for r in ix]]
+    hs = h[np.ix_(rows, rows)].toarray()
+    s2 = term_table_to_sparse(build_term_table(
+        K, spin_square_raw_terms(K)))[np.ix_(rows, rows)].toarray()
+    w, v = np.linalg.eigh(hs)
+    ssv = np.einsum("ij,jk,ki->i", v.T, s2, v)
+    cands = [w[i] + fd.const_e for i in range(len(w)) if abs(ssv[i]) < 0.1]
+    assert abs(e - cands[0]) < 1e-8, (e, cands[0])
