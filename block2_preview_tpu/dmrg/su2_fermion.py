@@ -466,6 +466,22 @@ class SU2FermionDMRG:
                     del prev[(ql, m, qr)]
 
     # -- env recursions ------------------------------------------------
+    # Like _eff_plan, the blocking enumeration (multiplet pairs x 9j
+    # factors) depends only on the tensor block STRUCTURE at a site, so
+    # it is cached per (t, direction, structure signature) with lazily
+    # extended per-(entry, env-key) rows (reference ConnectionInfo
+    # precompute, sparse_matrix.hpp:71).
+    def _env_plan(self, t: int, direction: str, struct_sig):
+        cache = getattr(self, "_env_plans", None)
+        if cache is None:
+            cache = self._env_plans = {}
+        key = (t, direction, struct_sig)
+        plan = cache.get(key)
+        if plan is None:
+            plan = {}
+            cache[key] = plan
+        return plan
+
     def _left_contract(self, t: int) -> Dict:
         """E'[o] on bond t+1 from [E[i] (x) w] rotated through A[t];
         graded phase (-1)^{p_w * N(ket bond)}"""
@@ -475,30 +491,42 @@ class SU2FermionDMRG:
         by_ql: Dict[Tuple, List] = {}
         for (ql, m, qr), b in A.items():
             by_ql.setdefault(ql, []).append((m, qr, b))
+        struct_sig = tuple(sorted((k, b.shape) for k, b in A.items()))
+        plan = self._env_plan(t, "l", struct_sig)
         out: Dict[int, Dict] = {}
-        for (i, o, w, cf) in self.site_entries[t]:
+        for eidx, (i, o, w, cf) in enumerate(self.site_entries[t]):
             e = env.get(i)
             if e is None:
                 continue
-            wred, k_w, dn_w = self._op_at(t, w)
-            p_w = abs(dn_w) % 2
-            k_i, k_o = self.rank[i], self.rank[o]
             for (qlb, qlk), eb in e.items():
-                phase = -1.0 if (p_w and (qlk[0] & 1)) else 1.0
-                for (mb, qrb, ab) in by_ql.get(qlb, ()):
-                    for (mk, qrk, ak) in by_ql.get(qlk, ()):
-                        r = wred[mb, mk]
-                        if r == 0.0:
-                            continue
-                        fac = coupled_factor(
-                            qlk[1], mults[mk][1], qrk[1], k_i, k_w, k_o,
-                            qlb[1], mults[mb][1], qrb[1])
-                        if abs(fac) < 1e-14:
-                            continue
-                        d = out.setdefault(o, {})
-                        key = (qrb, qrk)
-                        contrib = (phase * fac * r * cf) * (ab.T @ eb @ ak)
-                        d[key] = d.get(key, 0) + contrib
+                rows = plan.get((eidx, qlb, qlk))
+                if rows is None:
+                    rows = []
+                    wred, k_w, dn_w = self._op_at(t, w)
+                    p_w = abs(dn_w) % 2
+                    k_i, k_o = self.rank[i], self.rank[o]
+                    phase = -1.0 if (p_w and (qlk[0] & 1)) else 1.0
+                    for (mb, qrb, _ab) in by_ql.get(qlb, ()):
+                        for (mk, qrk, _ak) in by_ql.get(qlk, ()):
+                            r = wred[mb, mk]
+                            if r == 0.0:
+                                continue
+                            fac = coupled_factor(
+                                qlk[1], mults[mk][1], qrk[1],
+                                k_i, k_w, k_o,
+                                qlb[1], mults[mb][1], qrb[1])
+                            if abs(fac) < 1e-14:
+                                continue
+                            rows.append(((qlb, mb, qrb), (qlk, mk, qrk),
+                                         (qrb, qrk), phase * fac * r * cf))
+                    plan[(eidx, qlb, qlk)] = rows
+                if not rows:
+                    continue
+                d = out.setdefault(o, {})
+                for (kab, kak, okey, c) in rows:
+                    contrib = c * (A[kab].T @ eb @ A[kak])
+                    cur = d.get(okey)
+                    d[okey] = contrib if cur is None else cur + contrib
         return out
 
     def _right_contract(self, t: int) -> Dict:
@@ -510,30 +538,44 @@ class SU2FermionDMRG:
         by_qr: Dict[Tuple, List] = {}
         for (ql, m, qr), b in B.items():
             by_qr.setdefault(qr, []).append((m, ql, b))
+        struct_sig = tuple(sorted((k, b.shape) for k, b in B.items()))
+        plan = self._env_plan(t, "r", struct_sig)
         out: Dict[int, Dict] = {}
-        for (i, o, w, cf) in self.site_entries[t]:
+        for eidx, (i, o, w, cf) in enumerate(self.site_entries[t]):
             e = env.get(o)
             if e is None:
                 continue
-            wred, k_w, dn_w = self._op_at(t, w)
-            p_o = abs(self.dn[o]) % 2
-            k_i, k_o = self.rank[i], self.rank[o]
             for (qrb2, qrk2), eb in e.items():
-                for (mb, qlb, bb) in by_qr.get(qrb2, ()):
-                    for (mk, qlk, bk) in by_qr.get(qrk2, ()):
-                        r = wred[mb, mk]
-                        if r == 0.0:
-                            continue
-                        phase = -1.0 if (p_o and (mults[mk][0] & 1)) else 1.0
-                        fac = coupled_factor(
-                            mults[mk][1], qrk2[1], qlk[1], k_w, k_o, k_i,
-                            mults[mb][1], qrb2[1], qlb[1])
-                        if abs(fac) < 1e-14:
-                            continue
-                        d = out.setdefault(i, {})
-                        key = (qlb, qlk)
-                        contrib = (phase * fac * r * cf) * (bb @ eb @ bk.T)
-                        d[key] = d.get(key, 0) + contrib
+                rows = plan.get((eidx, qrb2, qrk2))
+                if rows is None:
+                    rows = []
+                    wred, k_w, dn_w = self._op_at(t, w)
+                    p_o = abs(self.dn[o]) % 2
+                    k_i, k_o = self.rank[i], self.rank[o]
+                    for (mb, qlb, _bb) in by_qr.get(qrb2, ()):
+                        for (mk, qlk, _bk) in by_qr.get(qrk2, ()):
+                            r = wred[mb, mk]
+                            if r == 0.0:
+                                continue
+                            phase = -1.0 if (p_o and (mults[mk][0] & 1)) \
+                                else 1.0
+                            fac = coupled_factor(
+                                mults[mk][1], qrk2[1], qlk[1],
+                                k_w, k_o, k_i,
+                                mults[mb][1], qrb2[1], qlb[1])
+                            if abs(fac) < 1e-14:
+                                continue
+                            rows.append(((qlb, mb, qrb2), (qlk, mk, qrk2),
+                                         (qlb, qlk),
+                                         phase * fac * r * cf))
+                    plan[(eidx, qrb2, qrk2)] = rows
+                if not rows:
+                    continue
+                d = out.setdefault(i, {})
+                for (kbb, kbk, okey, c) in rows:
+                    contrib = c * (B[kbb] @ eb @ B[kbk].T)
+                    cur = d.get(okey)
+                    d[okey] = contrib if cur is None else cur + contrib
         return out
 
     # -- effective Hamiltonian ------------------------------------------

@@ -1,0 +1,58 @@
+"""Scale demo: DMRG -> polynomial spatial RDMs -> spin-free sc-NEVPT2
+on a CR2/SVP CAS (VERDICT r2 item 5: the reference's production regime
+pyblock2/icmr/scnevpt2.py runs at CAS(16,16)-class sizes; the spatial
+path keeps the 4-RDM at ncas^8 instead of (2 ncas)^8).
+
+Usage: python scripts/run_icmr_scale.py [ncas] [D]
+Prints one `ICMR_SCALE {json}` line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from block2_preview_tpu.core.fcidump import FCIDUMP
+from block2_preview_tpu.dmrg.npdm_scheme import npdm_spatial_poly
+from block2_preview_tpu.dmrg.sweep import DMRG
+from block2_preview_tpu.driver.core import DMRGDriver, SymmetryTypes
+from block2_preview_tpu.icmr.scnevpt2 import sc_nevpt2
+
+NCAS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+D = int(sys.argv[2]) if len(sys.argv) > 2 else 150
+
+res = {"ncas": NCAS, "D": D}
+fd = FCIDUMP.parse("/root/reference/data/CR2.SVP.FCIDUMP")
+ncore = (fd.n_elec - NCAS) // 2
+res["system"] = (f"CR2.SVP (42 orbitals): ncore={ncore}, ncas={NCAS}, "
+                 f"nvirt={42 - ncore - NCAS}")
+
+t0 = time.time()
+drv = DMRGDriver(SymmetryTypes.SZ)
+cfd = drv.get_cas_fcidump(fd, ncore, NCAS)
+drv.initialize_system(NCAS, NCAS, 0, orb_sym=cfd.orb_sym)
+mpo = drv.get_qc_mpo(fcidump=cfd)
+mps = drv.get_random_mps(D, target=(NCAS, 0, 0))
+e_cas = DMRG(mpo, mps, iprint=0).solve(
+    [D], [1e-4, 1e-5, 0], [1e-8], n_sweeps=8, tol=1e-9)
+res["e_cas_dmrg"] = float(e_cas)
+res["t_dmrg_s"] = round(time.time() - t0, 1)
+print("dmrg done E=%.8f t=%.1f" % (e_cas, res["t_dmrg_s"]), flush=True)
+
+t0 = time.time()
+gam = {}
+for k in range(1, 5):
+    tk = time.time()
+    gam[f"G{k}"] = npdm_spatial_poly(mps, k)
+    print("G%d done t=%.1f" % (k, time.time() - tk), flush=True)
+res["t_rdms_s"] = round(time.time() - t0, 1)
+
+t0 = time.time()
+out = sc_nevpt2(fd, ncore, NCAS, spatial=True, gammas_spatial=gam)
+res["t_scnevpt2_s"] = round(time.time() - t0, 1)
+res["e2_classes"] = {k: float(v) for k, v in out.classes.items()}
+res["e2_total"] = float(sum(out.classes.values()))
+res["wall_total_s"] = round(res["t_dmrg_s"] + res["t_rdms_s"]
+                            + res["t_scnevpt2_s"], 1)
+print("ICMR_SCALE " + json.dumps(res), flush=True)
