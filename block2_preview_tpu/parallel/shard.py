@@ -82,11 +82,22 @@ class ShardedPlanExecutor:
                   for arr in bk)
             for bk in padded)
 
-    def matvec(self, x: np.ndarray) -> np.ndarray:
+    def matvec_device(self, xj):
+        """Device-resident sharded matvec: padded replicated input array
+        in, padded replicated sigma out — no host round-trip, for use
+        inside device-side solver loops (the production path; the v2
+        resident engine's sharded matvec follows the same contract)."""
+        return self._fn(xj, self.device_buckets)
+
+    def pad_device(self, x: np.ndarray):
         xp = np.zeros(self.size_p, dtype=self.dtype)
         xp[:self.size] = x
-        xj = jax.device_put(xp, NamedSharding(self.mesh, P()))
-        return np.asarray(self._fn(xj, self.device_buckets),
+        return jax.device_put(xp, NamedSharding(self.mesh, P()))
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        # host-convenience wrapper (tests / host Davidson); production
+        # loops keep x on device via matvec_device
+        return np.asarray(self.matvec_device(self.pad_device(x)),
                           dtype=np.float64)[:self.size]
 
 
