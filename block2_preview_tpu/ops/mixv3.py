@@ -30,6 +30,8 @@ selected by B2TPU_MIX=3 (default) in ops.resident.ResidentSite.
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -73,6 +75,27 @@ def _env_gemm(epool, wr, wc, wv, eoff, dbdk, secoff, nw_p, ns_p, dg_p):
     W = jnp.zeros((nw_p, ns_p), wv.dtype).at[wr, wc].add(wv)
     j = jnp.arange(ns_p, dtype=jnp.int32)[:, None]
     d = jnp.arange(dg_p, dtype=jnp.int32)[None, :]
+    s = jnp.searchsorted(secoff, d[0], side="right").astype(jnp.int32) - 1
+    s = jnp.clip(s, 0, eoff.shape[0] - 1)
+    e = d - secoff[s][None, :]
+    ok = d < secoff[-1]
+    src = eoff[s][None, :] + j * dbdk[s][None, :] + e
+    env = jnp.where(ok, epool[jnp.where(ok, src, 0)], 0)
+    return jnp.dot(W, env, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=W.dtype)
+
+
+@partial(jax.jit, static_argnames=("nw_p", "ns_p", "chunk_p"))
+def _env_gemm_chunk(epool, wr, wc, wv, eoff, dbdk, secoff, c0,
+                    nw_p, ns_p, chunk_p):
+    """Column-chunked _env_gemm: computes OUT[:, c0:c0+chunk_p].  Bounds
+    the gathered-env and output intermediates on HBM — the unchunked
+    kernel's [ns_p, dg_p] gather at production bond dimensions exceeded
+    the worker's memory (the mid-chain Cr2 fault).  c0 is traced so one
+    compile serves every chunk."""
+    W = jnp.zeros((nw_p, ns_p), wv.dtype).at[wr, wc].add(wv)
+    j = jnp.arange(ns_p, dtype=jnp.int32)[:, None]
+    d = (c0 + jnp.arange(chunk_p, dtype=jnp.int32))[None, :]
     s = jnp.searchsorted(secoff, d[0], side="right").astype(jnp.int32) - 1
     s = jnp.clip(s, 0, eoff.shape[0] - 1)
     e = d - secoff[s][None, :]
@@ -526,11 +549,28 @@ def execute_mix_v3(plan: MixPlanV3, epool_dev, dtype=np.float32):
         return arrs
 
     d = devcache.get((tok, rdt.str), upload)
+    # per-launch footprint cap: the unchunked kernel materializes
+    # W [nw_p, ns_p] + gathered env [ns_p, dg_p] + out [nw_p, dg_p];
+    # past the cap the columns are processed in bounded chunks
+    max_elems = int(os.environ.get("B2TPU_MIX_CHUNK_ELEMS", str(1 << 26)))
     outs = []
     for i, spec in enumerate(plan.gemms):
-        og = _env_gemm(epool_dev, d[f"wr{i}"], d[f"wc{i}"], d[f"wv{i}"],
-                       d[f"eoff{i}"], d[f"dbdk{i}"], d[f"secoff{i}"],
-                       spec["nw_p"], spec["ns_p"], spec["dg_p"])
+        nw_p, ns_p, dg_p = spec["nw_p"], spec["ns_p"], spec["dg_p"]
+        big = max(ns_p, nw_p)
+        if ns_p * dg_p + nw_p * dg_p <= max_elems or dg_p <= 128:
+            og = _env_gemm(epool_dev, d[f"wr{i}"], d[f"wc{i}"],
+                           d[f"wv{i}"], d[f"eoff{i}"], d[f"dbdk{i}"],
+                           d[f"secoff{i}"], nw_p, ns_p, dg_p)
+        else:
+            chunk = max(128, _pow2(max_elems // (2 * big) + 1) // 2)
+            chunk = min(chunk, dg_p)
+            pieces = []
+            for c0 in range(0, dg_p, chunk):
+                pieces.append(_env_gemm_chunk(
+                    epool_dev, d[f"wr{i}"], d[f"wc{i}"], d[f"wv{i}"],
+                    d[f"eoff{i}"], d[f"dbdk{i}"], d[f"secoff{i}"],
+                    np.int32(c0), nw_p, ns_p, chunk))
+            og = jnp.concatenate(pieces, axis=1)[:, :dg_p]
         outs.append(og.reshape(-1))
     outflat = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     otp = _cap_class(plan.out_total + 1)
