@@ -306,6 +306,29 @@ class MovingEnvironment:
             self._stk_plans[key] = (hash(sig), plan)
         if plan is None:
             return False
+        from ..ops.blockv2 import BlockingV2Plan as _BV2
+        if isinstance(plan, _BV2):
+            import os as _os3
+            if _os3.environ.get("B2TPU_SYNC_BLK"):
+                print(f"      [blk t={t} {direction}] plan ncap={plan.ncap:.3e}"
+                      f" ns={len(plan.g1)} nt1={plan.nt1} ntp={plan.ntp}"
+                      f" T={plan.T} B={plan.B}"
+                      f" items={int(plan.cum1[-1])}/{int(plan.cum2[-1])}"
+                      f"/{int(plan.cum3[-1])}", flush=True)
+            # device-kernel guard: specific mid-chain plans fault the TPU
+            # worker (Cr2 bond ~15); those bonds fall back to the host
+            # blocking path until the kernel trigger is isolated
+            _ncap_max = float(_os3.environ.get("B2TPU_BLKV2_NCAP_MAX",
+                                               "inf"))
+            _items_max = float(_os3.environ.get("B2TPU_BLKV2_ITEMS_MAX",
+                                                "inf"))
+            _items = max(int(plan.cum1[-1]), int(plan.cum2[-1]),
+                         int(plan.cum3[-1]))
+            if plan.ncap > _ncap_max or _items > _items_max:
+                if _os3.environ.get("B2TPU_SYNC_BLK"):
+                    print(f"      [blk t={t} {direction}] -> host fallback",
+                          flush=True)
+                return False
         pool_dev = jnp.asarray(pool_in)
         from ..ops.blockv2 import BlockingV2Plan, execute_blocking_v2
         from ..ops.tiled_blocking import (TiledBlockingPlan,
@@ -318,6 +341,13 @@ class MovingEnvironment:
             pool_out = execute_tiled_blocking(plan, pool_dev, dtype=dt)
         else:
             pool_out = execute_stacked(plan, pool_dev, dtype=dt)
+        import os as _os2
+        if _os2.environ.get("B2TPU_SYNC_BLK"):
+            # debug: surface async device faults AT the blocking step
+            # instead of at the next site's sync point
+            pool_out.block_until_ready()
+            print(f"      [blk t={t} {direction}] pool_out "
+                  f"{pool_out.shape} ok", flush=True)
         if not self.resident:
             # non-resident: pools live in HOST memory between uses (a
             # 40+-bond system would otherwise pin tens of GB of HBM)

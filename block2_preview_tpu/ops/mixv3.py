@@ -553,6 +553,14 @@ def execute_mix_v3(plan: MixPlanV3, epool_dev, dtype=np.float32):
     # W [nw_p, ns_p] + gathered env [ns_p, dg_p] + out [nw_p, dg_p];
     # past the cap the columns are processed in bounded chunks
     max_elems = int(os.environ.get("B2TPU_MIX_CHUNK_ELEMS", str(1 << 26)))
+    if os.environ.get("B2TPU_MIX_STATS"):
+        tot = sum(s["nw_p"] * s["dg_p"] for s in plan.gemms)
+        big = max(plan.gemms, key=lambda s: max(
+            s["nw_p"] * s["ns_p"], s["ns_p"] * s["dg_p"],
+            s["nw_p"] * s["dg_p"]))
+        print(f"      [mix] {len(plan.gemms)} gemms out_total={tot:.3e} "
+              f"ncap={plan.ncap_out:.3e} biggest nw={big['nw_p']} "
+              f"ns={big['ns_p']} dg={big['dg_p']}", flush=True)
     outs = []
     for i, spec in enumerate(plan.gemms):
         nw_p, ns_p, dg_p = spec["nw_p"], spec["ns_p"], spec["dg_p"]
