@@ -959,6 +959,24 @@ class DMRG:
 
         def _site(t, one_dot):
             tsite = time.time()
+            every = int(os.environ.get("B2TPU_DEVRESET_EVERY", "0"))
+            if every and t % every == 0 and t > 0:
+                # periodic device-state reset: long Cr2-scale sweeps
+                # accumulate worker-side state (cached executables +
+                # struct arenas) until the remote TPU worker dies; a
+                # flush + cache clear every few sites keeps it alive at
+                # the cost of re-uploads/re-compiles (disk jit cache
+                # makes the recompiles cheap)
+                try:
+                    import jax as _jax
+
+                    from ..ops import devcache as _dc
+                    _dc.GLOBAL.clear()
+                    _jax.clear_caches()
+                    if self.iprint >= 2:
+                        print(f"      [devreset at t={t}]", flush=True)
+                except Exception:
+                    pass
             if one_dot:
                 e, dw, nmv = self.update_one_dot(t, forward, bond_dim, noise,
                                                  dav_thrd)
