@@ -106,6 +106,40 @@ def _env_gemm_chunk(epool, wr, wc, wv, eoff, dbdk, secoff, c0,
                    preferred_element_type=W.dtype)
 
 
+@partial(jax.jit, static_argnames=("nchunk",))
+def _place_chunk(outflat, sb_starts, sb_blksz, sb_dlk, sb_rowoff,
+                 sb_coloff, sb_celloff, sb_ncc, sb_cells, rowcell, rowin,
+                 colcell, colin, winsrc, windk, c0, nchunk):
+    """One ncap-axis slice of _place: indices i in [c0, c0 + nchunk).
+    The monolithic form materializes ~a dozen [ncap]-sized index
+    intermediates; at mid-chain Cr2 pools (ncap ~ 7e7) that transient
+    footprint faulted the TPU worker."""
+    i = (c0 + jnp.arange(nchunk, dtype=jnp.int32))
+    sb = jnp.searchsorted(sb_starts, i, side="right").astype(jnp.int32) - 1
+    sb = jnp.clip(sb, 0, sb_blksz.shape[0] - 1)
+    off = i - sb_starts[sb]
+    bs = jnp.maximum(sb_blksz[sb], 1)
+    jo = off // bs
+    rem = off - jo * bs
+    dlk = jnp.maximum(sb_dlk[sb], 1)
+    rr = rem // dlk
+    cc = rem - rr * dlk
+    nxt = sb_starts[jnp.minimum(sb + 1, sb_starts.shape[0] - 1)]
+    live = i < nxt
+    rpos = jnp.clip(sb_rowoff[sb] + rr, 0, rowcell.shape[0] - 1)
+    cpos = jnp.clip(sb_coloff[sb] + cc, 0, colcell.shape[0] - 1)
+    cr = rowcell[rpos]
+    ri = rowin[rpos]
+    cl = colcell[cpos]
+    ci = colin[cpos]
+    wpos = sb_celloff[sb] + jo * sb_cells[sb] + cr * sb_ncc[sb] + cl
+    wpos = jnp.clip(wpos, 0, winsrc.shape[0] - 1)
+    ws = winsrc[wpos]
+    ok = (ws >= 0) & (cr >= 0) & (cl >= 0) & live
+    src = ws + ri * windk[wpos] + ci
+    return jnp.where(ok, outflat[jnp.where(ok, src, 0)], 0)
+
+
 @jax.jit
 def _place(outflat, sb_starts, sb_blksz, sb_dlk, sb_rowoff, sb_coloff,
            sb_celloff, sb_ncc, sb_cells, rowcell, rowin, colcell, colin,
@@ -585,9 +619,21 @@ def execute_mix_v3(plan: MixPlanV3, epool_dev, dtype=np.float32):
     if otp > outflat.shape[0]:
         outflat = jnp.concatenate(
             [outflat, jnp.zeros(otp - outflat.shape[0], dtype=outflat.dtype)])
-    ncap = jnp.zeros(plan.ncap_out + 1, dtype=rdt)
-    return _place(outflat, d["sb_starts"], d["sb_blksz"], d["sb_dlk"],
-                  d["sb_rowoff"], d["sb_coloff"], d["sb_celloff"],
-                  d["sb_ncc"], d["sb_cells"], d["rowcell"], d["rowin"],
-                  d["colcell"], d["colin"], d["winsrc"], d["windk"],
-                  ncap)
+    ncap_n = plan.ncap_out + 1
+    if ncap_n <= max_elems:
+        ncap = jnp.zeros(ncap_n, dtype=rdt)
+        return _place(outflat, d["sb_starts"], d["sb_blksz"],
+                      d["sb_dlk"], d["sb_rowoff"], d["sb_coloff"],
+                      d["sb_celloff"], d["sb_ncc"], d["sb_cells"],
+                      d["rowcell"], d["rowin"], d["colcell"],
+                      d["colin"], d["winsrc"], d["windk"], ncap)
+    chunk = _pow2(max_elems // 4 + 1) // 2
+    pieces = []
+    for c0 in range(0, ncap_n, chunk):
+        pieces.append(_place_chunk(
+            outflat, d["sb_starts"], d["sb_blksz"], d["sb_dlk"],
+            d["sb_rowoff"], d["sb_coloff"], d["sb_celloff"],
+            d["sb_ncc"], d["sb_cells"], d["rowcell"], d["rowin"],
+            d["colcell"], d["colin"], d["winsrc"], d["windk"],
+            np.int32(c0), chunk))
+    return jnp.concatenate(pieces)[:ncap_n]
