@@ -839,6 +839,7 @@ class DMRG:
                 p.dirty(t, t)
             return energy, 0.0, nmv
 
+        spectra = [] if self.store_wfn_spectra else None
         if forward:
             # rho over the fused (bond x site) rows
             rho: Dict[QN, np.ndarray] = {}
@@ -863,8 +864,19 @@ class DMRG:
                         acc = rho.get(q)
                         add = (noise / tr) * vv
                         rho[q] = add if acc is None else acc + add
-            rot, dw = _decimate(rho, bond_dim,
-                                trunc_cutoff=self.trunc_cutoff)
+            if self.decomp_type == "svd" and noise == 0:
+                # same decomp_type routing as the two-dot updates
+                # (reference sweep_algorithm.hpp update_one_dot SVD branch)
+                rot, dw = _decimate_svd({q: psi[(q, g.sub(target, q))]
+                                         for q in rho
+                                         if (q, g.sub(target, q)) in psi},
+                                        bond_dim,
+                                        trunc_cutoff=self.trunc_cutoff,
+                                        keep_out=spectra)
+            else:
+                rot, dw = _decimate(rho, bond_dim,
+                                    trunc_cutoff=self.trunc_cutoff,
+                                    keep_out=spectra)
             a_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
             for qL, vmat in rot.items():
                 for (ql, qp, off, dl, dp) in eff.fl.maps[qL]:
@@ -912,8 +924,17 @@ class DMRG:
                         acc = rho.get(q)
                         add = (noise / tr) * vv
                         rho[q] = add if acc is None else acc + add
-            rot, dw = _decimate(rho, bond_dim,
-                                trunc_cutoff=self.trunc_cutoff)
+            if self.decomp_type == "svd" and noise == 0:
+                rot, dw = _decimate_svd({q: psi[(g.sub(target, q), q)]
+                                         for q in rho
+                                         if (g.sub(target, q), q) in psi},
+                                        bond_dim,
+                                        trunc_cutoff=self.trunc_cutoff,
+                                        keep_out=spectra, right=True)
+            else:
+                rot, dw = _decimate(rho, bond_dim,
+                                    trunc_cutoff=self.trunc_cutoff,
+                                    keep_out=spectra)
             b_blocks: Dict[Tuple[QN, QN, QN], np.ndarray] = {}
             for qRf, vmat in rot.items():
                 ql_new = g.sub(target, qRf)
@@ -940,6 +961,8 @@ class DMRG:
             self._center_pos = t - 1
             self.me.update_right(t)
             self.me.invalidate_left(t - 1)
+        if spectra:
+            self.wfn_spectra.append(spectra[0])
         for p in self._proj:
             p.dirty(max(t - 1, 0), min(t + 1, L - 1))
         return energy, dw, nmv
@@ -1036,6 +1059,9 @@ class DMRG:
             dt = sched(dav_thrds, isw)
             dot = 2 if (twodot_to_onedot is None
                         or isw < twodot_to_onedot) else 1
+            # hold only the most recent sweep's per-site spectra
+            # (reference DMRG::sweep_wfn_spectra is per-sweep)
+            self.wfn_spectra = []
             res = self.sweep(forward, bd, ns, dt, dot=dot)
             earr = np.stack(res.energies)
             e = earr.min(axis=0)

@@ -302,6 +302,12 @@ def run(config_path: str) -> float:
         fd.h1e = fd.h1e + shift * np.eye(fd.n_sites)
         fd.const_e = target_e
 
+    if dic.get("schedule") in (None, "default"):
+        # resolve the default ladder FIRST: it extends maxiter to
+        # last_iter+4 and defaults twodot_to_onedot (reference parser.py
+        # get_schedule follow-up adjustments), which the reads below use
+        from .parser import default_schedule
+        dic["schedule"] = default_schedule(dic)
     n_sweeps = int(str(dic.get("maxiter", 20)))
     bond_dims, noises, dav_thrds = expand_schedule(dic, n_sweeps)
     sweep_tol = float(str(dic.get("sweep_tol", 1e-8)))
@@ -969,15 +975,17 @@ def run(config_path: str) -> float:
 
     if "store_wfn_spectra" in dic and solver is not None \
             and getattr(solver, "wfn_spectra", None):
-        spec = np.concatenate([np.sort(s)[::-1]
-                               for s in solver.wfn_spectra[-1:]])
+        spec = np.concatenate([np.asarray(s).ravel()
+                               for s in solver.wfn_spectra]
+                              or [np.zeros(0)])
         np.save(os.path.join(scratch, "sweep_wfn_spectra.npy")
                 if os.path.isdir(scratch) else "sweep_wfn_spectra.npy",
                 np.array(solver.wfn_spectra, dtype=object),
                 allow_pickle=True)
         if iprint:
+            largest = float(spec.max()) if spec.size else 0.0
             print("WFN spectra: %d site spectra stored, largest s = %.6f"
-                  % (len(solver.wfn_spectra), float(spec[0])))
+                  % (len(solver.wfn_spectra), largest))
 
     if "onepdm" in dic or "restart_onepdm" in dic:
         from ..dmrg.expect import pdm1

@@ -182,8 +182,23 @@ def default_schedule(dic: Dict[str, object]
             elif def_m[i] >= start_m:
                 sched.append((isweep, def_m[i], def_tol[i], def_noise[i]))
                 isweep += def_iter[i]
-    sched.append((sched[-1][0] + 8, max_m,
-                  1e-9 if sweep_tol == 0 else sweep_tol / 10, 0.0))
+    if "single_prec" in dic:
+        # f32 residual floor: the noise-free tail cannot reach 1e-9
+        # (reference parser.py get_schedule single_prec branch)
+        sched.append((sched[-1][0] + 8, max_m,
+                      5e-6 if sweep_tol == 0 else sweep_tol / 2, 0.0))
+    else:
+        sched.append((sched[-1][0] + 8, max_m,
+                      1e-9 if sweep_tol == 0 else sweep_tol / 10, 0.0))
+    # follow-up adjustments (reference parser.py get_schedule tail):
+    # ensure the final noise-free entry actually executes, and default
+    # the two-dot -> one-dot switch just past it
+    last_iter = sched[-1][0]
+    if ("twodot" not in dic and "onedot" not in dic
+            and "twodot_to_onedot" not in dic):
+        dic["twodot_to_onedot"] = str(last_iter + 2)
+    if int(str(dic.get("maxiter", 0))) <= last_iter:
+        dic["maxiter"] = str(last_iter + 4)
     return sched
 
 

@@ -582,7 +582,16 @@ def execute_mix_v3(plan: MixPlanV3, epool_dev, dtype=np.float32):
             arrs[k] = jnp.asarray(v)
         return arrs
 
+    sync = os.environ.get("B2TPU_SYNC_MIX")
+    import time as _time
+    _t0 = _time.time()
     d = devcache.get((tok, rdt.str), upload)
+    if sync:
+        for _k, _v in d.items():
+            _v.block_until_ready()
+        print(f"      [mix] upload ok ({len(d)} arrays) "
+              f"{_time.time() - _t0:.2f}s", flush=True)
+        _t0 = _time.time()
     # per-launch footprint cap: the unchunked kernel materializes
     # W [nw_p, ns_p] + gathered env [ns_p, dg_p] + out [nw_p, dg_p];
     # past the cap the columns are processed in bounded chunks
@@ -613,12 +622,23 @@ def execute_mix_v3(plan: MixPlanV3, epool_dev, dtype=np.float32):
                     d[f"eoff{i}"], d[f"dbdk{i}"], d[f"secoff{i}"],
                     np.int32(c0), nw_p, ns_p, chunk))
             og = jnp.concatenate(pieces, axis=1)[:, :dg_p]
+        if sync:
+            og.block_until_ready()
+            print(f"      [mix] gemm {i}/{len(plan.gemms)} ok "
+                  f"nw={nw_p} ns={ns_p} dg={dg_p} "
+                  f"{_time.time() - _t0:.2f}s", flush=True)
+            _t0 = _time.time()
         outs.append(og.reshape(-1))
     outflat = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     otp = _cap_class(plan.out_total + 1)
     if otp > outflat.shape[0]:
         outflat = jnp.concatenate(
             [outflat, jnp.zeros(otp - outflat.shape[0], dtype=outflat.dtype)])
+    if sync:
+        outflat.block_until_ready()
+        print(f"      [mix] outflat ok {outflat.shape} "
+              f"{_time.time() - _t0:.2f}s", flush=True)
+        _t0 = _time.time()
     ncap_n = plan.ncap_out + 1
     if ncap_n <= max_elems:
         ncap = jnp.zeros(ncap_n, dtype=rdt)
@@ -627,7 +647,7 @@ def execute_mix_v3(plan: MixPlanV3, epool_dev, dtype=np.float32):
                       d["sb_celloff"], d["sb_ncc"], d["sb_cells"],
                       d["rowcell"], d["rowin"], d["colcell"],
                       d["colin"], d["winsrc"], d["windk"], ncap)
-    chunk = _pow2(max_elems // 4 + 1) // 2
+    chunk = max(128, _pow2(max_elems // 4 + 1) // 2)
     pieces = []
     for c0 in range(0, ncap_n, chunk):
         pieces.append(_place_chunk(
@@ -636,4 +656,9 @@ def execute_mix_v3(plan: MixPlanV3, epool_dev, dtype=np.float32):
             d["sb_ncc"], d["sb_cells"], d["rowcell"], d["rowin"],
             d["colcell"], d["colin"], d["winsrc"], d["windk"],
             np.int32(c0), chunk))
+        if sync:
+            pieces[-1].block_until_ready()
+            print(f"      [mix] place chunk {c0}/{ncap_n} ok "
+                  f"{_time.time() - _t0:.2f}s", flush=True)
+            _t0 = _time.time()
     return jnp.concatenate(pieces)[:ncap_n]

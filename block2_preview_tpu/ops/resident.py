@@ -1140,10 +1140,11 @@ def _mix_sig(meta_env, entries, fused, fused_ket, active, active_ket,
 
 
 def _mix_ver() -> int:
-    """Active mix engine version (B2TPU_MIX): 3 = gather-only GEMM
+    """Active mix engine version (B2TPU_MIX): 4 = packed-upload
+    one-launch tiled GEMM (ops/mixv4.py, default), 3 = per-group GEMM
     assembly (ops/mixv3.py), 2 = legacy scatter mix.  Folded into plan
-    cache signatures so persisted plans from the other engine rebuild."""
-    return int(os.environ.get("B2TPU_MIX", "3"))
+    cache signatures so persisted plans from another engine rebuild."""
+    return int(os.environ.get("B2TPU_MIX", "4"))
 
 
 class ResidentSite:
@@ -1193,8 +1194,17 @@ class ResidentSite:
         active_lk = {qL for (qL, _) in eff.ket_space.keys}
         active_rk = {qR for (_, qR) in eff.ket_space.keys}
 
+        _sync = _os.environ.get("B2TPU_SYNC_MIX")
         meta_l, pool_l = me.device_pool("l", t)
+        if _sync:
+            pool_l.block_until_ready()
+            print(f"      [res t={t}] pool_l ok {pool_l.shape}",
+                  flush=True)
         meta_r, pool_r = me.device_pool("r", t + 2)
+        if _sync:
+            pool_r.block_until_ready()
+            print(f"      [res t={t}] pool_r ok {pool_r.shape}",
+                  flush=True)
         if _tm is not None:
             _tm["pool"] = _time.time() - _t0
             _t0 = _time.time()
@@ -1207,7 +1217,17 @@ class ResidentSite:
             caches["mix"][key] = (sig, p)
             return p
 
-        if _mix_ver() >= 3:
+        if _mix_ver() >= 4:
+            # v4: v3 plan content + packed-upload one-launch tiled
+            # execution; falls back to v3 per-plan on budget overflow
+            from .mixv3 import build_mix_plan_v3 as _bmp3
+            from .mixv4 import plan_v4 as _pv4
+
+            def _bmp(*a, **kw):
+                p3 = _bmp3(*a, **kw)
+                p4 = _pv4(p3)
+                return p4 if p4 is not None else p3
+        elif _mix_ver() >= 3:
             from .mixv3 import build_mix_plan_v3 as _bmp
         else:
             _bmp = build_mix_plan
@@ -1233,11 +1253,25 @@ class ResidentSite:
             _tm["mixplan"] = _time.time() - _t0
             _t0 = _time.time()
         if _mix_ver() >= 3:
-            from .mixv3 import execute_mix_v3 as _emx
+            from .mixv3 import MixPlanV3, execute_mix_v3
+            from .mixv4 import MixPlanV4, execute_mix_v4
+
+            def _emx(p, pool, dtype):
+                if isinstance(p, MixPlanV4):
+                    return execute_mix_v4(p, pool, dtype=dtype)
+                return execute_mix_v3(p, pool, dtype=dtype)
         else:
             _emx = execute_mix
         self.lw_pool = _emx(pl, pool_l, dtype=dtype)
+        if _sync:
+            self.lw_pool.block_until_ready()
+            print(f"      [res t={t}] lw mix ok {self.lw_pool.shape}",
+                  flush=True)
         self.rw_pool = _emx(pr, pool_r, dtype=dtype)
+        if _sync:
+            self.rw_pool.block_until_ready()
+            print(f"      [res t={t}] rw mix ok {self.rw_pool.shape}",
+                  flush=True)
         if _tm is not None:
             self.lw_pool.block_until_ready()
             self.rw_pool.block_until_ready()
