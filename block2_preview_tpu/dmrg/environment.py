@@ -231,7 +231,7 @@ class MovingEnvironment:
         # leading int = plan-layout version: bump when the executor's
         # quantization/layout changes so persisted plans (B2TPU_PLAN_CACHE)
         # rebuild instead of resurrecting stale jit shape classes
-        sig = (2,
+        sig = (3,
                tuple((dq, tuple(ss)) for dq, ss in meta_in.groups),
                tuple(tuple(sorted(s.items())) for s in meta_in.sectors),
                tuple(sorted((k, b.shape) for k, b in
@@ -271,11 +271,13 @@ class MovingEnvironment:
                                      self.mpo.bond_dqs[t + 1 if left
                                                        else t]), fh)
                 from ..ops.blockv2 import build_blocking_v2
+                _gm = _os.environ.get("B2TPU_BLK_GEMM", "1") != "0"
                 plan = build_blocking_v2(
                     meta_in, self.mpo.tensors[t], self.mpo.site_quanta[t],
                     self.bra.tensors[t], self.ket.tensors[t], self.g,
                     direction, self.mpo.bond_dqs[src_bond],
-                    self.mpo.bond_dqs[t + 1 if left else t])
+                    self.mpo.bond_dqs[t + 1 if left else t],
+                    gemm_mix=_gm)
             elif self.stk_engine == "tiled_v1":
                 from ..ops.tiled_blocking import build_tiled_blocking_plan
                 plan = build_tiled_blocking_plan(
@@ -306,34 +308,56 @@ class MovingEnvironment:
             self._stk_plans[key] = (hash(sig), plan)
         if plan is None:
             return False
-        from ..ops.blockv2 import BlockingV2Plan as _BV2
-        if isinstance(plan, _BV2):
+        from ..ops.blockv2 import (BlockingV2Plan as _BV2,
+                                   BlockingV3Plan as _BV3)
+        if isinstance(plan, (_BV2, _BV3)):
             import os as _os3
+            _ip = plan.rot if isinstance(plan, _BV3) else plan
             if _os3.environ.get("B2TPU_SYNC_BLK"):
-                print(f"      [blk t={t} {direction}] plan ncap={plan.ncap:.3e}"
-                      f" ns={len(plan.g1)} nt1={plan.nt1} ntp={plan.ntp}"
-                      f" T={plan.T} B={plan.B}"
-                      f" items={int(plan.cum1[-1])}/{int(plan.cum2[-1])}"
-                      f"/{int(plan.cum3[-1])}", flush=True)
-            # device-kernel guard: specific mid-chain plans fault the TPU
-            # worker (Cr2 bond ~15); those bonds fall back to the host
-            # blocking path until the kernel trigger is isolated
+                print(f"      [blk t={t} {direction}] plan "
+                      f"ncap={plan.ncap:.3e}"
+                      f" ns={len(_ip.g1)} nt1={_ip.nt1} ntp={_ip.ntp}"
+                      f" T={_ip.T} B={_ip.B}"
+                      f" items={int(_ip.cum1[-1])}/{int(_ip.cum2[-1])}"
+                      f"/{int(_ip.cum3[-1])}"
+                      + (f" rot={plan.rot_total:.3e}"
+                         if isinstance(plan, _BV3) else ""), flush=True)
+            # device-kernel guard (v2 scatter path only: entry fan-out
+            # made single launches outrun the TPU watchdog; the v3 GEMM
+            # path has per-item stage-3 and is bounded by design)
             _ncap_max = float(_os3.environ.get("B2TPU_BLKV2_NCAP_MAX",
                                                "inf"))
             _items_max = float(_os3.environ.get("B2TPU_BLKV2_ITEMS_MAX",
                                                 "inf"))
-            _items = max(int(plan.cum1[-1]), int(plan.cum2[-1]),
-                         int(plan.cum3[-1]))
-            if plan.ncap > _ncap_max or _items > _items_max:
-                if _os3.environ.get("B2TPU_SYNC_BLK"):
-                    print(f"      [blk t={t} {direction}] -> host fallback",
-                          flush=True)
-                return False
+            if isinstance(plan, _BV3):
+                # ROT pool HBM budget: past it, the transient rotated
+                # pool would not fit next to the env pools
+                _rot_max = float(_os3.environ.get("B2TPU_ROT_MAX",
+                                                  "3e8"))
+                if plan.rot_total > _rot_max:
+                    if _os3.environ.get("B2TPU_SYNC_BLK"):
+                        print(f"      [blk t={t} {direction}] -> host "
+                              f"fallback (rot)", flush=True)
+                    return False
+            else:
+                _items = max(int(plan.cum1[-1]), int(plan.cum2[-1]),
+                             int(plan.cum3[-1]))
+                if plan.ncap > _ncap_max or _items > _items_max:
+                    if _os3.environ.get("B2TPU_SYNC_BLK"):
+                        print(f"      [blk t={t} {direction}] -> host "
+                              f"fallback", flush=True)
+                    return False
         pool_dev = jnp.asarray(pool_in)
-        from ..ops.blockv2 import BlockingV2Plan, execute_blocking_v2
+        from ..ops.blockv2 import (BlockingV2Plan, BlockingV3Plan,
+                                   execute_blocking_v2,
+                                   execute_blocking_v3)
         from ..ops.tiled_blocking import (TiledBlockingPlan,
                                           execute_tiled_blocking)
-        if isinstance(plan, BlockingV2Plan):
+        if isinstance(plan, BlockingV3Plan):
+            pool_out = execute_blocking_v3(plan, pool_dev, dtype=dt,
+                                           mesh=self.mesh,
+                                           axis=self.mesh_axis)
+        elif isinstance(plan, BlockingV2Plan):
             pool_out = execute_blocking_v2(plan, pool_dev, dtype=dt,
                                            mesh=self.mesh,
                                            axis=self.mesh_axis)

@@ -231,11 +231,81 @@ class BlockingV2Plan:
             object.__setattr__(self, "_src", None)
 
 
+class BlockingV3Plan:
+    """Blocking with the symbol mixing on the MXU.
+
+    v2's stage 3 scatters every (entry, prod tile) separately — the
+    per-item entry fan-out (cum3 up to ~40x cum1 on complementary-heavy
+    QC bonds) made single launches run past the TPU kernel watchdog
+    (the round-3 Cr2 'site 16' worker fault, localized round 4 to
+    blk t=15 left) and does 100x redundant scatter traffic.  v3
+    rotates every (combo, sector) block ONCE into a ROT pool laid out
+    like a stacked env pool with combos as the symbol axis (inner
+    `rot` plan: a BlockingV2Plan whose entries are the identity), then
+    applies the MPO entry coefficients as one dense symbol-mixing GEMM
+    per out group (the mixv4 tiled kernel) writing the final pool
+    directly.  Reference analog: TensorFunctions::left_contract's
+    rotate-then-accumulate split (tensor_functions.hpp:2842) with the
+    accumulation as a BatchGEMM instead of axpys."""
+
+    __slots__ = ("rot", "meta_out", "ncap", "T", "flops", "gtab",
+                 "wdense", "rot_total", "_devtok")
+
+    def __getstate__(self):
+        return {k: getattr(self, k) for k in self.__slots__
+                if k != "_devtok"}
+
+    def __setstate__(self, st):
+        for k, v in st.items():
+            object.__setattr__(self, k, v)
+        object.__setattr__(self, "_devtok", None)
+
+    # site-value refresh delegates to the inner rotate plan
+    @property
+    def bra_pool(self):
+        return self.rot.bra_pool
+
+    @bra_pool.setter
+    def bra_pool(self, v):
+        self.rot.bra_pool = v
+
+    @property
+    def ket_pool(self):
+        return self.rot.ket_pool
+
+    @ket_pool.setter
+    def ket_pool(self, v):
+        self.rot.ket_pool = v
+
+    @property
+    def _dev(self):
+        return self.rot._dev
+
+    @_dev.setter
+    def _dev(self, v):
+        object.__setattr__(self.rot, "_dev", v)
+
+    @property
+    def _pooltok(self):
+        return self.rot._pooltok
+
+    @_pooltok.setter
+    def _pooltok(self, v):
+        object.__setattr__(self.rot, "_pooltok", v)
+
+    @property
+    def _src(self):
+        return getattr(self.rot, "_src", None)
+
+    @_src.setter
+    def _src(self, v):
+        object.__setattr__(self.rot, "_src", v)
+
+
 def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
                       bra_T, ket_T, group, direction: str,
                       bond_dqs_in, bond_dqs_out,
-                      T: Optional[int] = None
-                      ) -> Optional[BlockingV2Plan]:
+                      T: Optional[int] = None, gemm_mix: bool = False):
     """Same contract as ops.stacked.build_stacked_plan; compact per-item
     plan executed by _blk_exec.  Retries with a larger tile on budget
     overflow (a single huge block can exceed the per-group task budget
@@ -442,7 +512,9 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
         iprod = nx_a * ny_a
         n1_a = itmp * nk_a
         n2_a = iprod * nl_a
-        n3_a = iprod * nent_a
+        # gemm_mix: stage 3 writes each rotated block ONCE (the entry
+        # fan-out moves to the MXU GEMM stage)
+        n3_a = iprod if gemm_mix else iprod * nent_a
         if (itmp.max() <= nt1 and iprod.max() <= ntp
                 and n1_a.max() <= B and n2_a.max() <= B
                 and n3_a.max() <= B):
@@ -511,16 +583,100 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
             ooff_t[go, qi] = ooff
             odx_t[go, qi] = odx
             ody_t[go, qi] = ody
-    go_e2 = go_t[ef_osym]
-    odx_e = odx_t[go_e2, ef_qrb]
-    ody_e = ody_t[go_e2, ef_qrb]
-    ef = np.empty((ne, 4), dtype=np.int32)
-    ef[:, 0] = ef_item
-    ef[:, 1] = ooff_t[go_e2, ef_qrb] + jo_t[ef_osym] * odx_e * ody_e
-    ef[:, 2] = odx_e
-    ef[:, 3] = ody_e
-    cum3 = np.concatenate(
-        [[0], np.cumsum(np.repeat(iprod, nent_a))]).astype(np.int32)
+    gtab = wdense = None
+    rot_total = 0
+    if gemm_mix:
+        # ---- ROT pool layout: combos as the symbol axis ---------------
+        # every entry of a combo must share one out group (charge
+        # conservation fixes dq_o per (dq_env, pb, pk)); verified here,
+        # falling back to the scatter path otherwise
+        ent_go = go_t[os_e]
+        ncombo = len(cstart)
+        gmin = np.minimum.reduceat(ent_go, cstart)
+        gmax = np.maximum.reduceat(ent_go, cstart)
+        if not np.array_equal(gmin, gmax):
+            return build_blocking_v2(
+                meta_in, entries, quanta, bra_T, ket_T, group,
+                direction, bond_dqs_in, bond_dqs_out, T=T,
+                gemm_mix=False)
+        combo_go = gmin
+        # live combos (those with at least one item), row ids per group
+        ngroups = len(meta_out.groups)
+        live = np.zeros(ncombo, bool)
+        live[combo_a] = True
+        live_idx = np.flatnonzero(live)
+        gg = combo_go[live_idx]
+        order_l = np.argsort(gg, kind="stable")
+        sl = live_idx[order_l]
+        gs = combo_go[sl]
+        cnt_g = np.bincount(gs, minlength=ngroups)
+        gstart = np.concatenate([[0], np.cumsum(cnt_g)[:-1]])
+        rowidx = np.full(ncombo, -1, np.int64)
+        rowidx[sl] = np.arange(len(sl)) - gstart[gs]
+        nrows_go = cnt_g.astype(np.int64)
+        # ROT sectors per (go, qrb): offsets for [nrows_go, dx*dy] slabs
+        item_go = combo_go[combo_a]
+        skey = item_go * NQ + qrb_a
+        uk, ufirst2 = np.unique(skey, return_index=True)
+        u_g = uk // NQ
+        u_dxdy = (dx_a[ufirst2] * dy_a[ufirst2]).astype(np.int64)
+        u_sz = nrows_go[u_g] * u_dxdy
+        u_off = np.concatenate([[0], np.cumsum(u_sz)[:-1]])
+        rot_total = int(u_sz.sum())
+        pos = np.searchsorted(uk, skey)
+        ro = u_off[pos]
+        rd = u_dxdy[pos]
+        rot_off_t = {int(u): (int(o_), int(d_))
+                     for u, o_, d_ in zip(uk, u_off, u_dxdy)}
+        ef = np.empty((nit, 4), dtype=np.int32)
+        ef[:, 0] = np.arange(nit)
+        ef[:, 1] = ro + rowidx[combo_a] * rd
+        ef[:, 2] = dx_a
+        ef[:, 3] = dy_a
+        coef = np.ones(nit, dtype=cf_e.dtype)
+        ne = nit
+        cum3 = np.concatenate([[0], np.cumsum(iprod)]).astype(np.int32)
+        # ---- dense W2 per out group + GEMM sub-block specs ------------
+        woffs = np.concatenate(
+            [[0], np.cumsum([int(len(s_)) * int(nrows_go[gi])
+                             for gi, (_dq, s_) in
+                             enumerate(meta_out.groups)])]).astype(
+                                 np.int64)
+        from .mixv4 import emit_gemm_items
+        wdense = np.zeros(int(woffs[-1]) + 1, dtype=cf_e.dtype)
+        ent_combo = np.repeat(np.arange(ncombo), c_ne)
+        col = rowidx[ent_combo]
+        ok_e = col >= 0
+        g_e2 = combo_go[ent_combo[ok_e]]
+        flat = (woffs[g_e2] + jo_t[os_e[ok_e]] * nrows_go[g_e2]
+                + col[ok_e])
+        np.add.at(wdense, flat, cf_e[ok_e])
+        specs = []
+        for u in sorted(rot_off_t):
+            g_i, q_i = u // NQ, u % NQ
+            o_, dxdy = rot_off_t[u]
+            nw_g = len(meta_out.groups[g_i][1])
+            ns_g = int(nrows_go[g_i])
+            ooff = int(ooff_t[g_i, q_i])
+            specs.append((int(woffs[g_i]), ns_g, nw_g, ns_g, o_, dxdy,
+                          ooff, dxdy, dxdy))
+        gtab = emit_gemm_items(specs)
+        if gtab is None:
+            return build_blocking_v2(
+                meta_in, entries, quanta, bra_T, ket_T, group,
+                direction, bond_dqs_in, bond_dqs_out, T=T,
+                gemm_mix=False)
+    else:
+        go_e2 = go_t[ef_osym]
+        odx_e = odx_t[go_e2, ef_qrb]
+        ody_e = ody_t[go_e2, ef_qrb]
+        ef = np.empty((ne, 4), dtype=np.int32)
+        ef[:, 0] = ef_item
+        ef[:, 1] = ooff_t[go_e2, ef_qrb] + jo_t[ef_osym] * odx_e * ody_e
+        ef[:, 2] = odx_e
+        ef[:, 3] = ody_e
+        cum3 = np.concatenate(
+            [[0], np.cumsum(np.repeat(iprod, nent_a))]).astype(np.int32)
 
     plan = BlockingV2Plan()
     plan.meta_out = meta_out
@@ -549,7 +705,8 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
     plan.B = B
     plan.nt1 = nt1
     plan.ntp = ntp
-    plan.ncap = _cap_class(meta_out.total + 1)
+    plan.ncap = _cap_class((rot_total if gemm_mix
+                            else meta_out.total) + 1)
     plan.left = left
     plan.it = it
     plan.ef = ef
@@ -568,7 +725,77 @@ def build_blocking_v2(meta_in: StackedMeta, entries, quanta,
     plan._devtok = None
     plan._pooltok = None
     plan._src = (bra_T, ket_T)
-    return plan
+    if not gemm_mix:
+        return plan
+    p3 = BlockingV3Plan()
+    object.__setattr__(p3, "rot", plan)
+    object.__setattr__(p3, "meta_out", meta_out)
+    object.__setattr__(p3, "ncap", _cap_class(meta_out.total + 1))
+    object.__setattr__(p3, "T", T)
+    # GEMM flops: dense W2 per group over its full sector width
+    gf = 0.0
+    for (_wb, _ws, nw_s, ns_s, _eb, _es, _ob, _os2, wid) in specs:
+        gf += 2.0 * nw_s * ns_s * wid
+    object.__setattr__(p3, "flops", plan.flops + gf)
+    object.__setattr__(p3, "gtab", gtab)
+    object.__setattr__(p3, "wdense", wdense)
+    object.__setattr__(p3, "rot_total", rot_total)
+    object.__setattr__(p3, "_devtok", None)
+    return p3
+
+
+def execute_blocking_v3(plan: BlockingV3Plan, epool_dev,
+                        dtype=np.float32, mesh=None, axis: str = "op"):
+    """Rotate into the ROT pool (inner v2 plan), then apply the MPO
+    symbol mixing as the tiled GEMM kernel writing the final stacked
+    pool [ncap] (sentinel zeros above meta_out.total)."""
+    import jax.numpy as jnp
+
+    from . import devcache
+    from .mixv4 import _B4, _NTP4, _T4, _mix4_exec
+    rotpool = execute_blocking_v2(plan.rot, epool_dev, dtype=dtype,
+                                  mesh=mesh, axis=axis)
+    rdt = np.dtype(dtype)
+    tok = getattr(plan, "_devtok", None)
+    if tok is None:
+        tok = devcache.new_token()
+        object.__setattr__(plan, "_devtok", tok)
+
+    def upload():
+        g = plan.gtab
+        segs = [("it", g["it"]), ("cum1", g["cum1"]),
+                ("cum2", g["cum2"]), ("g1", g["g1"]), ("g2", g["g2"]),
+                ("e1", g["e1"]), ("e2", g["e2"])]
+        off = 0
+        offs = {}
+        for k, a in segs:
+            offs[k] = (off, a.shape)
+            off += a.size
+        pack = np.empty(max(off, 1), np.int32)
+        for k, a in segs:
+            o = offs[k][0]
+            pack[o:o + a.size] = a.ravel()
+        packed = jnp.asarray(pack)
+        arrs = {}
+        for k, (o, shape) in offs.items():
+            nel = int(np.prod(shape))
+            arrs[k] = jax.lax.dynamic_slice(packed, (o,),
+                                            (nel,)).reshape(shape)
+        wv = plan.wdense
+        if rdt.kind != "c":
+            wv = wv.real
+        wp = np.zeros(_pow2(len(wv) + 1), rdt)
+        wp[:len(wv)] = wv.astype(rdt)
+        arrs["wpool"] = jnp.asarray(wp)
+        return arrs
+
+    d = devcache.get((tok, rdt.str), upload)
+    out0 = jnp.zeros(plan.ncap + 1, dtype=rdt)
+    out = _mix4_exec(rotpool, d["wpool"], d["it"], d["cum1"],
+                     d["cum2"], d["g1"], d["g2"], d["e1"], d["e2"],
+                     out0, jnp.asarray(plan.gtab["ng_live"], jnp.int32),
+                     _T4, _B4, _NTP4)
+    return out[:plan.ncap]
 
 
 def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
@@ -658,6 +885,19 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
     # fixed window length with a traced live count, so the whole engine
     # compiles once per (item class, pool class) regardless of ns
     nmax = int(_os.environ.get("B2TPU_BLK_NSCAN_MAX", "256"))
+    # the launch bound must ALSO cap stage-3 scatter WORK: entry fan-out
+    # makes cum3 up to ~40x cum1, and a 66-group launch with 266k
+    # stage-3 tile tasks (1.1e9 scatter lanes) ran past the TPU
+    # runtime's kernel watchdog and killed the worker (the round-3
+    # 'site 16' Cr2 fault, localized round 4 to blk t=15 left).
+    lane_cap = float(_os.environ.get("B2TPU_BLK_LANES_MAX", "1.5e8"))
+    lanes_per_group = ((plan.cum3[-1] + plan.cum1[-1] + plan.cum2[-1])
+                       * (plan.T * plan.T) / max(ns, 1))
+    nmax = max(1, min(nmax, int(lane_cap / max(lanes_per_group, 1.0))))
+    # pow2 window classes only: the chunk kernel's jit signature depends
+    # on the window length, and a per-plan nmax would mint one compile
+    # per bond
+    nmax = 1 << (nmax.bit_length() - 1)
     ng = -(-ns // nmax) * nmax
     pad1 = np.full(ng - ns, plan.cum1[-1], np.int32)
     pad2 = np.full(ng - ns, plan.cum2[-1], np.int32)

@@ -184,7 +184,7 @@ def _place(outflat, sb_starts, sb_blksz, sb_dlk, sb_rowoff, sb_coloff,
 
 class MixPlanV3:
     __slots__ = ("meta_out", "ncap_out", "gemms", "tables", "out_total",
-                 "iscpx", "dims_hint", "n_launch", "_devtok")
+                 "iscpx", "dims_hint", "n_launch", "winflat", "_devtok")
 
     def __getstate__(self):
         # _devtok identifies device-cache entries of THIS process; a new
@@ -223,9 +223,10 @@ def _build_tab(fused, quanta, ct, act, bond_is_first, group):
 
 
 def _fused_cells(fused, quanta, ct, act, bond_is_first, group):
-    """Per fused sector: ordered cells [(qb_real, p, first, stride,
-    count)] and an element table mapping fused index -> (cell, within).
-    count = bond dim (the env-block extent along this axis)."""
+    """Per fused sector: ordered cells [(qb_real, p, count, first,
+    stride)] and an element table mapping fused index -> (cell, within).
+    count = bond dim (the env-block extent along this axis); first +
+    stride * arange(count) are the cell's fused-index positions."""
     cells: Dict = {}
     for fq, runs in fused.maps.items():
         if act is not None and fq not in act:
@@ -252,7 +253,7 @@ def _fused_cells(fused, quanta, ct, act, bond_is_first, group):
                 rows = first + stride * np.arange(nb)
                 elc[rows] = cid
                 eli[rows] = np.arange(nb)
-                cl.append((qb_real, p, nb))
+                cl.append((qb_real, p, nb, first, stride))
                 idx_within += 1
         cells[fq] = (cl, elc, eli)
     return cells
@@ -413,6 +414,11 @@ def build_mix_plan_v3(meta_env: StackedMeta, entries, quanta,
     sb_starts, sb_blksz, sb_dlk = [], [], []
     sb_rowoff, sb_coloff, sb_celloff, sb_ncc, sb_cells = [], [], [], [], []
     winsrc_l, windk_l = [], []
+    # flat per-window copy plan (v4 place: OUT window -> slab block as
+    # affine 2-D tile tasks): src base/row-stride, dst base/row/col
+    # strides, extents
+    wf_src, wf_sst, wf_dst, wf_rs, wf_cs, wf_nb, wf_nk = \
+        [], [], [], [], [], [], []
     celloff = 0
     for go, (dq_o, osyms) in enumerate(meta_out.groups):
         secs = meta_out.sectors[go]
@@ -441,8 +447,8 @@ def build_mix_plan_v3(meta_env: StackedMeta, entries, quanta,
             nsym_o = len(osyms)
             ws = np.full(nsym_o * ncr * ncc, -1, np.int64)
             wd = np.zeros(nsym_o * ncr * ncc, np.int64)
-            for cri, (qb_b, pb, nb_b) in enumerate(cl_b):
-                for cci, (qb_k, pk, nb_k) in enumerate(cl_k):
+            for cri, (qb_b, pb, nb_b, fr_b, sr_b) in enumerate(cl_b):
+                for cci, (qb_k, pk, nb_k, fc_k, sc_k) in enumerate(cl_k):
                     dq_env = g.sub(qb_b, qb_k)
                     gidx = dq_to_gi.get(dq_env)
                     if gidx is None:
@@ -482,6 +488,29 @@ def build_mix_plan_v3(meta_env: StackedMeta, entries, quanta,
             winsrc_l.append(ws)
             windk_l.append(wd)
             celloff += nsym_o * ncr * ncc
+            # flat windows in the same [jo, cri, cci] order as ws/wd
+            live = ws >= 0
+            if live.any():
+                fr_a = np.fromiter((c_[3] for c_ in cl_b), np.int64, ncr)
+                sr_a = np.fromiter((c_[4] for c_ in cl_b), np.int64, ncr)
+                nb_a = np.fromiter((c_[2] for c_ in cl_b), np.int64, ncr)
+                fc_a = np.fromiter((c_[3] for c_ in cl_k), np.int64, ncc)
+                sc_a = np.fromiter((c_[4] for c_ in cl_k), np.int64, ncc)
+                nk_a = np.fromiter((c_[2] for c_ in cl_k), np.int64, ncc)
+                jo_g, cr_g, cc_g = np.meshgrid(
+                    np.arange(nsym_o, dtype=np.int64), np.arange(ncr),
+                    np.arange(ncc), indexing="ij")
+                jo_f = jo_g.ravel()[live]
+                cr_f = cr_g.ravel()[live]
+                cc_f = cc_g.ravel()[live]
+                wf_src.append(ws[live])
+                wf_sst.append(wd[live])
+                wf_dst.append(ooff + jo_f * (DLb * DLk)
+                              + fr_a[cr_f] * DLk + fc_a[cc_f])
+                wf_rs.append(sr_a[cr_f] * DLk)
+                wf_cs.append(sc_a[cc_f])
+                wf_nb.append(nb_a[cr_f])
+                wf_nk.append(nk_a[cc_f])
 
     def pad32(a, n_p, fill=0):
         out = np.full(n_p, fill, np.int32)
@@ -527,6 +556,22 @@ def build_mix_plan_v3(meta_env: StackedMeta, entries, quanta,
     plan.ncap_out = _cap_class(meta_out.total + 1)
     plan.gemms = gemm_specs
     plan.tables = tables
+    plan.winflat = {
+        "src": (np.concatenate(wf_src) if wf_src
+                else np.zeros(0, np.int64)),
+        "sst": (np.concatenate(wf_sst) if wf_sst
+                else np.zeros(0, np.int64)),
+        "dst": (np.concatenate(wf_dst) if wf_dst
+                else np.zeros(0, np.int64)),
+        "rs": (np.concatenate(wf_rs) if wf_rs
+               else np.zeros(0, np.int64)),
+        "cs": (np.concatenate(wf_cs) if wf_cs
+               else np.zeros(0, np.int64)),
+        "nb": (np.concatenate(wf_nb) if wf_nb
+               else np.zeros(0, np.int64)),
+        "nk": (np.concatenate(wf_nk) if wf_nk
+               else np.zeros(0, np.int64)),
+    }
     plan.out_total = out_total
     if out_total + 1 >= (1 << 31):
         raise ValueError("mix v3: OUT pool exceeds int32 addressing")

@@ -52,14 +52,56 @@ _T4 = 128          # MXU tile
 _B4 = 512          # stage-1 tasks per scan step
 _NTP4 = 512        # prod tiles per scan step
 _DCH = 8           # max d-axis tiles per sub-item (bounds per-item tasks)
+_TP = 16           # place copy tile
+_BP = 8192         # place tasks per scan step
+_PG = 512          # place groups per launch (watchdog bound)
+
+
+@partial(jax.jit, static_argnames=("T", "B"), donate_argnums=(3,))
+def _place4_exec(outflat, it, cum, out0, i0, ng, T, B):
+    """Window-tile place: slab[dst + r*rs + c*cs] = OUT[src + r*sst + c]
+    per window, as [B, T, T] tile tasks.  The v3 elementwise _place
+    derived every slab element's source through ~20 random table reads
+    (searchsorted + 8 gathers); measured 3.5 s per 2^24-element chunk at
+    Cr2 mid-chain pools.  Window tasks do ONE gather + one affine
+    scatter per element.  it [n, 8] int32: src, sst, dst, rs, cs, nb,
+    nk, nkT; cum [n+1] tile-task prefix sums; i0/ng traced group
+    bounds (chunked launches reuse one compile); out0 donated."""
+    r = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    c = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    ncap = out0.shape[0] - 1
+
+    def body(i, out):
+        g0 = i * B
+        item, o, v = _locate(cum, g0, g0 + B, B)
+        f = it[item]
+        nkT = f[:, 7]
+        ri = o // nkT
+        ci = o % nkT
+        sb = jnp.where(v, f[:, 0] + ri * T * f[:, 1] + ci * T, -1)
+        S = _gtile(outflat, sb, f[:, 1], f[:, 5] - ri * T,
+                   f[:, 6] - ci * T, T)
+        idx = f[:, 2][:, None, None] \
+            + (ri[:, None, None] * T + r) * f[:, 3][:, None, None] \
+            + (ci[:, None, None] * T + c) * f[:, 4][:, None, None]
+        ok = v[:, None, None] \
+            & (r < (f[:, 5][:, None, None] - ri[:, None, None] * T)) \
+            & (c < (f[:, 6][:, None, None] - ci[:, None, None] * T))
+        return out.at[jnp.where(ok, idx, ncap)].add(
+            jnp.where(ok, S, 0), mode="drop")
+
+    return lax.fori_loop(i0, ng, body, out0)
 
 
 def _mix4_scan(epool, wpool, it, cum1, cum2, g1, g2, e1, e2, ng, out0,
                T, B, ntp):
-    """it [n, 11] int32: wbase, ns, nw, ebase, estride(dbdk), obase,
-    dgp, njT, ndT, tb, width.  Stage-1 tasks (wi, di, ji) -> prod tiles
-    (tb + wi*ndT + di); stage-2 scatters prod tiles into the flat OUT
-    at affine positions.  ng traced (live group count)."""
+    """it [n, 12] int32: wbase, wstride, nw, ebase, estride, obase,
+    ostride, njT, ndT, tb, width, nsloc.  One item is a bounded GEMM
+    sub-block OUT[w, d] += W[w, j] E[j, d] (w/j/d chunked by the
+    emitter so per-item task counts fit the budgets); stage-1 tasks
+    (wi, di, ji) -> prod tiles (tb + wi*ndT + di); stage-2 scatter-adds
+    prod tiles into the flat OUT at affine positions (j-chunks of the
+    same block accumulate there).  ng traced (live group count)."""
     hi = lax.Precision.HIGHEST
     r = jnp.arange(T, dtype=jnp.int32)[None, :, None]
     c = jnp.arange(T, dtype=jnp.int32)[None, None, :]
@@ -76,16 +118,16 @@ def _mix4_scan(epool, wpool, it, cum1, cum2, g1, g2, e1, e2, ng, out0,
         ji = rem % njT
         wb = jnp.where(v1, f[:, 0] + wi * T * f[:, 1] + ji * T, -1)
         Wt = _gtile(wpool, wb, f[:, 1], f[:, 2] - wi * T,
-                    f[:, 1] - ji * T, T)
+                    f[:, 11] - ji * T, T)
         eb = jnp.where(v1, f[:, 3] + ji * T * f[:, 4] + di * T, -1)
-        Et = _gtile(epool, eb, f[:, 4], f[:, 1] - ji * T,
+        Et = _gtile(epool, eb, f[:, 4], f[:, 11] - ji * T,
                     f[:, 10] - di * T, T)
         p1 = jnp.einsum("bwj,bjd->bwd", Wt, Et, precision=hi,
                         preferred_element_type=epool.dtype)
         s1 = jnp.where(v1, f[:, 9] + wi * ndT + di, ntp)
         prod = jax.ops.segment_sum(p1, s1, num_segments=ntp + 1,
                                    indices_are_sorted=True)
-        # stage 2: prod tile (wi, di) -> OUT[obase + (wi*T+r)*dgp
+        # stage 2: prod tile (wi, di) -> OUT[obase + (wi*T+r)*ostride
         #                                     + di*T + c]
         i2, o2, v2 = _locate(cum2, g2s, e2s, B)
         f2 = it[i2]
@@ -107,6 +149,89 @@ def _mix4_scan(epool, wpool, it, cum1, cum2, g1, g2, e1, e2, ng, out0,
     return lax.fori_loop(0, ng, body, out0)
 
 
+# sub-block chunking (tiles per axis): bounds per-item stage-1 tasks to
+# _WCH*_JCH*_DCH <= _B4 and prod tiles to _WCH*_DCH <= _NTP4
+_WCH = 4
+_JCH = 8
+_DCH4 = 8
+
+
+def emit_gemm_items(specs):
+    """Split GEMM blocks into bounded sub-items + grouped task tables.
+
+    specs: iterable of (wbase, wstride, nw, ns, ebase, estride, obase,
+    ostride, width) — one OUT[w 0:nw, d 0:width] += W[w, j 0:ns]
+    E[j, d] block with W at wbase (row stride wstride), E rows at
+    ebase (row stride estride), OUT rows at obase (row stride
+    ostride).  Returns dict(it, cum1, cum2, g1, g2, e1, e2, ng_live)
+    ready for _mix4_exec."""
+    T = _T4
+    rows = []
+    for (wb, wstr, nw, ns, eb, estr, ob, ostr, width) in specs:
+        nwT = -(-nw // T)
+        njT = -(-ns // T)
+        ndT = -(-width // T)
+        for w0 in range(0, nwT, _WCH):
+            nw_l = min(nw - w0 * T, _WCH * T)
+            for j0 in range(0, njT, _JCH):
+                ns_l = min(ns - j0 * T, _JCH * T)
+                for d0 in range(0, ndT, _DCH4):
+                    wd_l = min(width - d0 * T, _DCH4 * T)
+                    rows.append((wb + w0 * T * wstr + j0 * T, wstr,
+                                 nw_l,
+                                 eb + j0 * T * estr + d0 * T, estr,
+                                 ob + w0 * T * ostr + d0 * T, ostr,
+                                 -(-ns_l // T), -(-wd_l // T),
+                                 0, wd_l, ns_l))
+    if not rows:
+        return None
+    it8 = np.asarray(rows, dtype=np.int64)
+    n = len(it8)
+    nwT = -(-it8[:, 2] // T)
+    njT = it8[:, 7]
+    ndT = it8[:, 8]
+    n1 = nwT * ndT * njT
+    n2 = nwT * ndT
+    B, ntp = _B4, _NTP4
+    assert int(n1.max()) <= B and int(n2.max()) <= ntp
+    c1 = np.concatenate([[0], np.cumsum(n1)]).astype(np.int64)
+    c2 = np.concatenate([[0], np.cumsum(n2)]).astype(np.int64)
+    starts = []
+    i0 = 0
+    while i0 < n:
+        starts.append(i0)
+        e = min(int(np.searchsorted(c1, c1[i0] + B, "right")) - 1,
+                int(np.searchsorted(c2, c2[i0] + ntp, "right")) - 1)
+        i0 = max(e, i0 + 1)
+    starts_a = np.asarray(starts, np.int64)
+    gs_item = np.repeat(starts_a, np.diff(
+        np.concatenate([starts_a, [n]])))
+    it8[:, 9] = c2[:-1] - c2[gs_item]
+
+    n_q = _pow2(n)
+    it = np.zeros((n_q, 12), np.int32)
+    it[:n] = it8
+    it[n:, 7:9] = 1
+    it[n:, 11] = 1
+    c1 = np.concatenate([c1, np.full(n_q - n, c1[-1], c1.dtype)])
+    c2 = np.concatenate([c2, np.full(n_q - n, c2[-1], c2.dtype)])
+    g1 = c1[starts_a]
+    g2 = c2[starts_a]
+    e1 = np.concatenate([g1[1:], c1[-1:]])
+    e2 = np.concatenate([g2[1:], c2[-1:]])
+    ngl = len(starts_a)
+    gcap = max(64, _pow2(ngl))
+    pad = np.full(gcap - ngl, c1[-1])
+    pad2 = np.full(gcap - ngl, c2[-1])
+    return {"it": it, "cum1": c1.astype(np.int32),
+            "cum2": c2.astype(np.int32),
+            "g1": np.concatenate([g1, pad]).astype(np.int32),
+            "g2": np.concatenate([g2, pad2]).astype(np.int32),
+            "e1": np.concatenate([e1, pad]).astype(np.int32),
+            "e2": np.concatenate([e2, pad2]).astype(np.int32),
+            "ng_live": ngl}
+
+
 @partial(jax.jit, static_argnames=("T", "B", "ntp"),
          donate_argnums=(9,))
 def _mix4_exec(epool, wpool, it, cum1, cum2, g1, g2, e1, e2, out0, ng,
@@ -123,7 +248,7 @@ class MixPlanV4:
                  "dims_hint", "n_launch",
                  "it", "cum1", "cum2", "g1", "g2", "e1", "e2",
                  "ng_live", "nscan", "wdense", "pack_i32", "pack_off",
-                 "tables", "_devtok")
+                 "pit", "pcum", "png", "_devtok")
 
     def __getstate__(self):
         return {k: getattr(self, k) for k in self.__slots__
@@ -140,7 +265,8 @@ def plan_v4(p3) -> Optional["MixPlanV4"]:
     if p3 is None:
         return None
     T = _T4
-    items = []   # (wbase, ns, nw, ebase, estride, obase, dgp, width)
+    specs = []   # (wbase, wstride, nw, ns, ebase, estride, obase,
+    #               ostride, width)
     woff = 0
     wslices = []
     for spec in p3.gemms:
@@ -151,71 +277,15 @@ def plan_v4(p3) -> Optional["MixPlanV4"]:
         eoff = spec["eoff"]
         dbdk = spec["dbdk"]
         secoff = spec["secoff"]
-        ndt_all = -(-dbdk // T)
         for s_i in range(spec["nsec"]):
-            nd = int(ndt_all[s_i])
-            # split the d-axis into <= _DCH-tile sub-items so per-item
-            # task counts stay under the scan budgets
-            for d0 in range(0, nd, _DCH):
-                drem = int(dbdk[s_i]) - d0 * T
-                items.append((woff, ns, nw,
-                              int(eoff[s_i]) + d0 * T,
-                              int(dbdk[s_i]),
-                              goff + int(secoff[s_i]) + d0 * T,
-                              dg_p, min(drem, _DCH * T)))
+            specs.append((woff, ns, nw, ns, int(eoff[s_i]),
+                          int(dbdk[s_i]),
+                          goff + int(secoff[s_i]), dg_p,
+                          int(dbdk[s_i])))
         woff += nw * ns
-    if not items:
+    g = emit_gemm_items(specs)
+    if g is None:
         return None
-
-    it8 = np.asarray(items, dtype=np.int64)
-    n = len(it8)
-    nwT = -(-it8[:, 2] // T)
-    njT = -(-it8[:, 1] // T)
-    ndT = -(-it8[:, 7] // T)
-    n1 = nwT * ndT * njT
-    n2 = nwT * ndT
-    B, ntp = _B4, _NTP4
-    if int(n1.max()) > B or int(n2.max()) > ntp:
-        return None          # caller falls back to v3
-    c1 = np.concatenate([[0], np.cumsum(n1)]).astype(np.int64)
-    c2 = np.concatenate([[0], np.cumsum(n2)]).astype(np.int64)
-    # greedy grouping under (B stage-1 tasks, ntp prod tiles)
-    starts = []
-    i0 = 0
-    while i0 < n:
-        starts.append(i0)
-        e = min(int(np.searchsorted(c1, c1[i0] + B, "right")) - 1,
-                int(np.searchsorted(c2, c2[i0] + ntp, "right")) - 1)
-        i0 = max(e, i0 + 1)
-    starts_a = np.asarray(starts, np.int64)
-    gs_item = np.repeat(starts_a, np.diff(
-        np.concatenate([starts_a, [n]])))
-    tb = c2[:-1] - c2[gs_item]
-
-    it = np.zeros((n, 11), dtype=np.int32)
-    it[:, :7] = it8[:, :7]
-    it[:, 7] = njT
-    it[:, 8] = ndT
-    it[:, 9] = tb
-    it[:, 10] = it8[:, 7]
-
-    # pow2 item-count classes (full pow2: padding is free at run time,
-    # every extra shape class costs a fresh remote compile)
-    n_q = _pow2(n)
-    it = np.concatenate([it, np.zeros((n_q - n, 11), np.int32)])
-    it[n:, 7:9] = 1
-    c1 = np.concatenate([c1, np.full(n_q - n, c1[-1], c1.dtype)])
-    c2 = np.concatenate([c2, np.full(n_q - n, c2[-1], c2.dtype)])
-    g1 = c1[starts_a]
-    g2 = c2[starts_a]
-    e1 = np.concatenate([g1[1:], c1[-1:]])
-    e2 = np.concatenate([g2[1:], c2[-1:]])
-    ngl = len(starts_a)
-    gcap = max(64, _pow2(ngl))
-    g1 = np.concatenate([g1, np.full(gcap - ngl, c1[-1])])
-    g2 = np.concatenate([g2, np.full(gcap - ngl, c2[-1])])
-    e1 = np.concatenate([e1, np.full(gcap - ngl, c1[-1])])
-    e2 = np.concatenate([e2, np.full(gcap - ngl, c2[-1])])
 
     p = MixPlanV4()
     p.meta_out = p3.meta_out
@@ -224,15 +294,41 @@ def plan_v4(p3) -> Optional["MixPlanV4"]:
     p.iscpx = p3.iscpx
     p.dims_hint = p3.dims_hint
     p.n_launch = 1
-    p.ng_live = ngl
-    p.it = it
-    p.cum1 = c1.astype(np.int32)
-    p.cum2 = c2.astype(np.int32)
-    p.g1 = g1.astype(np.int32)
-    p.g2 = g2.astype(np.int32)
-    p.e1 = e1.astype(np.int32)
-    p.e2 = e2.astype(np.int32)
-    p.tables = p3.tables
+    p.ng_live = g["ng_live"]
+    p.it = g["it"]
+    p.cum1 = g["cum1"]
+    p.cum2 = g["cum2"]
+    p.g1 = g["g1"]
+    p.g2 = g["g2"]
+    p.e1 = g["e1"]
+    p.e2 = g["e2"]
+
+    # place window tile tasks
+    wf = p3.winflat
+    nwin = len(wf["src"])
+    if nwin == 0:
+        return None
+    Tp = _TP
+    nbT = -(-wf["nb"] // Tp)
+    nkT = -(-wf["nk"] // Tp)
+    ptasks = nbT * nkT
+    pcum = np.concatenate([[0], np.cumsum(ptasks)]).astype(np.int64)
+    nwin_q = _pow2(nwin)
+    pit = np.zeros((nwin_q, 8), np.int32)
+    pit[:nwin, 0] = wf["src"]
+    pit[:nwin, 1] = wf["sst"]
+    pit[:nwin, 2] = wf["dst"]
+    pit[:nwin, 3] = wf["rs"]
+    pit[:nwin, 4] = wf["cs"]
+    pit[:nwin, 5] = wf["nb"]
+    pit[:nwin, 6] = wf["nk"]
+    pit[:nwin, 7] = nkT
+    pit[nwin:, 7] = 1
+    pcum = np.concatenate(
+        [pcum, np.full(nwin_q - nwin, pcum[-1], pcum.dtype)])
+    p.pit = pit
+    p.pcum = pcum.astype(np.int32)
+    p.png = int(-(-int(pcum[-1]) // _BP))
 
     # dense W pool (complex stays complex; real densified at upload)
     wdense = np.zeros(_pow2(woff + 1),
@@ -243,11 +339,10 @@ def plan_v4(p3) -> Optional["MixPlanV4"]:
         wdense[wo:wo + nw * ns] = wd.ravel()
     p.wdense = wdense
 
-    # single packed int32 upload: mix tables + placement tables
+    # single packed int32 upload: mix + place task tables
     segs = [("it", p.it), ("cum1", p.cum1), ("cum2", p.cum2),
-            ("g1", p.g1), ("g2", p.g2), ("e1", p.e1), ("e2", p.e2)]
-    for k in sorted(p3.tables):
-        segs.append((k, p3.tables[k]))
+            ("g1", p.g1), ("g2", p.g2), ("e1", p.e1), ("e2", p.e2),
+            ("pit", p.pit), ("pcum", p.pcum)]
     off = 0
     pack_off = {}
     for k, a in segs:
@@ -307,29 +402,15 @@ def execute_mix_v4(plan: MixPlanV4, epool_dev, dtype=np.float32):
               f"{_time.time() - _t0:.2f}s", flush=True)
         _t0 = _time.time()
 
-    from .mixv3 import _place, _place_chunk
-    max_elems = int(os.environ.get("B2TPU_MIX_CHUNK_ELEMS", str(1 << 26)))
     ncap_n = plan.ncap_out + 1
-    if ncap_n <= max_elems:
-        ncap = jnp.zeros(ncap_n, dtype=rdt)
-        res = _place(outflat, d["sb_starts"], d["sb_blksz"],
-                     d["sb_dlk"], d["sb_rowoff"], d["sb_coloff"],
-                     d["sb_celloff"], d["sb_ncc"], d["sb_cells"],
-                     d["rowcell"], d["rowin"], d["colcell"],
-                     d["colin"], d["winsrc"], d["windk"], ncap)
-    else:
-        chunk = max(128, _pow2(max_elems // 4 + 1) // 2)
-        pieces = []
-        for c0 in range(0, ncap_n, chunk):
-            pieces.append(_place_chunk(
-                outflat, d["sb_starts"], d["sb_blksz"], d["sb_dlk"],
-                d["sb_rowoff"], d["sb_coloff"], d["sb_celloff"],
-                d["sb_ncc"], d["sb_cells"], d["rowcell"], d["rowin"],
-                d["colcell"], d["colin"], d["winsrc"], d["windk"],
-                np.int32(c0), chunk))
-        res = jnp.concatenate(pieces)[:ncap_n]
+    res = jnp.zeros(ncap_n, dtype=rdt)
+    for i0 in range(0, plan.png, _PG):
+        res = _place4_exec(outflat, d["pit"], d["pcum"], res,
+                           jnp.asarray(i0, jnp.int32),
+                           jnp.asarray(min(i0 + _PG, plan.png),
+                                       jnp.int32), _TP, _BP)
     if sync:
         res.block_until_ready()
-        print(f"      [mix4] place ok {_time.time() - _t0:.2f}s",
-              flush=True)
+        print(f"      [mix4] place ok png={plan.png} "
+              f"{_time.time() - _t0:.2f}s", flush=True)
     return res

@@ -1130,13 +1130,13 @@ def _mix_sig(meta_env, entries, fused, fused_ket, active, active_ket,
     non-env input (MPO entry content, fused bases, active sets, targets,
     output bond charges)."""
     from .blocking import _plan_args_sig
-    # the trailing 2 is the structural layout version (v2: sparse-COO W
-    # specs + device-cache tokens) — persisted plans from older layouts
-    # mismatch and rebuild
+    # the trailing 3 is the structural layout version (v3: 12-field
+    # split GEMM items + window place tables) — persisted plans from
+    # older layouts mismatch and rebuild
     return hash((meta_env.signature(),
                  _plan_args_sig(entries, fused, fused_ket, active,
                                 active_ket, comp_target, comp_target_ket),
-                 tuple(out_bond_dqs), _mix_ver(), 2))
+                 tuple(out_bond_dqs), _mix_ver(), 3))
 
 
 def _mix_ver() -> int:

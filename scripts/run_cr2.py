@@ -42,12 +42,7 @@ dtype = {"f32": np.float32, "f64": np.float64}[
     sys.argv[3] if len(sys.argv) > 3 else "f32"]
 n_sweeps = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
-import os
-
-# specific huge mid-chain blocking plans fault the TPU worker (bond-15
-# band at D=250); those bonds run the host blocking path (see
-# dmrg/environment.py guard) until the device-kernel trigger is fixed
-os.environ.setdefault("B2TPU_BLKV2_ITEMS_MAX", "2000000")
+import os  # noqa: F401  (knobs like B2TPU_ROT_MAX settable by callers)
 
 t0 = time.time()
 fd = FCIDUMP.parse("/root/reference/data/CR2.SVP.FCIDUMP")
