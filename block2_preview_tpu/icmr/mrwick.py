@@ -289,6 +289,166 @@ def evaluate(cterms: Sequence[MTerm], tensors: Dict[str, np.ndarray],
     return total
 
 
+def evaluate_labels(cterms: Sequence[MTerm],
+                    tensors: Dict[str, np.ndarray],
+                    base_range_of, lab_of: Dict[str, np.ndarray],
+                    masks: Dict[str, np.ndarray],
+                    local_names: Tuple[str, ...] = ("G1", "G2", "G3",
+                                                    "G4"),
+                    local_offset: int = 0,
+                    chunk: int = 2048) -> np.ndarray:
+    """Batched evaluation over perturber LABELS (the sc-NEVPT2 per-
+    (core, virt)-label class expressions; reference
+    pyblock2/icmr/scnevpt2.py evaluates whole classes as einsums).
+
+    Label symbols ``XC{k}_*`` / ``XV{k}_*`` bind per label to the k-th
+    distinct core/virt orbital: ``lab_of['XC0']`` is an int array [nl]
+    of GLOBAL indices.  Complement symbols ``O*``/``W*`` range over the
+    FULL core/virt space with a per-label 0/1 mask factor
+    (``masks['O']`` [nl, ncore-range]), which reproduces the
+    per-label complement sums exactly.  ``base_range_of`` supplies the
+    full-space range for every non-label symbol.  Returns the term sum
+    as an array over labels [nl].
+
+    One einsum per (term, label-chunk) replaces nl independent
+    ``evaluate`` calls — the label axis 'Z' is carried through the
+    contraction (diagonal over all label-bound slots)."""
+    heads = set(lab_of)
+    nl = len(next(iter(lab_of.values()))) if lab_of else 1
+    total = np.zeros(nl)
+
+    def head_of(sym: str):
+        h = sym.split("_")[0]
+        return h if h in heads else None
+
+    for term in cterms:
+        parent: Dict[str, str] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        facs = []
+        for name, ixs in term.tensors:
+            if name == "delta":
+                rx, ry = find(ixs[0]), find(ixs[1])
+                if rx != ry:
+                    parent[rx] = ry
+            else:
+                facs.append((name, ixs))
+        syms = set()
+        for name, ixs in term.tensors:
+            syms.update(ixs)
+        # classify classes
+        cls_head: Dict[str, str] = {}
+        cls_range: Dict[str, np.ndarray] = {}
+        cls_mask: Dict[str, str] = {}
+        dead = False
+        for x in sorted(syms):
+            r = find(x)
+            h = head_of(x)
+            if h is not None:
+                prev = cls_head.get(r)
+                if prev is not None and prev != h:
+                    dead = True      # two distinct label orbitals
+                    break
+                cls_head[r] = h
+                continue
+            rng = base_range_of(x)
+            cur = cls_range.get(r)
+            cls_range[r] = rng if cur is None else \
+                np.intersect1d(cur, rng)
+            if x[0] in masks:
+                cls_mask[r] = x[0]
+        if not dead:
+            for r, h in cls_head.items():
+                if r in cls_mask:
+                    dead = True      # label forced into its complement
+                    break
+                rng = cls_range.get(r)
+                if rng is not None:
+                    # non-label members restrict the class; the label
+                    # space must survive the restriction
+                    space = base_range_of("C" if h[1] == "C" else "V")
+                    if len(np.intersect1d(rng, space)) != len(space):
+                        dead = True
+                        break
+            for r, rng in cls_range.items():
+                if r not in cls_head and len(rng) == 0:
+                    dead = True
+        if dead:
+            continue
+
+        # pre-slice non-label axes ONCE; per-chunk work is only the
+        # label gathers + the einsum
+        letters: Dict[str, str] = {}
+        alphabet = iter(
+            "abcdefghijklmnopqrstuvwxyABCDEFGHIJKLMNOPQRSTUV")
+        pre = []   # (base array, [(axis, head)], sub)
+        for name, ixs in facs:
+            a = tensors[name]
+            labaxes = []
+            sub = ""
+            for j, x in enumerate(ixs):
+                r = find(x)
+                if r in cls_head:
+                    assert name not in local_names
+                    labaxes.append((j, cls_head[r]))
+                    sub += "z"
+                    continue
+                rng = cls_range[r]
+                a = np.take(a, rng - local_offset
+                            if name in local_names else rng, axis=j)
+                if r not in letters:
+                    letters[r] = next(alphabet)
+                sub += letters[r]
+            pre.append((a, labaxes, sub))
+        msk = []   # (mask array full, positions, letter)
+        for r, mk in cls_mask.items():
+            if r not in letters:
+                letters[r] = next(alphabet)
+            space = base_range_of(mk)
+            posm = np.searchsorted(space, cls_range[r])
+            msk.append((masks[mk], posm, letters[r]))
+        coeff = term.coeff
+        touched = set()
+        for _a, _la, sub in pre:
+            touched.update(sub)
+        for _m, _p, le in msk:
+            touched.add(le)
+        for r, rng in cls_range.items():
+            if r in cls_head:
+                continue
+            le = letters.get(r)
+            if le is None or le not in touched:
+                coeff *= len(rng)
+        if not pre and not msk:
+            total += coeff
+            continue
+        if not any("z" in sub for _a, la, sub in pre) and not msk:
+            val = np.einsum(
+                ",".join(sub for _a, _la, sub in pre) + "->",
+                *[a for a, _la, _s in pre], optimize=True)
+            total += coeff * float(val)
+            continue
+        specs = ([sub for _a, _la, sub in pre]
+                 + ["z" + le for _m, _p, le in msk])
+        path_spec = ",".join(specs) + "->z"
+        for l0 in range(0, nl, chunk):
+            sl = slice(l0, l0 + chunk)
+            arrays = []
+            for a, labaxes, _sub in pre:
+                for j, h in labaxes:
+                    a = np.take(a, lab_of[h][sl], axis=j)
+                arrays.append(a)
+            for M, posm, _le in msk:
+                arrays.append(M[sl][:, posm])
+            val = np.einsum(path_spec, *arrays, optimize=True)
+            total[sl] += coeff * val
+    return total
+
+
 def evaluate_tensor(cterms: Sequence[MTerm], tensors: Dict[str, np.ndarray],
                     range_of, free: Sequence[str],
                     local_names: Tuple[str, ...] = ("g1", "g2", "g3", "g4"),

@@ -384,8 +384,8 @@ def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
               gammas: Optional[Dict[str, np.ndarray]] = None,
               psi0: Optional[np.ndarray] = None,
               iprint: int = 0, spatial: bool = False,
-              gammas_spatial: Optional[Dict[str, np.ndarray]] = None
-              ) -> SCNEVPT2Result:
+              gammas_spatial: Optional[Dict[str, np.ndarray]] = None,
+              label_batch: bool = True) -> SCNEVPT2Result:
     """RDM-driven strongly contracted NEVPT2.
 
     gammas: spin-orbital active RDMs g1..g4 (from `active_gammas` or the
@@ -461,29 +461,93 @@ def sc_nevpt2(fd: FCIDUMP, ncore: int, ncas: int,
         # fully-contracted norm/energy expressions across labels — the
         # per-label work drops to numeric einsums
         sym_cache: Dict[Tuple, Tuple] = {}
-        for cl in core_labs:
-            for vl in virt_labs:
-                from collections import Counter
-                sig = (tuple(sorted(Counter(cl).values())),
-                       tuple(sorted(Counter(vl).values())))
-                hit = sym_cache.get(sig)
-                if hit is None:
-                    A = bind_label(hterms, cl, vl)
-                    if not A:
-                        sym_cache[sig] = (None, None)
-                        continue
-                    Ad = mw.conj_terms(A)
-                    nterms = mw.mr_expect(mw.mul_terms(Ad, A))
-                    comm = mw.commutator_terms(hd, A)
-                    hterms_c = mw.mr_expect(mw.mul_terms(Ad, comm))
-                    if spatial:
-                        nterms = spatialize(nterms)
-                        hterms_c = spatialize(hterms_c)
-                    sym_cache[sig] = (nterms, hterms_c)
-                    hit = sym_cache[sig]
-                nterms, hterms_c = hit
-                if nterms is None:
+        from collections import Counter
+        pairs = [(cl, vl) for cl in core_labs for vl in virt_labs]
+        sig_of = {}
+        for cl, vl in pairs:
+            sig = (tuple(sorted(Counter(cl).values())),
+                   tuple(sorted(Counter(vl).values())))
+            sig_of.setdefault(sig, []).append((cl, vl))
+        for sig, labs in sig_of.items():
+            hit = sym_cache.get(sig)
+            if hit is None:
+                cl0, vl0 = labs[0]
+                A = bind_label(hterms, cl0, vl0)
+                if not A:
+                    sym_cache[sig] = (None, None)
                     continue
+                Ad = mw.conj_terms(A)
+                nterms = mw.mr_expect(mw.mul_terms(Ad, A))
+                comm = mw.commutator_terms(hd, A)
+                hterms_c = mw.mr_expect(mw.mul_terms(Ad, comm))
+                if spatial:
+                    nterms = spatialize(nterms)
+                    hterms_c = spatialize(hterms_c)
+                sym_cache[sig] = (nterms, hterms_c)
+                hit = sym_cache[sig]
+            nterms, hterms_c = hit
+            if nterms is None:
+                continue
+            if spatial and label_batch:
+                # ONE einsum per (term, chunk) over the whole label set
+                # of this signature (reference pyblock2/icmr/scnevpt2.py
+                # evaluates whole classes as einsums, scnevpt2.py:150)
+                core_all = np.arange(ncore)
+                act_all = np.arange(ncore, ncore + ncas)
+                virt_all = np.arange(ncore + ncas, n)
+
+                def base_rng(sym, _c=core_all, _a=act_all, _v=virt_all):
+                    ch = sym[0]
+                    if ch in ("C", "O"):
+                        return _c
+                    if ch == "A":
+                        return _a
+                    if ch in ("V", "W"):
+                        return _v
+                    raise KeyError(sym)
+
+                nlb = len(labs)
+                lab_of = {}
+                cdist0 = sorted(set(labs[0][0]))
+                vdist0 = sorted(set(labs[0][1]))
+                for k in range(len(cdist0)):
+                    lab_of[f"XC{k}"] = np.asarray(
+                        [sorted(set(cl))[k] for cl, _ in labs],
+                        np.int64)
+                for k in range(len(vdist0)):
+                    lab_of[f"XV{k}"] = np.asarray(
+                        [sorted(set(vl))[k] for _, vl in labs],
+                        np.int64)
+                Mc = np.ones((nlb, ncore))
+                Mv = np.ones((nlb, n - ncore - ncas))
+                for li, (cl, vl) in enumerate(labs):
+                    for o in set(cl):
+                        Mc[li, o] = 0.0
+                    for o in set(vl):
+                        Mv[li, o - ncore - ncas] = 0.0
+                nl_arr = mw.evaluate_labels(
+                    nterms, tensors, base_rng, lab_of,
+                    {"O": Mc, "W": Mv}, local_names=local_names,
+                    local_offset=loc_off)
+                he_arr = mw.evaluate_labels(
+                    hterms_c, tensors, base_rng, lab_of,
+                    {"O": Mc, "W": Mv}, local_names=local_names,
+                    local_offset=loc_off)
+                live = nl_arr >= 1e-12
+                de_arr = np.where(live, he_arr / np.where(live, nl_arr,
+                                                          1.0), 0.0)
+                keep = live & (np.abs(de_arr) >= 1e-10)
+                for li in np.flatnonzero(live & ~keep):
+                    res.skipped.append((cname, labs[li][0], labs[li][1],
+                                        nl_arr[li], de_arr[li]))
+                ecls -= float((nl_arr[keep] / de_arr[keep]).sum())
+                if iprint >= 2:
+                    for li in np.flatnonzero(keep):
+                        print(f"  {cname} {labs[li][0]}->{labs[li][1]}:"
+                              f" N={nl_arr[li]:.2e} "
+                              f"de={de_arr[li]:.6f}")
+                continue
+            for cl, vl in labs:
                 rng = ranges_factory(n, ncore, ncas, cl, vl)
                 nl = mw.evaluate(nterms, tensors, rng,
                                  local_names=local_names,

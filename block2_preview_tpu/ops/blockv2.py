@@ -171,6 +171,25 @@ def _blk_exec_chunk(out0, epool, bpool, kpool, it, ef, coef, cum1, cum2,
     return out0 + acc
 
 
+@partial(jax.jit, static_argnames=("nmax", "nt1", "ntp", "T", "B",
+                                   "left", "ncap"),
+         donate_argnums=(0,))
+def _blk_exec_chunkp(out0, epool, bpool, kpool, it, ef, coef, cum1,
+                     cum2, cum3, gepack, lo, ngp, ng, nmax, nt1, ntp,
+                     T, B, left, ncap):
+    """_blk_exec_chunk with the per-chunk g/e windows sliced INSIDE the
+    jit from one resident packed array (gepack = [g1 g2 g3 e1 e2 e3]
+    each ngp long).  lo/ngp are traced, so chunking costs zero extra
+    transfers or dispatches per launch."""
+    def seg(i):
+        return lax.dynamic_slice(gepack, (i * ngp + lo,), (nmax,))
+
+    acc = _blk_scan(epool, bpool, kpool, it, ef, coef, cum1, cum2,
+                    cum3, seg(0), seg(1), seg(2), seg(3), seg(4),
+                    seg(5), ng, nt1, ntp, T, B, left, ncap)
+    return out0 + acc
+
+
 @partial(jax.jit, static_argnames=("nt1", "ntp", "T", "B", "left",
                                    "ncap", "mesh", "axis"))
 def _blk_exec_sharded(epool, bpool, kpool, it, ef, coef, cum1, cum2,
@@ -752,7 +771,7 @@ def execute_blocking_v3(plan: BlockingV3Plan, epool_dev,
     import jax.numpy as jnp
 
     from . import devcache
-    from .mixv4 import _B4, _NTP4, _T4, _mix4_exec
+    from .mixv4 import _B4, _NTP4, _T4
     rotpool = execute_blocking_v2(plan.rot, epool_dev, dtype=dtype,
                                   mesh=mesh, axis=axis)
     rdt = np.dtype(dtype)
@@ -767,34 +786,33 @@ def execute_blocking_v3(plan: BlockingV3Plan, epool_dev,
                 ("cum2", g["cum2"]), ("g1", g["g1"]), ("g2", g["g2"]),
                 ("e1", g["e1"]), ("e2", g["e2"])]
         off = 0
-        offs = {}
-        for k, a in segs:
-            offs[k] = (off, a.shape)
+        offs = []
+        for _k, a in segs:
+            offs.append(off)
             off += a.size
         pack = np.empty(max(off, 1), np.int32)
-        for k, a in segs:
-            o = offs[k][0]
+        for (_k, a), o in zip(segs, offs):
             pack[o:o + a.size] = a.ravel()
-        packed = jnp.asarray(pack)
-        arrs = {}
-        for k, (o, shape) in offs.items():
-            nel = int(np.prod(shape))
-            arrs[k] = jax.lax.dynamic_slice(packed, (o,),
-                                            (nel,)).reshape(shape)
         wv = plan.wdense
         if rdt.kind != "c":
             wv = wv.real
         wp = np.zeros(_pow2(len(wv) + 1), rdt)
         wp[:len(wv)] = wv.astype(rdt)
-        arrs["wpool"] = jnp.asarray(wp)
-        return arrs
+        return {"packed": jnp.asarray(pack),
+                "offs": jnp.asarray(np.asarray(offs + [0, 0],
+                                               np.int32)),
+                "wpool": jnp.asarray(wp)}
 
+    from .mixv4 import _mix4_exec_packed
     d = devcache.get((tok, rdt.str), upload)
     out0 = jnp.zeros(plan.ncap + 1, dtype=rdt)
-    out = _mix4_exec(rotpool, d["wpool"], d["it"], d["cum1"],
-                     d["cum2"], d["g1"], d["g2"], d["e1"], d["e2"],
-                     out0, jnp.asarray(plan.gtab["ng_live"], jnp.int32),
-                     _T4, _B4, _NTP4)
+    nit_q = plan.gtab["it"].shape[0]
+    gcap = len(plan.gtab["g1"])
+    out = _mix4_exec_packed(rotpool, d["wpool"], d["packed"], out0,
+                            d["offs"],
+                            jnp.asarray(plan.gtab["ng_live"],
+                                        jnp.int32),
+                            nit_q, gcap, _T4, _B4, _NTP4)
     return out[:plan.ncap]
 
 
@@ -812,17 +830,57 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
         tok = devcache.new_token()
         object.__setattr__(plan, "_devtok", tok)
 
+    import os as _os
+    # bounded-depth launches: dense mid-chain bonds produce thousands of
+    # task groups; one launch per <= nmax groups keeps each kernel under
+    # the TPU runtime's watchdog (the single-launch form killed the
+    # worker at Cr2 bond ~14, 5120 groups).  Every chunk has the SAME
+    # fixed window length with a traced live count, so the whole engine
+    # compiles once per (item class, pool class) regardless of ns.
+    # The launch bound must ALSO cap stage-3 scatter WORK: entry
+    # fan-out makes cum3 up to ~40x cum1, and a 66-group launch with
+    # 266k stage-3 tile tasks (1.1e9 scatter lanes) ran past the TPU
+    # kernel watchdog and killed the worker (the round-3 'site 16' Cr2
+    # fault, localized round 4 to blk t=15 left).
+    ns = len(plan.g1)
+    nmax = int(_os.environ.get("B2TPU_BLK_NSCAN_MAX", "256"))
+    lane_cap = float(_os.environ.get("B2TPU_BLK_LANES_MAX", "1.5e8"))
+    lanes_per_group = ((plan.cum3[-1] + plan.cum1[-1] + plan.cum2[-1])
+                       * (plan.T * plan.T) / max(ns, 1))
+    nmax = max(1, min(nmax, int(lane_cap / max(lanes_per_group, 1.0))))
+    # pow2 window classes only: the chunk kernel's jit signature depends
+    # on the window length, and a per-plan nmax would mint one compile
+    # per bond
+    nmax = 1 << (nmax.bit_length() - 1)
+    ngp = -(-ns // nmax) * nmax
+
     def upload_struct():
         cf = plan.coef
         if not np.iscomplexobj(np.zeros(1, dtype)):
             cf = cf.real
+        e1f = np.concatenate([plan.g1[1:],
+                              plan.cum1[-1:]]).astype(np.int32)
+        e2f = np.concatenate([plan.g2[1:],
+                              plan.cum2[-1:]]).astype(np.int32)
+        e3f = np.concatenate([plan.g3[1:],
+                              plan.cum3[-1:]]).astype(np.int32)
+
+        def padg(a, fill):
+            return np.concatenate(
+                [a, np.full(ngp - ns, fill, np.int32)])
+
+        gepack = np.concatenate(
+            [padg(plan.g1, plan.cum1[-1]), padg(plan.g2, plan.cum2[-1]),
+             padg(plan.g3, plan.cum3[-1]), padg(e1f, plan.cum1[-1]),
+             padg(e2f, plan.cum2[-1]), padg(e3f, plan.cum3[-1])])
         return {"it": jnp.asarray(plan.it), "ef": jnp.asarray(plan.ef),
                 "coef": jnp.asarray(cf.astype(dtype)),
                 "cum1": jnp.asarray(plan.cum1),
                 "cum2": jnp.asarray(plan.cum2),
                 "cum3": jnp.asarray(plan.cum3),
                 "g1": jnp.asarray(plan.g1), "g2": jnp.asarray(plan.g2),
-                "g3": jnp.asarray(plan.g3)}
+                "g3": jnp.asarray(plan.g3),
+                "gepack": jnp.asarray(gepack)}
 
     # site-value pools: refresh_plan_sites clears _pooltok whenever the
     # MPS rotation matrices captured by the plan change (every sweep),
@@ -852,7 +910,6 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
         pools["bpool"], pools["kpool"], dev["it"], dev["ef"],
         dev["coef"], dev["cum1"], dev["cum2"], dev["cum3"], dev["g1"],
         dev["g2"], dev["g3"])
-    ns = len(plan.g1)
     e1f = np.concatenate([plan.g1[1:], plan.cum1[-1:]]).astype(np.int32)
     e2f = np.concatenate([plan.g2[1:], plan.cum2[-1:]]).astype(np.int32)
     e3f = np.concatenate([plan.g3[1:], plan.cum3[-1:]]).astype(np.int32)
@@ -877,45 +934,12 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
             jnp.asarray(ilv(e3f, plan.cum3[-1])),
             jnp.asarray(ngl, jnp.int32), plan.nt1, plan.ntp, plan.T,
             plan.B, plan.left, plan.ncap, mesh, axis)
-    import os as _os
-    # bounded-depth launches: dense mid-chain bonds produce thousands of
-    # task groups; one launch per <= nmax groups keeps each kernel under
-    # the TPU runtime's watchdog (the single-launch form killed the
-    # worker at Cr2 bond ~14, 5120 groups).  Every chunk has the SAME
-    # fixed window length with a traced live count, so the whole engine
-    # compiles once per (item class, pool class) regardless of ns
-    nmax = int(_os.environ.get("B2TPU_BLK_NSCAN_MAX", "256"))
-    # the launch bound must ALSO cap stage-3 scatter WORK: entry fan-out
-    # makes cum3 up to ~40x cum1, and a 66-group launch with 266k
-    # stage-3 tile tasks (1.1e9 scatter lanes) ran past the TPU
-    # runtime's kernel watchdog and killed the worker (the round-3
-    # 'site 16' Cr2 fault, localized round 4 to blk t=15 left).
-    lane_cap = float(_os.environ.get("B2TPU_BLK_LANES_MAX", "1.5e8"))
-    lanes_per_group = ((plan.cum3[-1] + plan.cum1[-1] + plan.cum2[-1])
-                       * (plan.T * plan.T) / max(ns, 1))
-    nmax = max(1, min(nmax, int(lane_cap / max(lanes_per_group, 1.0))))
-    # pow2 window classes only: the chunk kernel's jit signature depends
-    # on the window length, and a per-plan nmax would mint one compile
-    # per bond
-    nmax = 1 << (nmax.bit_length() - 1)
-    ng = -(-ns // nmax) * nmax
-    pad1 = np.full(ng - ns, plan.cum1[-1], np.int32)
-    pad2 = np.full(ng - ns, plan.cum2[-1], np.int32)
-    pad3 = np.full(ng - ns, plan.cum3[-1], np.int32)
-    g1f = np.concatenate([plan.g1, pad1])
-    g2f = np.concatenate([plan.g2, pad2])
-    g3f = np.concatenate([plan.g3, pad3])
-    e1f = np.concatenate([e1f, pad1])
-    e2f = np.concatenate([e2f, pad2])
-    e3f = np.concatenate([e3f, pad3])
     out = jnp.zeros(plan.ncap, dtype=dtype)
-    for lo in range(0, ng, nmax):
-        sl = slice(lo, lo + nmax)
-        out = _blk_exec_chunk(
+    ngp_j = jnp.asarray(ngp, jnp.int32)
+    for lo in range(0, ngp, nmax):
+        out = _blk_exec_chunkp(
             out, epool_dev, bpool, kpool, it, ef, coef, cum1, cum2,
-            cum3, jnp.asarray(g1f[sl]), jnp.asarray(g2f[sl]),
-            jnp.asarray(g3f[sl]), jnp.asarray(e1f[sl]),
-            jnp.asarray(e2f[sl]), jnp.asarray(e3f[sl]),
-            jnp.asarray(min(nmax, ns - lo), jnp.int32), plan.nt1,
-            plan.ntp, plan.T, plan.B, plan.left, plan.ncap)
+            cum3, dev["gepack"], jnp.asarray(lo, jnp.int32), ngp_j,
+            jnp.asarray(min(nmax, ns - lo), jnp.int32), nmax,
+            plan.nt1, plan.ntp, plan.T, plan.B, plan.left, plan.ncap)
     return out

@@ -57,6 +57,41 @@ _BP = 8192         # place tasks per scan step
 _PG = 512          # place groups per launch (watchdog bound)
 
 
+@partial(jax.jit, static_argnames=("nwin_q", "T", "B"),
+         donate_argnums=(2,))
+def _place4_exec_packed(outflat, packed, out0, offs, i0, ng, nwin_q,
+                        T, B):
+    """_place4_exec reading pit/pcum from the packed array (traced
+    offsets; see _mix4_exec_packed)."""
+    it = lax.dynamic_slice(packed, (offs[7],),
+                           (nwin_q * 8,)).reshape(nwin_q, 8)
+    cum = lax.dynamic_slice(packed, (offs[8],), (nwin_q + 1,))
+    r = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    c = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    ncap = out0.shape[0] - 1
+
+    def body(i, out):
+        g0 = i * B
+        item, o, v = _locate(cum, g0, g0 + B, B)
+        f = it[item]
+        nkT = f[:, 7]
+        ri = o // nkT
+        ci = o % nkT
+        sb = jnp.where(v, f[:, 0] + ri * T * f[:, 1] + ci * T, -1)
+        S = _gtile(outflat, sb, f[:, 1], f[:, 5] - ri * T,
+                   f[:, 6] - ci * T, T)
+        idx = f[:, 2][:, None, None] \
+            + (ri[:, None, None] * T + r) * f[:, 3][:, None, None] \
+            + (ci[:, None, None] * T + c) * f[:, 4][:, None, None]
+        ok = v[:, None, None] \
+            & (r < (f[:, 5][:, None, None] - ri[:, None, None] * T)) \
+            & (c < (f[:, 6][:, None, None] - ci[:, None, None] * T))
+        return out.at[jnp.where(ok, idx, ncap)].add(
+            jnp.where(ok, S, 0), mode="drop")
+
+    return lax.fori_loop(i0, ng, body, out0)
+
+
 @partial(jax.jit, static_argnames=("T", "B"), donate_argnums=(3,))
 def _place4_exec(outflat, it, cum, out0, i0, ng, T, B):
     """Window-tile place: slab[dst + r*rs + c*cs] = OUT[src + r*sst + c]
@@ -240,6 +275,29 @@ def _mix4_exec(epool, wpool, it, cum1, cum2, g1, g2, e1, e2, out0, ng,
                       out0, T, B, ntp)
 
 
+@partial(jax.jit, static_argnames=("nit_q", "gcap", "T", "B", "ntp"),
+         donate_argnums=(3,))
+def _mix4_exec_packed(epool, wpool, packed, out0, offs, ng, nit_q,
+                      gcap, T, B, ntp):
+    """_mix4_exec reading its task tables from ONE packed int32 device
+    array.  offs [7] holds the segment start offsets as TRACED values
+    (per-plan offsets never mint a new compile; the segment sizes are
+    already part of the static signature), so the whole upload is two
+    transfers instead of ~9 dispatched device-side slices."""
+    def seg(i, nel):
+        return lax.dynamic_slice(packed, (offs[i],), (nel,))
+
+    it = seg(0, nit_q * 12).reshape(nit_q, 12)
+    cum1 = seg(1, nit_q + 1)
+    cum2 = seg(2, nit_q + 1)
+    g1 = seg(3, gcap)
+    g2 = seg(4, gcap)
+    e1 = seg(5, gcap)
+    e2 = seg(6, gcap)
+    return _mix4_scan(epool, wpool, it, cum1, cum2, g1, g2, e1, e2, ng,
+                      out0, T, B, ntp)
+
+
 class MixPlanV4:
     """Execution form derived from a MixPlanV3 (same meta_out / place
     tables; see build_mix_plan_v3)."""
@@ -369,16 +427,15 @@ def execute_mix_v4(plan: MixPlanV4, epool_dev, dtype=np.float32):
         plan._devtok = tok
 
     def upload():
-        packed = jnp.asarray(plan.pack_i32)
-        arrs = {"_packed": packed,
+        offs = np.asarray(
+            [plan.pack_off[k][0] for k in
+             ("it", "cum1", "cum2", "g1", "g2", "e1", "e2", "pit",
+              "pcum")], np.int32)
+        return {"packed": jnp.asarray(plan.pack_i32),
+                "offs": jnp.asarray(offs),
                 "wpool": jnp.asarray(
                     plan.wdense.real.astype(rdt) if rdt.kind != "c"
                     else plan.wdense.astype(rdt))}
-        for k, (o, shape) in plan.pack_off.items():
-            nel = int(np.prod(shape))
-            arrs[k] = lax.dynamic_slice(packed, (o,),
-                                        (nel,)).reshape(shape)
-        return arrs
 
     sync = os.environ.get("B2TPU_SYNC_MIX")
     import time as _time
@@ -391,10 +448,12 @@ def execute_mix_v4(plan: MixPlanV4, epool_dev, dtype=np.float32):
         _t0 = _time.time()
     otp = _cap_class(plan.out_total + 1)
     out0 = jnp.zeros(otp + 1, dtype=rdt)
-    out = _mix4_exec(epool_dev, d["wpool"], d["it"], d["cum1"],
-                     d["cum2"], d["g1"], d["g2"], d["e1"], d["e2"],
-                     out0, jnp.asarray(plan.ng_live, jnp.int32),
-                     _T4, _B4, _NTP4)
+    nit_q = plan.it.shape[0]
+    gcap = len(plan.g1)
+    out = _mix4_exec_packed(epool_dev, d["wpool"], d["packed"], out0,
+                            d["offs"],
+                            jnp.asarray(plan.ng_live, jnp.int32),
+                            nit_q, gcap, _T4, _B4, _NTP4)
     outflat = out[:otp]
     if sync:
         outflat.block_until_ready()
@@ -404,11 +463,13 @@ def execute_mix_v4(plan: MixPlanV4, epool_dev, dtype=np.float32):
 
     ncap_n = plan.ncap_out + 1
     res = jnp.zeros(ncap_n, dtype=rdt)
+    nwin_q = plan.pit.shape[0]
     for i0 in range(0, plan.png, _PG):
-        res = _place4_exec(outflat, d["pit"], d["pcum"], res,
-                           jnp.asarray(i0, jnp.int32),
-                           jnp.asarray(min(i0 + _PG, plan.png),
-                                       jnp.int32), _TP, _BP)
+        res = _place4_exec_packed(
+            outflat, d["packed"], res, d["offs"],
+            jnp.asarray(i0, jnp.int32),
+            jnp.asarray(min(i0 + _PG, plan.png), jnp.int32),
+            nwin_q, _TP, _BP)
     if sync:
         res.block_until_ready()
         print(f"      [mix4] place ok png={plan.png} "
