@@ -540,6 +540,13 @@ class DMRG:
         except Exception:
             pass
 
+    # resident sub-caches worth persisting: mix plans and blocking
+    # plans cost seconds-to-minutes of host build; the v2/diag/noise
+    # structs rebuild in <1 s/site but weigh 100s of MB (psi_idx tile
+    # maps) — persisting them made the cache file GBs and the
+    # load/save minutes per run
+    _PERSIST_RES = ("mix",)
+
     def save_plan_caches(self):
         """Persist host-side plan structures (tiled matvec structs +
         assembly plans); call after a sweep to cut the next process's
@@ -550,10 +557,12 @@ class DMRG:
         import os
         import pickle
         os.makedirs(self._plan_cache_dir, exist_ok=True)
+        res = getattr(self, "_res_caches", {})
         data = {"tiled": getattr(self, "_tiled_cache", {}),
                 "asm": getattr(self.me, "_asm_cache", {}),
                 "stk": getattr(self.me, "_stk_plans", {}),
-                "res": getattr(self, "_res_caches", {})}
+                "res": {k: v for k, v in res.items()
+                        if k in self._PERSIST_RES}}
         try:
             fn = self._cache_file()
             with open(fn + ".tmp", "wb") as f:

@@ -126,6 +126,17 @@ class TimeEvolution:
         for istep in range(n_steps):
             self.sweep(True, dt, bond_dim)
             self.sweep(False, dt, bond_dim)
+            if not self.imaginary and self.mpo.const_e != 0.0:
+                # the MPO constant (nuclear repulsion) contributes a
+                # global phase e^{-i E_const dt} that the local
+                # effective-H exponentials never see; without it the
+                # evolved state's overlap phase disagrees with
+                # e^{-i E_total t} (reference block2main TD keeps ecore
+                # inside the identity-added MPO)
+                ph = np.exp(self._scale(dt) * self.mpo.const_e)
+                T0 = self.mps.tensors[0]
+                for k in list(T0.blocks):
+                    T0.blocks[k] = T0.blocks[k] * ph
             # energy/norm measurement at the left edge
             eff = EffectiveHamiltonian2(self.me, 0)
             psi = eff.flatten(eff.initial_guess())

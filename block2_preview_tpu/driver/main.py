@@ -344,20 +344,41 @@ def run(config_path: str) -> float:
     if "delta_t" in dic:
         from ..dmrg.tddmrg import TDDMRG
         from ..dmrg.tdvp import TimeEvolution
+        from ..utils.io import load_mps, save_mps
         mpo = drv.get_qc_mpo(fcidump=fd)
-        target = (drv.n_elec, drv.spin, drv.pg_irrep)
-        mps = drv.get_random_mps(bond_dims[0], target=target)
-        solver = DMRG(mpo, mps, iprint=0)
-        solver.solve(bond_dims[:2], [1e-4, 0], [1e-8], n_sweeps=4, tol=1e-9)
-        dt = float(str(dic["delta_t"]))
-        tt_tot = float(str(dic.get("target_t", abs(dt) * 10)))
+        scratch_t = str(dic.get("prefix", "."))
+        # block2 convention: a real delta_t evolves in imaginary time
+        # (e^{-H dt}); a trailing i/j ("0.05i") selects REAL time
+        # (e^{-iH dt}) — the main_test 046/047 dynamics decks
+        dt_s = str(dic["delta_t"]).strip()
+        tt_s = str(dic.get("target_t", "")).strip()
+        real_time = dt_s[-1] in "ij"
+        dt = float(dt_s.rstrip("ij"))
+        tt_tot = float(tt_s.rstrip("ij")) if tt_s else abs(dt) * 10
         nst = max(1, int(round(tt_tot / abs(dt))))
+        rtags = str(dic.get("read_mps_tags", "")).split()
+        src = os.path.join(scratch_t, "mps.%s.npz" % rtags[0]) \
+            if rtags else None
+        if src and os.path.exists(src):
+            # evolve a stored (possibly complex) MPS (deck 046/047:
+            # read_mps_tags KET-CPX-n after split + to-complex)
+            mps = load_mps(src)
+        else:
+            target = (drv.n_elec, drv.spin, drv.pg_irrep)
+            mps = drv.get_random_mps(bond_dims[0], target=target)
+            solver = DMRG(mpo, mps, iprint=0)
+            solver.solve(bond_dims[:2], [1e-4, 0], [1e-8], n_sweeps=4,
+                         tol=1e-9)
+        if "complex_mps" in dic or real_time:
+            for T in mps.tensors:
+                for k in list(T.blocks):
+                    T.blocks[k] = np.asarray(T.blocks[k], np.complex128)
         te_type = str(dic.get("te_type", "tdvp")).lower()
         if te_type in ("rk4", "rk4pp", "tdvp_rk4"):
-            te = TDDMRG(mpo, mps, imaginary=dt > 0,
+            te = TDDMRG(mpo, mps, imaginary=not real_time,
                         iprint=min(iprint, 1))
         elif te_type in ("tdvp", "tangent_space", ""):
-            te = TimeEvolution(mpo, mps, imaginary=dt > 0,
+            te = TimeEvolution(mpo, mps, imaginary=not real_time,
                                iprint=min(iprint, 1))
         else:
             raise ValueError("te_type must be tdvp | rk4")
@@ -365,9 +386,23 @@ def run(config_path: str) -> float:
         e = te.solve(nst, abs(dt), bond_dims[-1],
                      **(dict(n_sub_sweeps=nss)
                         if isinstance(te, TDDMRG) else {}))
-        print("Final TE Energy = %20.15f" % e)
-        print("DMRG Energy = %20.15f" % e)
-        return float(e)
+        # per-step record in the reference block2main format
+        # (block2main:2760); <E> is the UNNORMALIZED <psi|H|psi>
+        ees = getattr(te, "energies", [e] * nst)
+        nrms = getattr(te, "norms", [1.0] * len(ees))
+        for k, (ek, nk2) in enumerate(zip(ees, nrms)):
+            tk = abs(dt) * (k + 1)
+            tre, tim = (0.0, tk) if real_time else (tk, 0.0)
+            n2 = float(nk2) ** 2
+            print("T = RE %10.5f + IM %10.5f <E> = %20.15f "
+                  "<Norm^2> = %20.15f" % (tre, tim, float(ek) * n2, n2))
+        out_tag = str(dic.get("mps_tags", "BRA")).split()[0]
+        if not os.path.isdir(scratch_t):
+            os.makedirs(scratch_t, exist_ok=True)
+        save_mps(mps, os.path.join(scratch_t, "mps.%s.npz" % out_tag))
+        print("Final TE Energy = %20.15f" % float(np.real(e)))
+        print("DMRG Energy = %20.15f" % float(np.real(e)))
+        return float(np.real(e))
 
     # spin-adapted decks (no `nonspinadapted`, reference block2main
     # default SU2 mode) route through the SU(2) engine: plain DMRG,
@@ -438,6 +473,46 @@ def run(config_path: str) -> float:
             if "restart_tran_twopdm" in dic:
                 np.save("2pdm-0-1.npy",
                         pdm2_spatial(mzs[1], bra=mzs[0]))
+            return 0.0
+
+        if "restart_copy_mps" in dic and (
+                "split_states" in dic or "trans_mps_to_complex" in dic):
+            # TD-chain step 2 (main_test/045): split the state-averaged
+            # MPS into per-root states and store them as COMPLEX MPSs
+            # tagged TAG-CPX-r (reference block2main:4310
+            # MultiMPS.make_complex; our complex dynamics engines run
+            # in the SZ representation, so each SU(2) root expands
+            # exactly through su2_to_sz_mps first)
+            from ..utils.io import save_mps
+            drv2 = DMRGDriver(SymmetryTypes.SU2)
+            drv2.initialize_system(fd.n_sites, drv.n_elec, drv.spin,
+                                   orb_sym=fd.orb_sym,
+                                   pg_irrep=drv.pg_irrep)
+            mpo2 = drv2.get_qc_mpo(fcidump=fd)
+            ket2 = drv2.get_random_mps(bond_dims[-1])
+            fn = os.path.join(scratch, "mps.%s.su2.npz" % tag)
+            if os.path.exists(fn):
+                ket2.init_tensors = load_su2_tensors(fn)
+            # short re-solve to recover the per-root structure (the
+            # stored file holds the averaged canonical tensors only)
+            drv2.dmrg(mpo2, ket2, bond_dims[-2:], [0.0], [1e-10],
+                      n_sweeps=4, tol=sweep_tol, iprint=0,
+                      n_roots=n_roots)
+            eng_r = ket2.engine
+            nsplit = n_roots if "split_states" in dic else 1
+            for r in range(nsplit):
+                mz = _to_sz(eng_r.extract_root(r))
+                if "trans_mps_to_complex" in dic:
+                    for T in mz.tensors:
+                        for k in list(T.blocks):
+                            T.blocks[k] = np.asarray(T.blocks[k],
+                                                     np.complex128)
+                    final_tag = "%s-CPX-%d" % (tag, r)
+                else:
+                    final_tag = "%s-%d" % (tag, r)
+                save_mps(mz, os.path.join(scratch,
+                                          "mps.%s.npz" % final_tag))
+                print("   final tag = %s" % final_tag)
             return 0.0
 
         if "restart_copy_mps" in dic:
@@ -851,6 +926,26 @@ def run(config_path: str) -> float:
             print("E2(pt) = %20.12f" % e2)
         print("E(stopt) = %20.15f" % (e_var + e2))
         return float(e_var + e2)
+
+    tags_all = str(dic.get("mps_tags", "KET")).split()
+    if ("tran_oh" in dic or "restart_tran_oh" in dic) \
+            and len(tags_all) > 1:
+        # TD-chain steps 5/6 (main_test/048-049): pairwise overlap
+        # (`overlap` key) or <a|H|b> matrix over stored, possibly
+        # complex, tagged MPSs (reference block2main:3865 complex
+        # tran_oh print format)
+        from ..dmrg.expect import mpo_expectation, mps_overlap
+        mzs = [load_mps(os.path.join(scratch, "mps.%s.npz" % tg))
+               for tg in tags_all]
+        want_ovl = "overlap" in dic
+        for a in range(len(mzs)):
+            for b in range(a + 1):
+                v = complex(mps_overlap(mzs[a], mzs[b])) if want_ovl \
+                    else complex(mpo_expectation(mpo, mzs[b],
+                                                 bra=mzs[a]))
+                print("OH Energy %4d - %4d = RE %20.15f + IM %20.15f"
+                      % (a, b, v.real, v.imag))
+        return 0.0
 
     if "restart_sample" in dic:
         # sampling-only restart (reference parser.py RESTART_KEYS

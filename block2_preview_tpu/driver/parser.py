@@ -26,7 +26,7 @@ KNOWN_KEYS = {
     "restart_tran_twopdm",
     "nat_orbs", "nat_km_reorder", "nat_positive_def",
     "irrep_reorder", "orbital_rotation", "restart_oh",
-    "restart_copy_mps", "trans_mps_to_sz",
+    "restart_copy_mps", "trans_mps_to_sz", "trans_mps_to_complex",
     "trans_mps_from_singlet_embedding", "resolve_twosz",
     "normalize_mps", "conventional_npdm", "diag_twopdm",
     "restart_diag_twopdm",

@@ -873,14 +873,12 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
             [padg(plan.g1, plan.cum1[-1]), padg(plan.g2, plan.cum2[-1]),
              padg(plan.g3, plan.cum3[-1]), padg(e1f, plan.cum1[-1]),
              padg(e2f, plan.cum2[-1]), padg(e3f, plan.cum3[-1])])
-        return {"it": jnp.asarray(plan.it), "ef": jnp.asarray(plan.ef),
-                "coef": jnp.asarray(cf.astype(dtype)),
-                "cum1": jnp.asarray(plan.cum1),
-                "cum2": jnp.asarray(plan.cum2),
-                "cum3": jnp.asarray(plan.cum3),
-                "g1": jnp.asarray(plan.g1), "g2": jnp.asarray(plan.g2),
-                "g3": jnp.asarray(plan.g3),
-                "gepack": jnp.asarray(gepack)}
+        return devcache.upload_packed(
+            {"it": plan.it, "ef": plan.ef,
+             "coef": cf.astype(dtype), "cum1": plan.cum1,
+             "cum2": plan.cum2, "cum3": plan.cum3,
+             "g1": plan.g1, "g2": plan.g2, "g3": plan.g3,
+             "gepack": gepack})
 
     # site-value pools: refresh_plan_sites clears _pooltok whenever the
     # MPS rotation matrices captured by the plan change (every sweep),

@@ -120,3 +120,69 @@ def get(key: Hashable, factory: Callable[[], dict]):
 
 def tick() -> None:
     GLOBAL.tick()
+
+
+# ---------------------------------------------------------------------------
+# packed upload: N host arrays -> 1 transfer per dtype + 1 unpack launch
+# ---------------------------------------------------------------------------
+# Per-array uploads on the tunnel-attached device cost ~35-150 ms of
+# dispatch latency EACH regardless of size; a per-site struct of ~11
+# arrays costs seconds.  upload_packed concatenates all arrays of one
+# dtype into a single transfer and splits them back with ONE jitted
+# device-side unpack (static shapes: the consuming kernels already key
+# their compiles on the same shapes, so this adds no new shape-class
+# axis).
+
+def _unpack_jit():
+    global _UNPACK
+    if _UNPACK is None:
+        from functools import partial
+
+        import jax
+        from jax import lax
+
+        @partial(jax.jit, static_argnames=("shapes",))
+        def _unpack(packed, shapes):
+            out = []
+            o = 0
+            for shape in shapes:
+                n = 1
+                for s in shape:
+                    n *= s
+                out.append(lax.slice(packed, (o,), (o + n,))
+                           .reshape(shape))
+                o += n
+            return tuple(out)
+
+        _UNPACK = _unpack
+    return _UNPACK
+
+
+_UNPACK = None
+
+
+def upload_packed(arrs):
+    """{name: host ndarray} -> {name: device array} with one transfer
+    + one unpack launch per distinct dtype."""
+    import numpy as np
+
+    from . import jit_cache  # noqa: F401
+    import jax.numpy as jnp
+
+    by_dt = {}
+    for k, a in arrs.items():
+        a = np.asarray(a)
+        by_dt.setdefault(a.dtype.str, []).append((k, a))
+    out = {}
+    unpack = _unpack_jit()
+    for _dt, items in by_dt.items():
+        if len(items) == 1:
+            k, a = items[0]
+            out[k] = jnp.asarray(a)
+            continue
+        flat = np.concatenate([a.ravel() for _k, a in items])
+        shapes = tuple(a.shape for _k, a in items)
+        parts = unpack(jnp.asarray(flat), shapes)
+        for (k, _a), p in zip(items, parts):
+            out[k] = p
+    return out

@@ -114,12 +114,21 @@ def _dav_body(matvec, diag, M, K, dtype):
                           jnp.sign(denom + 1e-30) * 1e-8, denom)
         t = r / denom
 
+        tn0 = jnp.linalg.norm(t)
+
         def ortho(t):
             t = t - (Vm @ t) @ Vm
             return t
         t = ortho(ortho(t))
         tn = jnp.linalg.norm(t)
-        t = jnp.where(tn > 1e-10, t / jnp.maximum(tn, 1e-30), t)
+        t = t / jnp.maximum(tn, 1e-30)
+        # basis collapse: the preconditioned residual lies (to working
+        # precision) inside the current span, so Rayleigh-Ritz has
+        # converged at this precision.  Growing V with the junk
+        # remainder breaks the orthonormality the standard eigenproblem
+        # assumes and produces wildly spurious Ritz values (observed:
+        # theta ~ -33952 on a Cr2 f32 sweep at max_iter) — stop instead.
+        collapse = tn <= jnp.maximum(1e-5 * tn0, 1e-30)
 
         def grow(args):
             V, S, m = args
@@ -137,7 +146,11 @@ def _dav_body(matvec, diag, M, K, dtype):
             V2 = V2.at[K].set(t)
             return V2, S2, jnp.asarray(K + 1, m.dtype)
 
-        V, S, m = jax.lax.cond(m + 1 > M, restart, grow, (V, S, m))
+        V, S, m = jax.lax.cond(
+            collapse, lambda a: a,
+            lambda a: jax.lax.cond(a[2] + 1 > M, restart, grow, a),
+            (V, S, m))
+        rn2 = jnp.where(collapse, jnp.zeros_like(rn2), rn2)
         return V, S, m, theta, rn2, it + 1
 
     return body

@@ -741,7 +741,10 @@ def _v2_dav_chunk(state, diag, ltile, rtile, l_tid, r_tid, psi_idx,
 
 def _dav_chunk_cap():
     import os
-    return max(1, int(os.environ.get("B2TPU_DAV_CHUNK", "4")))
+    # 8 iterations per launch: chunk dispatch costs ~0.1-0.3 s on the
+    # tunnel, so fewer/longer chunks win once single launches stay well
+    # under the worker watchdog (measured warm chunks 0.3-0.5 s)
+    return max(1, int(os.environ.get("B2TPU_DAV_CHUNK", "8")))
 
 
 def _v2_dav(x0, diag, ltile, rtile, l_tid, r_tid, psi_idx, sig_idx, it,
@@ -1100,11 +1103,11 @@ class NoisePlan:
         from . import devcache
         if self._devtok is None:
             object.__setattr__(self, "_devtok", devcache.new_token())
-        dev = devcache.get((self._devtok,), lambda: {
-            str(i): jnp.asarray(a) for i, a in enumerate(
+        dev = devcache.get((self._devtok,), lambda: devcache.upload_packed(
+            {str(i): a for i, a in enumerate(
                 (self.psi_idx, self.it, self.cum1,
                  self.cum2, self.g1, self.g2, self.e1,
-                 self.e2, self.wtd, self.w_tid))})
+                 self.e2, self.wtd, self.w_tid))}))
         pidx, it, c1, c2, g1, g2, e1, e2, wtd, w_tid = (
             dev[str(i)] for i in range(10))
         wt = _tile_gather(wpool, wtd, self.T)
@@ -1447,9 +1450,9 @@ def execute_diag(dstruct, lpool, rpool, dev_cache=None):
         tok = dstruct.get("_devtok")
         if tok is None:
             tok = dstruct["_devtok"] = devcache.new_token()
-        dev_cache = devcache.get((tok,), lambda: {
-            k: jnp.asarray(dstruct[k])
-            for k in ("gl", "gr", "a4", "b4", "sD", "sig_idx")})
+        dev_cache = devcache.get((tok,), lambda: devcache.upload_packed(
+            {k: dstruct[k]
+             for k in ("gl", "gr", "a4", "b4", "sD", "sig_idx")}))
     else:
         for k in ("gl", "gr", "a4", "b4", "sD", "sig_idx"):
             if k not in dev_cache:

@@ -512,11 +512,10 @@ class MatvecV2:
             tok = s.get("_devtok")
             if tok is None:
                 tok = s["_devtok"] = devcache.new_token()
-            self._dev = devcache.get((tok,), lambda: {
-                k: jnp.asarray(s[k])
-                for k in ("psi_idx", "sig_idx", "it", "cum1",
-                          "cum2", "g1", "g2", "ltd", "rtd",
-                          "l_tid", "r_tid")})
+            self._dev = devcache.get((tok,), lambda: devcache.upload_packed(
+                {k: s[k] for k in ("psi_idx", "sig_idx", "it", "cum1",
+                                   "cum2", "g1", "g2", "ltd", "rtd",
+                                   "l_tid", "r_tid")}))
         return self._dev
 
     def device_bytes(self):

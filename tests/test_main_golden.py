@@ -344,3 +344,61 @@ def test_decks_025_026_027_natural_orbitals(tmp_path):
     e_oh = [float(l.split()[-1]) for l in out.splitlines()
             if l.startswith("OH Energy =")]
     assert e_oh and abs(e_oh[0] - E_GS) < 1e-6     # 027-check.py
+
+
+@pytest.mark.slow
+def test_deck_043_occ_init(tmp_path):
+    # 043: occ warmup with cbias through the default schedule
+    out = _run_deck("043", tmp_path)
+    assert abs(_energy(out) - E_GS) < 1e-6
+
+
+@pytest.mark.slow
+def test_decks_044_to_049_td_chain(tmp_path):
+    """The six-step time-dependent DMRG chain (044-049-check.py):
+    state-averaged init, split + trans_mps_to_complex, per-root
+    real-time TDVP (delta_t 0.05i, target_t 0.20i), complex overlap
+    matrix with the e^{-iEt} phases, and transition energies."""
+    import numpy as np
+
+    # 044: 2-root state average
+    out = _run_deck("044", tmp_path, maxiter=16)
+    assert abs(_energy(out) - E_GS) < 1e-6
+    es = _root_energies(out, 2)
+    assert abs(es[1] - E_EX) < 1e-5
+    # 045: split + to-complex -> KET-CPX-0 / KET-CPX-1
+    out = _run_deck("045", tmp_path, maxiter=16)
+    tags = [l.split()[-1] for l in out.splitlines()
+            if "final tag" in l]
+    assert tags == ["KET-CPX-0", "KET-CPX-1"]
+    # 046/047: real-time evolution of each root; <E>/<Norm^2> must stay
+    # at the eigenenergy at every step (046/047-check.py)
+    for deck, eref in (("046", E_GS), ("047", E_EX)):
+        out = _run_deck(deck, tmp_path)
+        steps = [(float(l.split()[9]), float(l.split()[-1]))
+                 for l in out.splitlines() if l.startswith("T = RE")]
+        assert len(steps) == 4
+        for he, n2 in steps:
+            assert abs(he / n2 - eref) < 2e-5, (deck, he / n2)
+    # 048: complex overlap matrix; off-diagonal phase = e^{-i E t}
+    out = _run_deck("048", tmp_path)
+    mat = np.zeros((4, 4), dtype=complex)
+    for l in out.splitlines():
+        if l.startswith("OH Energy"):
+            a, b = [int(c) for c in l.split()[2:5:2]]
+            mat[a, b] = float(l.split()[-4]) + 1j * float(l.split()[-1])
+    for (i, j, eref) in ((1, 0, E_GS), (3, 2, E_EX)):
+        x = mat[i, j] / (mat[j, j] * mat[i, i]) ** 0.5
+        ang = eref * 0.2 % (2 * np.pi)
+        assert abs(abs(x) - 1.0) < 1e-5, (i, j, x)
+        assert abs(abs(np.angle(x) - ang) - 2 * np.pi) < 2e-4, (i, j)
+    ovlps = mat.copy()
+    # 049: transition H matrix; diagonal / overlap = eigenenergies
+    out = _run_deck("049", tmp_path)
+    hm = np.zeros((4, 4), dtype=complex)
+    for l in out.splitlines():
+        if l.startswith("OH Energy"):
+            a, b = [int(c) for c in l.split()[2:5:2]]
+            hm[a, b] = float(l.split()[-4]) + 1j * float(l.split()[-1])
+    for (i, eref) in ((0, E_GS), (1, E_GS), (2, E_EX), (3, E_EX)):
+        assert abs(hm[i, i] / ovlps[i, i] - eref) < 2e-5, i
