@@ -104,7 +104,9 @@ class MovingEnvironment:
         import time as _time
         verb = _os.environ.get("B2TPU_VERBOSE_ENV")
         L = self.mpo.n_sites
-        for t in range(L - 1, 1, -1):
+        # down to bond 1 (not 2): one-dot sweeps starting at site 0
+        # (onedot/zerodot decks) read right_envs[1]
+        for t in range(L - 1, 0, -1):
             t0 = _time.time()
             if self.stacked and self._stk_contract(t, "right"):
                 if verb:

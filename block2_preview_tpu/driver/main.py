@@ -252,9 +252,18 @@ def run(config_path: str) -> float:
         drv.pg_irrep = int(str(dic["irrep"])) - 1
 
     # orbital reordering
-    if "noreorder" not in dic:
+    if "noreorder" not in dic and "nofiedler" not in dic:
         kmat = kmat_from_fcidump(fd)
-        if "irrep_reorder" in dic:
+        if "reorder" in dic:
+            # explicit ordering from a file of 1-based indices
+            # (reference keywords.rst `reorder`)
+            rv = str(dic["reorder"]).split()
+            if len(rv) == 1 and os.path.exists(rv[0]):
+                idx = np.loadtxt(rv[0], dtype=np.int64).ravel()
+            else:
+                idx = np.asarray([int(x) for x in rv], np.int64)
+            order = idx - 1
+        elif "irrep_reorder" in dic:
             # group orbitals by irrep (reference block2main
             # irrep_reorder; stable within each irrep)
             order = np.argsort(np.asarray(fd.orb_sym), kind="stable")
@@ -313,6 +322,11 @@ def run(config_path: str) -> float:
     sweep_tol = float(str(dic.get("sweep_tol", 1e-8)))
     t2o = dic.get("twodot_to_onedot")
     t2o = int(str(t2o)) if t2o not in (None, "") else None
+    if t2o is None and ("onedot" in dic or "zerodot" in dic):
+        # onedot: single-site sweeps throughout; zerodot (reference
+        # block2main:1405) also implies the one-site space at the
+        # sweep level unless a two-dot switch is given
+        t2o = 0
     n_roots = int(str(dic.get("nroots", 1)))
 
     # spin-adapted uncontracted MRCI with the external space as a CSF
@@ -412,7 +426,10 @@ def run(config_path: str) -> float:
     # lowest in their (N, Sz, pg) sector
     su2_extras = ("onepdm", "twopdm", "threepdm", "fourpdm",
                   "restart_onepdm", "restart_twopdm", "restart_threepdm",
-                  "restart_fourpdm", "delta_t", "orbital_entropy",
+                  "restart_fourpdm", "fock_fourpdm",
+                  "restart_fock_fourpdm", "soc", "simple_parallel",
+                  "condense_mpo", "restart_mps_nevpt",
+                  "delta_t", "orbital_entropy",
                   "sample", "spin_penalty", "extrapolation",
                   "fp_cps_cutoff", "nevpt2", "mrrept", "backend",
                   "compression", "diag_twopdm", "restart_diag_twopdm",
@@ -637,8 +654,10 @@ def run(config_path: str) -> float:
         # decks consume it via fullrestart / proj_mps_tags
         save_su2_tensors(out_tensors,
                          os.path.join(scratch, "mps.%s.su2.npz" % tag))
-        tran_keys = ("tran_onepdm", "tran_twopdm",
-                     "restart_tran_onepdm", "restart_tran_twopdm")
+        tran_keys = ("tran_onepdm", "tran_twopdm", "tran_threepdm",
+                     "tran_fourpdm", "restart_tran_onepdm",
+                     "restart_tran_twopdm", "restart_tran_threepdm",
+                     "restart_tran_fourpdm")
         if any(k in dic for k in tran_keys) and n_roots > 1:
             # transition PDMs between state-averaged roots: each root
             # expands exactly to an SZ MPS (utils/transform
@@ -657,13 +676,45 @@ def run(config_path: str) -> float:
                     tensors=eng.extract_root(r),
                     site_pgs=eng.site_pgs)
                 roots_sz.append(su2_to_sz_mps(shim))
-            for r in range(1, n_roots):
+            # (bra, ket) root pairs: full lower triangle by default;
+            # tran_bra_range/tran_ket_range restrict the index windows
+            # and tran_triangular keeps bra >= ket only (reference
+            # block2main:3127-3150)
+            def _rng_of(key):
+                v = str(dic.get(key, "")).split()
+                if not v:
+                    return range(n_roots)
+                if len(v) == 1:
+                    return range(int(v[0]), int(v[0]) + 1)
+                return range(int(v[0]), int(v[1]))
+            bras = list(_rng_of("tran_bra_range"))
+            kets = list(_rng_of("tran_ket_range"))
+            pairs = [(rb, rk) for rb in bras for rk in kets
+                     if rb != rk
+                     and (rb >= rk or "tran_triangular" not in dic
+                          or "tran_bra_range" in dic)]
+            if "tran_bra_range" not in dic \
+                    and "tran_ket_range" not in dic:
+                pairs = [(r, 0) for r in range(1, n_roots)]
+            for rb, rk in pairs:
                 if "tran_onepdm" in dic or "restart_tran_onepdm" in dic:
-                    dm = pdm1(roots_sz[r], bra=roots_sz[0])
-                    np.save(f"1pdm-{r}-0.npy", dm)
+                    dm = pdm1(roots_sz[rb], bra=roots_sz[rk])
+                    np.save(f"1pdm-{rb}-{rk}.npy", dm)
                 if "tran_twopdm" in dic or "restart_tran_twopdm" in dic:
-                    dm2 = pdm2_spatial(roots_sz[r], bra=roots_sz[0])
-                    np.save(f"2pdm-{r}-0.npy", dm2)
+                    dm2 = pdm2_spatial(roots_sz[rb], bra=roots_sz[rk])
+                    np.save(f"2pdm-{rb}-{rk}.npy", dm2)
+                if "tran_threepdm" in dic \
+                        or "restart_tran_threepdm" in dic:
+                    from ..dmrg.npdm_scheme import npdm_spatial_poly
+                    np.save(f"3pdm-{rb}-{rk}.npy",
+                            npdm_spatial_poly(roots_sz[rb], 3,
+                                              bra=roots_sz[rk]))
+                if "tran_fourpdm" in dic \
+                        or "restart_tran_fourpdm" in dic:
+                    from ..dmrg.npdm_scheme import npdm_spatial_poly
+                    np.save(f"4pdm-{rb}-{rk}.npy",
+                            npdm_spatial_poly(roots_sz[rb], 4,
+                                              bra=roots_sz[rk]))
         if ("split_states" in dic or "copy_mps" in dic) and n_roots > 1:
             # per-root tagged copies (reference block2main copy_mps +
             # split_states: MultiMPS -> TAG-0, TAG-1, ... used by later
@@ -713,6 +764,16 @@ def run(config_path: str) -> float:
         # qc_mpo_type: bipartite (default) | nc | cn | conventional | svd
         # (reference block2main qc_mpo_type keyword / QCTypes)
         mpo = drv.get_qc_mpo(fcidump=fd, algo_type=mpo_type)
+    if "condense_mpo" in dic:
+        # merge adjacent MPO sites log2(condense_mpo) times (reference
+        # mpo_fusing.hpp CondensedMPO; docs keywords.rst:347 -- SZ/SGF
+        # modes only, matching the reference restriction)
+        from ..dmrg.mpo_fusing import condense_mpo as _cnd
+        times = max(int(str(dic.get("condense_mpo") or 2)), 2)
+        n_merge = max(times.bit_length() - 1, 1)
+        for _ in range(n_merge):
+            for t_ in range(mpo.n_sites - 2, -1, -2):
+                mpo = _cnd(mpo, t_)
     target = drv.target   # (N, 2Sz, pg) in SZ mode; (N, pg) in SGF mode
     # hf_occ with an explicit per-orbital list = occupancy-biased warmup
     # (reference block2main:1362-1365 sets dic["occ"]; `hf_occ integral`
@@ -777,6 +838,13 @@ def run(config_path: str) -> float:
             info.set_bond_dimension_using_occ(occs, bias=bias)
         from ..dmrg.mps import MPS as _MPS
         mps = _MPS.random(info)
+    elif "condense_mpo" in dic:
+        # the merged-site MPO defines its own (product) site bases
+        from ..dmrg.mps import MPS as _MPS
+        from ..dmrg.mps import MPSInfo as _MPSInfo
+        info = _MPSInfo(mpo.group, mpo.site_quanta, target,
+                        bond_dims[0])
+        mps = _MPS.random(info)
     else:
         mps = drv.get_random_mps(bond_dims[0], target=target, occs=occs,
                                  bias=bias)
@@ -789,7 +857,11 @@ def run(config_path: str) -> float:
     default_dt = "f64"
     if "single_prec" in dic:
         default_dt = "f32"
-    if "use_complex" in dic or "complex_mps" in dic:
+    if "use_complex" in dic or "complex_mps" in dic \
+            or "use_hybrid_complex" in dic:
+        # use_hybrid_complex (reference block2main:560: real MPO x
+        # complex MPS sub-tensors) runs on the fully-complex path here
+        # -- a strict superset of the hybrid representation
         default_dt = "c64" if "single_prec" in dic else "c128"
     dtype_key = str(dic.get("dtype", default_dt)).lower()
     dt_map = {"f32": np.float32, "f64": np.float64,
@@ -966,6 +1038,33 @@ def run(config_path: str) -> float:
         print("OH Energy = %20.15f" % e)
         energies = np.atleast_1d(e)
         solver = None
+    elif "restart_mps_nevpt" in dic:
+        # restart-only NEVPT2 (reference block2main:399): the stored
+        # CAS MPS is consumed by the nevpt block below; no solve, and
+        # the stored file must NOT be overwritten
+        energies = np.atleast_1d(np.nan)
+        solver = None
+    elif "simple_parallel" in dic:
+        # integral-sliced low-communication scheme as a user-facing
+        # mode (reference parallel_simple.hpp:104 NewScheme /
+        # qc_parallel_rule KI|KJ slicing): the term table splits into
+        # per-slice MPOs and SumDMRG sums the per-slice sigma vectors
+        # -- the axis a multi-host mesh distributes
+        from ..core.expr import qc_term_table as _qtt2
+        from ..dmrg.mpo_builder import build_mpo as _bmpo
+        from ..parallel.sum_mpo import SumDMRG, slice_term_table
+        nsl = str(dic.get("simple_parallel") or "2").split()
+        n_slices = int(nsl[-1]) if nsl and nsl[-1].isdigit() else 2
+        tt2 = _qtt2(fd, group=drv.group)
+        mpos_sl = [_bmpo(s, site_pgs=fd.orb_sym,
+                         const_e=fd.const_e if i == 0 else 0.0,
+                         spec=drv.spec)
+                   for i, s in enumerate(
+                       slice_term_table(tt2, n_slices))]
+        solver = SumDMRG(mpos_sl, mps,
+                         iprint=min(iprint, 1) if iprint else 0,
+                         n_roots=n_roots, dtype=cli_dtype,
+                         **solver_tuning)
     else:
         solver = DMRG(mpo, mps, iprint=min(iprint, 1) if iprint else 0,
                   n_roots=n_roots, backend=backend, dtype=cli_dtype,
@@ -1164,14 +1263,57 @@ def run(config_path: str) -> float:
                              assume_singlet=drv.spin == 0)
         np.save("e_pqqp.npy", np.einsum("pqqp->pq", dm2_d))
         np.save("e_pqpq.npy", np.einsum("pqpq->pq", dm2_d))
+    # expt_algo_type (reference block2main:522): auto | fast
+    # (symbol-free polynomial engine) | normal (determinant path)
+    _npdm_algo = str(dic.get("expt_algo_type", "auto")).lower()
     if "threepdm" in dic or "restart_threepdm" in dic:
-        from ..dmrg.expect import pdm3_spatial
-        np.save("3pdm.npy", pdm3_spatial(mps))
+        if _npdm_algo in ("auto", "fast"):
+            from ..dmrg.npdm_scheme import npdm_spatial_poly
+            np.save("3pdm.npy", npdm_spatial_poly(mps, 3))
+        else:
+            from ..dmrg.expect import pdm3_spatial
+            np.save("3pdm.npy", pdm3_spatial(mps))
     if "fourpdm" in dic or "restart_fourpdm" in dic:
         # polynomial symbol-free engine (dmrg/npdm_scheme.py; reference
         # general_npdm.hpp:43 GeneralNPDMMPO SymbolFree)
         from ..dmrg.npdm_scheme import npdm_spatial_poly
         np.save("4pdm.npy", npdm_spatial_poly(mps, 4))
+    if "fock_fourpdm" in dic or "restart_fock_fourpdm" in dic:
+        # Fock-contracted 4PDM for DMRG-sc-NEVPT2 (reference
+        # block2main:3349-3380: E4 contracted against a Fock matrix
+        # read from an FCIDUMP-format file, avoiding storage of the
+        # full ncas^8 tensor in the caller)
+        from ..dmrg.npdm_scheme import npdm_spatial_poly
+        assert "fock_matrix" in dic, "fock_fourpdm needs fock_matrix"
+        ffd = FCIDUMP.parse(str(dic["fock_matrix"]))
+        fock = ffd.h1e
+        g4 = npdm_spatial_poly(mps, 4)
+        # contract the innermost creation/annihilation pair with f_pq:
+        # f4[i,j,k,l,m,n] = sum_pq f[p,q] G4[i,j,k,p,q,l,m,n]
+        f4 = np.einsum("pq,ijkpqlmn->ijklmn", fock, g4, optimize=True)
+        np.save("f4pdm.npy", f4)
+    if "soc" in dic and n_roots > 1 and solver is not None:
+        # triplet-operator (transition) 1PDMs for spin-orbit coupling
+        # (reference block2main `soc`: normal/transition one-pdm for
+        # triplet excitation operators; library route dmrg/soc.py)
+        import copy as _copy
+        from ..dmrg.expect import pdm1 as _pdm1
+        roots_soc = []
+        for r in range(n_roots):
+            mr = _copy.copy(solver.mps)
+            mr.tensors = list(solver.mps.tensors)
+            if solver._center_tensors is not None:
+                mr.tensors[solver._center_pos] = \
+                    solver._center_tensors[r]
+            roots_soc.append(mr)
+        for rb in range(n_roots):
+            for rk in range(rb + 1):
+                dms = _pdm1(roots_soc[rk], bra=roots_soc[rb])
+                # T^1_0 component (c+a ca - c+b cb)/sqrt(2): the
+                # triplet-operator pdm accessible between same-Sz
+                # states; W-E supplies the other components
+                np.save(f"1pdm_tr-{rb}-{rk}.npy",
+                        (dms[0] - dms[1]) / np.sqrt(2.0))
     fp_tol = dic.get("fp_cps_cutoff")
     if fp_tol not in (None, ""):
         # lossy-compressed MPS checkpoint (reference fp_cps_cutoff)
@@ -1184,8 +1326,31 @@ def run(config_path: str) -> float:
     _class_pat = {"ijrs": (2, 2), "ijr": (2, 1), "ij": (2, 0),
                   "rsi": (1, 2), "rs": (0, 2), "ir": (1, 1),
                   "i": (1, 0), "r": (0, 1)}
+    if "restart_mps_nevpt" in dic:
+        # DMRG-sc-NEVPT2 from a STORED CAS MPS (reference
+        # block2main:399,895 restart_mps_nevpt; nevpt_state_num picks
+        # the root when a split multi-root calculation preceded):
+        # RDMs G1..G4 from the polynomial NPDM engine, class
+        # expressions over spin-traced spatial RDMs with batched
+        # label evaluation
+        from .core import DMRGDriver as _Drv
+        toks = str(dic["restart_mps_nevpt"]).split()
+        ni_, na_ = int(toks[0]), int(toks[1])
+        ntag = tag
+        if "nevpt_state_num" in dic:
+            rr = int(str(dic["nevpt_state_num"]))
+            cand = os.path.join(scratch, "mps.%s-%d.npz" % (tag, rr))
+            if os.path.exists(cand):
+                ntag = "%s-%d" % (tag, rr)
+        cas_mps = load_mps(os.path.join(scratch, "mps.%s.npz" % ntag))
+        res_pt = _Drv.sc_nevpt2(fd, ni_, na_, cas_mps=cas_mps,
+                                iprint=min(iprint, 1))
+        print("DMRG-SC-NEVPT2 Correction = %20.15f" % res_pt.e2)
+
     for key in sorted(dic):
         kl = str(key)
+        if kl in ("nevpt_state_num", "nevpt_symmetrize_ints"):
+            continue
         if kl.startswith("nevpt2") or kl == "nevpt2":
             h0 = "dyall"
         elif kl.startswith("mrrept"):

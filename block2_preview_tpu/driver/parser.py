@@ -78,6 +78,61 @@ KNOWN_KEYS = {
     # by construction (core/state_info.py), so the keyword is the default
     # behavior made explicit (reference mps.hpp:101-106)
     "full_fci_space",
+    # higher-order transition PDMs + pair-range restrictions (reference
+    # block2main:3127-3150 tran_bra_range/tran_ket_range/tran_triangular)
+    "tran_threepdm", "tran_fourpdm", "restart_tran_threepdm",
+    "restart_tran_fourpdm", "tran_bra_range", "tran_ket_range",
+    "tran_triangular",
+    # Fock-contracted 4PDM for DMRG-NEVPT2 (reference block2main:3349
+    # fock_fourpdm + fock_matrix FCIDUMP-format Fock input)
+    "fock_fourpdm", "restart_fock_fourpdm", "fock_matrix",
+    # NEVPT2 workflow keys (reference block2main:399,3575
+    # restart_mps_nevpt/nevpt_state_num/restart_nevpt2_npdm/
+    # nevpt_symmetrize_ints/skip_inact_ext_sites)
+    "restart_mps_nevpt", "nevpt_state_num", "restart_nevpt2_npdm",
+    "nevpt_symmetrize_ints", "skip_inact_ext_sites",
+    # integral-sliced low-communication parallel scheme as a user-facing
+    # mode (reference parallel_simple.hpp:104 NewScheme; our
+    # parallel/sum_mpo.py term-table slicing)
+    "simple_parallel", "one_body_parallel_rule",
+    # MPO site condensation (reference mpo_fusing.hpp CondensedMPO;
+    # docs keywords.rst:347)
+    "condense_mpo",
+    # algorithm selection: 0-site sweeps at expectation restarts +
+    # onedot alias (reference block2main:1405,2909 zerodot), npdm
+    # engine flavor (block2main:522 expt_algo_type auto|fast|normal)
+    "zerodot", "expt_algo_type",
+    # complex-scalar variants (reference block2main:555-560: hybrid =
+    # real MPO x complex MPS; this framework's complex path is fully
+    # complex, a strict superset) + real-part density matrices
+    "use_hybrid_complex", "real_density_matrix",
+    # SOC triplet transition PDMs (reference block2main soc keyword;
+    # library driver dmrg/soc.py)
+    "soc",
+    # MPS storage/init controls (reference block2main:440 mps_dir,
+    # docs keywords.rst init_mps_center)
+    "mps_dir", "init_mps_center", "trans_mps_info",
+    "trans_mps_to_singlet_embedding",
+    # determinant-sampling conventions (reference block2main:4546
+    # sample_phase reference determinant; sample_reference)
+    "sample_phase", "sample_reference",
+    # explicit orbital reordering from a file / index list (reference
+    # docs keywords.rst `reorder`; nofiedler = noreorder alias)
+    "reorder", "nofiedler",
+    # resource hints (reference keywords.rst intmem/mem_ratio/
+    # min_mpo_mem/cached_contraction/mkl_thrds/lowmem_noise/
+    # release_integral/full_integral): memory-arena and threading
+    # tuning for the C++ stack allocator and MKL -- accepted and
+    # recorded; XLA owns memory layout and scheduling here, and the
+    # equivalent live knobs are the B2TPU_* environment variables
+    "intmem", "mem_ratio", "min_mpo_mem", "cached_contraction",
+    "mkl_thrds", "lowmem_noise", "release_integral", "full_integral",
+    # davidson tolerance auto-check (reference block2main check_dav_tol)
+    # + density-matrix noise flavor (reference NoiseTypes; our noise is
+    # always the perturbative form, a strict improvement)
+    "check_dav_tol", "dm_noise",
+    # OpenMOLCAS interface output (reference docs open-molcas.rst)
+    "openmolcas",
 }
 
 # keyword families used by the CLI dispatch (reference parser.py:67-73)

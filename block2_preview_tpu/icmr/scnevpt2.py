@@ -167,7 +167,7 @@ def cas_fcidump(fd: FCIDUMP, ncore: int, ncas: int) -> FCIDUMP:
     return FCIDUMP(n_sites=ncas, n_elec=fd.n_elec - 2 * ncore,
                    twos=fd.twos, ipg=fd.ipg,
                    orb_sym=None if fd.orb_sym is None
-                   else fd.orb_sym[A].copy(),
+                   else np.asarray(fd.orb_sym)[A].copy(),
                    h1e=fI[np.ix_(A, A)].copy(),
                    g2e=fd.g2e[np.ix_(A, A, A, A)].copy(),
                    const_e=e_core)

@@ -114,21 +114,23 @@ def _dav_body(matvec, diag, M, K, dtype):
                           jnp.sign(denom + 1e-30) * 1e-8, denom)
         t = r / denom
 
-        tn0 = jnp.linalg.norm(t)
-
         def ortho(t):
             t = t - (Vm @ t) @ Vm
             return t
         t = ortho(ortho(t))
         tn = jnp.linalg.norm(t)
         t = t / jnp.maximum(tn, 1e-30)
-        # basis collapse: the preconditioned residual lies (to working
-        # precision) inside the current span, so Rayleigh-Ritz has
-        # converged at this precision.  Growing V with the junk
-        # remainder breaks the orthonormality the standard eigenproblem
-        # assumes and produces wildly spurious Ritz values (observed:
-        # theta ~ -33952 on a Cr2 f32 sweep at max_iter) — stop instead.
-        collapse = tn <= jnp.maximum(1e-5 * tn0, 1e-30)
+        # basis collapse: when the preconditioned residual lies (to
+        # working precision) inside the current span, the NORMALIZED
+        # remainder is dominated by roundoff and is no longer orthogonal
+        # to V.  Growing V with it breaks the orthonormality the
+        # standard eigenproblem assumes and produces wildly spurious
+        # Ritz values (observed: theta ~ -33952 on a Cr2 f32 sweep at
+        # max_iter).  Test the contamination of the normalized vector
+        # directly (a tn/tn0 ratio test misfires when the Olsen
+        # denominator amplifies the in-span component).
+        ov = jnp.linalg.norm(Vm @ t)
+        collapse = (ov > 1e-2) | (tn <= 1e-30)
 
         def grow(args):
             V, S, m = args
