@@ -170,6 +170,14 @@ def cr2_leg(dev_kind: str, D: int, budget: float):
     if site_ts:
         res["site_s_median"] = round(float(np.median(site_ts)), 2)
         res["site_s_max"] = round(float(np.max(site_ts)), 2)
+    m = re.search(r"env init: t=([0-9.]+)s", out)
+    if m:
+        res["env_init_s"] = float(m.group(1))
+    sweeps = re.findall(
+        r"sweep\s+(\d+) [FB] D=\s*\d+ .*?E = (-?\d+\.\d+)", out)
+    if sweeps:
+        res["sweeps_completed"] = len(sweeps)
+        res["sweep_energies"] = [float(e) for _i, e in sweeps]
     m = re.search(r"FINAL E=(-?\d+\.\d+)", out)
     if m:
         res["sweep0_energy"] = float(m.group(1))
@@ -329,12 +337,15 @@ def main():
         STATE["parity_error"] = repr(e)[:200]
     emit()
 
-    # north-star leg first: Cr2/SVP sweep-0 D=250 (resident f32), bounded
-    STATE["cr2_svp_sweep0_d250"] = cr2_leg(dev_kind, 250, 420.0)
+    # north-star leg first: Cr2/SVP full sweep 0 at D=250 (resident
+    # f32; completes on device since round 4 — blocking v3 + mix v4 +
+    # the Davidson collapse guard).  Warm plan/jit caches make env init
+    # ~80 s; the budget covers setup + one full 41-site sweep.
+    STATE["cr2_svp_sweep0_d250"] = cr2_leg(dev_kind, 250, 540.0)
     emit()
 
     # mixed-precision accuracy demo (f32 warmup + f64 polish <= 1e-6)
-    STATE["mixed_precision_n2_d250"] = mixed_precision_leg(dev_kind, 300.0)
+    STATE["mixed_precision_n2_d250"] = mixed_precision_leg(dev_kind, 240.0)
     emit()
 
     # live-device smoke tier (precision lowering / large-pool faults /
