@@ -446,7 +446,8 @@ def run(config_path: str) -> float:
             and not any(k in dic for k in
                         DYN_CORR_KEYS | MRPT_KEYS | MRREPT_KEYS):
         from ..utils.io import load_su2_tensors, save_su2_tensors
-        scratch = str(dic.get("prefix", "."))
+        scratch = str(dic.get("mps_dir") or dic.get("prefix", "."))
+    # mps_dir (reference block2main:440): separate MPS storage dir
         ipr = min(iprint, 1) if iprint else 0
         tag = str(dic.get("mps_tags", "KET")).split()[0] or "KET"
 
@@ -894,7 +895,8 @@ def run(config_path: str) -> float:
         solver_tuning["dav_max_subspace"] = \
             int(str(dic.get("davidson_def_max_size") or 30))
 
-    scratch = str(dic.get("prefix", "."))
+    scratch = str(dic.get("mps_dir") or dic.get("prefix", "."))
+    # mps_dir (reference block2main:440): separate MPS storage dir
     from ..utils.io import load_mps, save_mps
 
     # projection against previously converged tagged MPSs (reference
