@@ -717,6 +717,30 @@ class DMRG:
                 th, xv, nmv = rs.solve_ground_state(
                     x0[:, 0], conv_thrd=dav_thrd,
                     max_iter=self.dav_soft_max_iter or self.dav_max_iter)
+                # Ritz sanity: an f32 Rayleigh-Ritz on a degenerate
+                # subspace can still return a spuriously deep
+                # eigenvalue (observed -8.5 Ha dips at rare sites).
+                # Verify with ONE independent matvec: a true eigenpair
+                # has ||Hx - th x|| at the f32 convergence floor
+                # (<~0.1 Ha absolute), a spurious pair's residual is at
+                # least its eigenvalue error (Ha-scale).  Redo bad
+                # sites on the host f64 path.
+                guard = float(os.environ.get("B2TPU_EIG_GUARD_HA",
+                                             "1.0"))
+                if self.dtype == np.float32 and guard > 0:
+                    import jax.numpy as _jnp
+                    y = np.asarray(rs.ex.matvec_device(
+                        _jnp.asarray(rs.ex.pad(xv)), rs.lw_pool,
+                        rs.rw_pool))[:rs.size]
+                    resid = float(np.linalg.norm(y - th * xv))
+                    if resid > guard:
+                        if self.iprint >= 2:
+                            print(f"      [guard t={t}] device theta "
+                                  f"{th:.6f} residual {resid:.3f} > "
+                                  f"{guard}; redoing on host f64",
+                                  flush=True)
+                        raise ValueError(
+                            "spurious device eigenvalue")
                 w, v = np.array([th]), xv[:, None]
                 t2 = time.time()
                 tm.teig += t2 - t1
@@ -753,6 +777,8 @@ class DMRG:
             t2 = time.time()
             tm.teig += t2 - t1
             self._last_flop = _eff_flops(eff) * nmv
+            if self.n_roots == 1:
+                self._prev_site_e = float(np.real(w[0]))
         energies = w[:self.n_roots] + self.mpo.const_e
         psis = [eff.unflatten(v[:, r]) for r in range(self.n_roots)]
         g, target = eff.g, eff.target
