@@ -129,8 +129,13 @@ def _dav_body(matvec, diag, M, K, dtype):
         # max_iter).  Test the contamination of the normalized vector
         # directly (a tn/tn0 ratio test misfires when the Olsen
         # denominator amplifies the in-span component).
+        # threshold: Ritz perturbation ~ ||VV^T - I|| x spectral
+        # spread; QC effective Hamiltonians spread over ~1e3 Ha, so
+        # 1e-2 contamination admitted ~10 Ha spurious shifts (observed
+        # on Cr2 f32 sweeps).  Two-pass MGS leaves ~1e-6 in f32, so
+        # 1e-4 is two decades of headroom on both sides.
         ov = jnp.linalg.norm(Vm @ t)
-        collapse = (ov > 1e-2) | (tn <= 1e-30)
+        collapse = (ov > 1e-4) | (tn <= 1e-30)
 
         def grow(args):
             V, S, m = args
