@@ -375,8 +375,12 @@ def run(config_path: str) -> float:
             if rtags else None
         if src and os.path.exists(src):
             # evolve a stored (possibly complex) MPS (deck 046/047:
-            # read_mps_tags KET-CPX-n after split + to-complex)
+            # read_mps_tags KET-CPX-n after split + to-complex).
+            # Right-canonicalize first: TDVP's per-site truncations
+            # assume orthogonal environments, and a stored left-gauge
+            # state truncated in the wrong gauge loses ~1% fidelity
             mps = load_mps(src)
+            mps.canonicalize()
         else:
             target = (drv.n_elec, drv.spin, drv.pg_irrep)
             mps = drv.get_random_mps(bond_dims[0], target=target)
@@ -517,6 +521,10 @@ def run(config_path: str) -> float:
                       n_sweeps=4, tol=sweep_tol, iprint=0,
                       n_roots=n_roots)
             eng_r = ket2.engine
+            if eng_r._forward_next:
+                # extract_root + the SU2->SZ transform assume the last
+                # sweep was forward (left-canonical gauge)
+                eng_r.sweep(True, dav_thrd=1e-10)
             nsplit = n_roots if "split_states" in dic else 1
             for r in range(nsplit):
                 mz = _to_sz(eng_r.extract_root(r))
