@@ -131,7 +131,10 @@ def _run_sub(argv, budget, env_extra=None):
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
-    env.setdefault("B2TPU_PLAN_CACHE", "/tmp/b2tpu_plans")
+    # plan cache inside the checkout (gitignored): /tmp is wiped on
+    # worker restarts, and a cold plan+jit cache costs the Cr2 leg its
+    # whole budget in recompiles
+    env.setdefault("B2TPU_PLAN_CACHE", os.path.join(here, ".cache", "plans"))
     if env_extra:
         env.update(env_extra)
     eff_budget = min(budget, remaining() - 30.0)
