@@ -9,10 +9,16 @@ Prints per-sweep timings and one `CR2_SU2 {json}` line.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+os.environ.setdefault(
+    "B2TPU_PLAN_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 os.pardir, ".cache", "plans"))
 
 
 def _warm_backend(retries: int = 5) -> None:
