@@ -20,6 +20,7 @@ from ..core.symmetry import SGF_GROUP, SZ_GROUP, SymmetryGroup
 from ..ops.local_ops import SGF_SITE, SZ_SITE
 from ..dmrg.mpo import MPO
 from ..dmrg.mpo_builder import build_mpo
+from ..core.blocks import MPSTensor
 from ..dmrg.mps import MPS, MPSInfo
 from ..dmrg.sweep import DMRG
 from ..ops.local_ops import CRE_A, CRE_B, DES_A, DES_B
@@ -772,6 +773,162 @@ class DMRGDriver:
         from ..dmrg.extrapolate import extrapolate_energy
         return extrapolate_energy(discarded_weights, energies)
 
+    # -- driver long-tail utilities (reference pyblock2/driver/core.py
+    #    naming; thin fronts over the subsystem engines) ---------------
+
+    def get_1pdm(self, ket, *, bra=None):
+        """reference core.py get_1pdm."""
+        return self.get_npdm(ket, pdm_type=1, bra=bra)
+
+    def get_2pdm(self, ket, *, bra=None):
+        return self.get_npdm(ket, pdm_type=2, bra=bra)
+
+    def get_3pdm(self, ket, *, bra=None, algo: str = "auto"):
+        return self.get_npdm(ket, pdm_type=3, bra=bra, algo=algo)
+
+    def get_4pdm(self, ket, *, bra=None, algo: str = "auto",
+                 device: bool = False):
+        return self.get_npdm(ket, pdm_type=4, bra=bra, algo=algo,
+                             device=device)
+
+    def get_5pdm(self, ket, *, bra=None, device: bool = False):
+        return self.get_npdm(ket, pdm_type=5, bra=bra, algo="poly",
+                             device=device)
+
+    def get_6pdm(self, ket, *, bra=None, device: bool = False):
+        return self.get_npdm(ket, pdm_type=6, bra=bra, algo="poly",
+                             device=device)
+
+    def get_trans_2pdm(self, bra, ket):
+        """Transition 2PDM (reference core.py get_trans_2pdm; CLI
+        tran_twopdm)."""
+        return self.get_npdm(ket, pdm_type=2, bra=bra)
+
+    def get_trans_3pdm(self, bra, ket, algo: str = "poly"):
+        return self.get_npdm(ket, pdm_type=3, bra=bra, algo=algo)
+
+    def get_trans_4pdm(self, bra, ket, algo: str = "poly"):
+        return self.get_npdm(ket, pdm_type=4, bra=bra, algo=algo)
+
+    def get_conventional_qc_mpo(self, fcidump: FCIDUMP,
+                                algo_type: str = "conventional") -> MPO:
+        """NC/CN/conventional complementary-operator MPO (reference
+        core.py get_conventional_qc_mpo -> MPOQC qc_mpo.hpp:646)."""
+        return self.get_qc_mpo(fcidump=fcidump, algo_type=algo_type)
+
+    def get_conventional_1pdm(self, ket, **kw):
+        return self.get_1pdm(ket, **kw)
+
+    def get_conventional_2pdm(self, ket, **kw):
+        return self.get_2pdm(ket, **kw)
+
+    def get_conventional_trans_1pdm(self, bra, ket):
+        return self.get_trans_1pdm(bra, ket)
+
+    def get_conventional_trans_2pdm(self, bra, ket):
+        return self.get_trans_2pdm(bra, ket)
+
+    def get_orbital_entropies_use_npdm(self, ket, ij_symm: int = 1):
+        """reference core.py get_orbital_entropies_use_npdm — same
+        quantities through our correlator route."""
+        return self.get_orbital_entropies(ket, ij_symm=ij_symm)
+
+    def copy_mps(self, mps, tag: str = None):
+        """Deep copy (reference core.py copy_mps); tag is accepted for
+        API parity and ignored (our MPSs are in-memory handles)."""
+        import copy as _copy
+        if isinstance(mps, SU2MPSSpec):
+            new = SU2MPSSpec(mps.target, mps.bond_dim, seed=mps.seed,
+                             init_tensors=_copy.deepcopy(mps.init_tensors),
+                             left_vacuum=mps.left_vacuum)
+            new.engine = mps.engine
+            return new
+        new = MPS(mps.info,
+                  [MPSTensor(mps.group, {k: b.copy()
+                                         for k, b in t.blocks.items()})
+                   for t in mps.tensors], center=mps.center)
+        return new
+
+    def align_mps_center(self, ket, ref) -> None:
+        """Gauge `ket` so its canonical center matches `ref`'s
+        (reference core.py align_mps_center; needed before mixed-MPS
+        expectation/addition)."""
+        tgt = ref.center if hasattr(ref, "center") else int(ref)
+        ket.canonicalize()
+        for t in range(tgt):
+            ket.left_canonicalize_site(t)
+        ket.center = tgt
+
+    def mps_change_precision(self, mps, tag: str = None,
+                             dtype=np.float32):
+        """Cast MPS block data (reference core.py mps_change_precision;
+        CLI single_prec restart chain).  Returns a new MPS."""
+        new = self.copy_mps(mps)
+        for t in new.tensors:
+            for k in list(t.blocks):
+                t.blocks[k] = np.asarray(t.blocks[k], dtype=dtype)
+        return new
+
+    def write_fcidump(self, filename: str, fcidump: FCIDUMP = None,
+                      h1e=None, g2e=None, ecore: float = 0.0,
+                      tol: float = 1e-13) -> None:
+        """reference core.py write_fcidump."""
+        if fcidump is None:
+            assert h1e is not None
+            fcidump = FCIDUMP(n_sites=self.n_sites, n_elec=self.n_elec,
+                              twos=self.spin, ipg=self.pg_irrep,
+                              orb_sym=self.orb_sym, const_e=ecore,
+                              h1e=np.asarray(h1e),
+                              g2e=None if g2e is None
+                              else np.asarray(g2e))
+        fcidump.write(filename, tol=tol)
+
+    def get_bipartite_entanglement(self, ket) -> np.ndarray:
+        """Per-bond von Neumann entanglement entropy S(t), t = 1..L-1
+        (reference core.py get_bipartite_entanglement; block2 stores the
+        same spectra as DMRG::sweep_wfn_spectra).  Computed by a
+        one-pass left-to-right SVD gauge sweep over a copy."""
+        if isinstance(ket, SU2MPSSpec):
+            ket = self.trans_mps_to_sz(ket)
+        mps = self.copy_mps(ket)
+        mps.canonicalize()
+        L = mps.n_sites
+        ent = np.zeros(L - 1)
+        for t in range(L - 1):
+            T = mps.tensors[t]
+            by_qr = {}
+            for (ql, qp, qr), b in T.blocks.items():
+                by_qr.setdefault(qr, []).append((ql, qp, b))
+            svals = []
+            new_blocks = {}
+            smats = {}
+            for qr, items in by_qr.items():
+                items.sort(key=lambda x: (x[0], x[1]))
+                m = np.concatenate(
+                    [b.reshape(-1, b.shape[2]) for _, _, b in items], 0)
+                u, s, vh = np.linalg.svd(m, full_matrices=False)
+                svals.append(s)
+                off = 0
+                for (ql, qp, b) in items:
+                    rows = b.shape[0] * b.shape[1]
+                    new_blocks[(ql, qp, qr)] = u[off:off + rows].reshape(
+                        b.shape[0], b.shape[1], -1)
+                    off += rows
+                smats[qr] = (s[:, None] * vh)
+            mps.tensors[t] = MPSTensor(mps.group, new_blocks)
+            nxt = {}
+            for (ql, qp, qr), b in mps.tensors[t + 1].blocks.items():
+                if ql in smats:
+                    nxt[(ql, qp, qr)] = np.einsum(
+                        "xl,lpr->xpr", smats[ql], b, optimize=True)
+            mps.tensors[t + 1] = MPSTensor(mps.group, nxt)
+            s2 = np.concatenate(svals) ** 2 if svals else np.zeros(1)
+            tot = s2.sum()
+            if tot > 0:
+                p = s2[s2 > 1e-300] / tot
+                ent[t] = float(-(p * np.log(p)).sum())
+        return ent
+
 
 class FermionTransform:
     """Fermion -> spin operator transforms (reference FermionTransform,
@@ -821,7 +978,6 @@ class SOCDMRGDriver(DMRGDriver):
         (dmrg/soc.soc_state_interaction; reference sidmrg.py)."""
         from ..dmrg.soc import soc_state_interaction
         return soc_state_interaction(roots, energies, hso)
-
 
 class SU2MPO:
     """Compiled spin-adapted MPO handle (driver SU2 mode): per-site symbol
