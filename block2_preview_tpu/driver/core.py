@@ -833,6 +833,79 @@ class DMRGDriver:
         quantities through our correlator route."""
         return self.get_orbital_entropies(ket, ij_symm=ij_symm)
 
+    def get_mps_from_determinants(self, dets, coefs,
+                                  normalize: bool = True) -> MPS:
+        """Exact MPS of a determinant/CSF expansion (reference core.py
+        get_mps_from_csf_coefficients; MPSTools from-determinant
+        construction).  dets[i] is a length-L sequence of site-basis
+        indices (SZ order |0>,|a>,|b>,|2>, ops/local_ops.py; SGF
+        |0>,|1>), coefs the amplitudes.  The bond dimension equals the
+        number of distinct prefixes per cut — exact for the small
+        expansions this is meant for (HF/CAS initial guesses, occ/CSF
+        restart decks)."""
+        specs = getattr(self, "_custom_specs", None)
+        if specs is not None:
+            site_quanta = [sp.quanta(0) for sp in specs]
+        else:
+            site_quanta = [self.spec.quanta(int(p))
+                           for p in self.orb_sym]
+        L = len(site_quanta)
+        dets = [tuple(int(x) for x in d) for d in dets]
+        assert all(len(d) == L for d in dets) and len(dets) == len(coefs)
+        g = self.group
+        # bond t: distinct prefixes of length t, indexed within QN
+        # sector; the final bond collapses every det onto the single
+        # target state (index 0)
+        bonds = []
+        for t in range(L + 1):
+            pref = sorted({d[:t] for d in dets})
+            sec: Dict = {}
+            idx = {}
+            for p in pref:
+                q = g.zero
+                for s in range(t):
+                    q = g.add(q, site_quanta[s][p[s]])
+                if t == L:
+                    idx[p] = (q, 0)
+                    sec[q] = 1
+                else:
+                    idx[p] = (q, sec.setdefault(q, 0))
+                    sec[q] += 1
+            bonds.append((idx, sec))
+        tqs = {bonds[L][0][d][0] for d in dets}
+        assert len(tqs) == 1, f"dets span several symmetry targets: {tqs}"
+        tensors = []
+        for t in range(L):
+            lidx, lsec = bonds[t]
+            ridx, rsec = bonds[t + 1]
+            # physical index of state s within its QN multiplicity
+            pmult: Dict = {}
+            ppos = []
+            for s, q in enumerate(site_quanta[t]):
+                ppos.append((q, pmult.setdefault(q, 0)))
+                pmult[q] += 1
+            blocks: Dict = {}
+            seen = set()
+            for d, c in zip(dets, coefs):
+                key = d[:t + 1]
+                if key in seen:
+                    continue
+                seen.add(key)
+                ql, il = lidx[d[:t]]
+                qr, ir = ridx[key]
+                qp, ip = ppos[d[t]]
+                shape = (lsec[ql], pmult[qp], rsec[qr])
+                b = blocks.setdefault((ql, qp, qr), np.zeros(shape))
+                b[il, ip, ir] = (float(c) if t == L - 1 else 1.0)
+            tensors.append(MPSTensor(g, blocks))
+        max_bd = max(max(s.values()) for _, s in bonds)
+        info = MPSInfo(g, site_quanta, tuple(bonds[L][0][dets[0]][0]),
+                       max_bd)
+        mps = MPS(info, tensors, center=L - 1)
+        if normalize:
+            mps.canonicalize()
+        return mps
+
     def copy_mps(self, mps, tag: str = None):
         """Deep copy (reference core.py copy_mps); tag is accepted for
         API parity and ignored (our MPSs are in-memory handles)."""

@@ -96,6 +96,36 @@ def test_bipartite_entanglement(solved):
     assert abs(ent[cut - 1] - s_exact) < 1e-6
 
 
+def test_mps_from_determinants(solved):
+    """Exact roundtrip: build an MPS from a small determinant expansion
+    and read the CI vector back (dmrg/npdm.mps_to_civec)."""
+    fd, drv, mpo, mps, e = solved
+    # site-basis indices: 0=|0> 1=|a> 2=|b> 3=|2>; 4 electrons, Sz=0
+    dets = [(3, 3, 0, 0, 0, 0, 0, 0),
+            (3, 0, 3, 0, 0, 0, 0, 0),
+            (1, 2, 2, 1, 0, 0, 0, 0)]
+    coefs = [0.8, -0.5, 0.33166247903554]   # normalized
+    ket = drv.get_mps_from_determinants(dets, coefs)
+    from block2_preview_tpu.dmrg.npdm import mps_to_civec
+    bits, cv = mps_to_civec(ket)
+    got = {int(b): float(c) for b, c in zip(bits, cv) if abs(c) > 1e-12}
+    # bitmask in (0a,0b,1a,1b,...) order
+    def mask(d):
+        m = 0
+        for t, s in enumerate(d):
+            if s in (1, 3):
+                m |= 1 << (2 * t)
+            if s in (2, 3):
+                m |= 1 << (2 * t + 1)
+        return m
+    want = {mask(d): c for d, c in zip(dets, coefs)}
+    assert set(got) == set(want)
+    sgn = [got[k] / want[k] for k in want]
+    # global sign/phase free; relative values exact
+    assert np.allclose(np.abs(sgn), 1.0, atol=1e-10)
+    assert np.allclose(sgn, sgn[0], atol=1e-10)
+
+
 def test_conventional_qc_mpo(solved):
     fd, drv, mpo, mps, e = solved
     mpo_nc = drv.get_conventional_qc_mpo(fd, algo_type="nc")
