@@ -833,6 +833,20 @@ class DMRGDriver:
         quantities through our correlator route."""
         return self.get_orbital_entropies(ket, ij_symm=ij_symm)
 
+    def get_ancilla_mps(self, fcidump: FCIDUMP) -> MPS:
+        """Infinite-temperature ancilla (purification) MPS |I> over
+        physical x ancilla doubled sites (reference core.py
+        get_ancilla_mps / mps.hpp AncillaMPSInfo; dmrg/ancilla.py)."""
+        from ..dmrg.ancilla import thermal_mps
+        return thermal_mps(fcidump)
+
+    def get_ancilla_mpo(self, fcidump: FCIDUMP,
+                        cutoff: float = 1e-13) -> MPO:
+        """QC MPO on the doubled (physical+ancilla) lattice for
+        imaginary-time evolution (reference MPO ancilla route)."""
+        from ..dmrg.ancilla import ancilla_qc_mpo
+        return ancilla_qc_mpo(fcidump, cutoff=cutoff)
+
     def get_mps_from_determinants(self, dets, coefs,
                                   normalize: bool = True) -> MPS:
         """Exact MPS of a determinant/CSF expansion (reference core.py
