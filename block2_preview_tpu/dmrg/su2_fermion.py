@@ -853,12 +853,32 @@ class SU2FermionDMRG:
                 phase = -1.0 if (p_m and (Qk[0] & 1)) else 1.0
                 triples.append((Qb, Qk, phase * cross, lb, rb))
 
+        # group triples by (Qb, Qk): within a group every lb shares one
+        # shape and every rb another, so the whole group collapses into
+        # TWO large GEMMs per matvec (the BatchGEMMSeq batching insight,
+        # reference batch_gemm.hpp — stacked on the k and n axes instead
+        # of looping B small GEMMs from Python)
+        groups = {}
+        for (Qb, Qk, c, lb, rb) in triples:
+            groups.setdefault((Qb, Qk), []).append((c, lb, rb))
+        gplans = []
+        for (Qb, Qk), items in groups.items():
+            a, k = items[0][1].shape
+            p, n = items[0][2].shape
+            B = len(items)
+            L2 = np.concatenate([c * lb for (c, lb, _r) in items], axis=0)
+            # Rf [p, B*n]: out[a,p] = sum_{b,n} T[a,b,n] R[p,b,n]
+            Rf = np.stack([rb for (_c, _l, rb) in items], axis=1) \
+                .reshape(p, B * n)
+            gplans.append((Qb, Qk, B, a, n, L2, Rf))
+
         def matvec(x):
             psi = {Q: x[offsets[Q]:offsets[Q] + dims[Q][0] * dims[Q][1]]
                    .reshape(dims[Q]) for Q in keys}
             sig = {Q: np.zeros(dims[Q]) for Q in keys}
-            for (Qb, Qk, c, lb, rb) in triples:
-                sig[Qb] += c * (lb @ psi[Qk] @ rb.T)
+            for (Qb, Qk, B, a, n, L2, Rf) in gplans:
+                T = (L2 @ psi[Qk]).reshape(B, a, n)
+                sig[Qb] += np.swapaxes(T, 0, 1).reshape(a, B * n) @ Rf.T
             out = np.zeros(size)
             for Q in keys:
                 out[offsets[Q]:offsets[Q] + sig[Q].size] = sig[Q].ravel()
