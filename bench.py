@@ -184,6 +184,14 @@ def cr2_leg(dev_kind: str, D: int, budget: float):
     m = re.search(r"FINAL E=(-?\d+\.\d+)", out)
     if m:
         res["sweep0_energy"] = float(m.group(1))
+    m = re.search(r"resume: (\d+) sweeps done", out)
+    if m:
+        res["resumed_from_sweeps"] = int(m.group(1))
+    ck = re.findall(r"CKPT sweep (\d+) E=(-?\d+\.\d+) t=([0-9.]+)s", out)
+    if ck:
+        res["ckpt_sweeps"] = [
+            {"sweep": int(i), "E": float(e), "wall_s": float(t)}
+            for i, e, t in ck]
     m = re.findall(r"FLOP/SWP = ([0-9.e+]+) \(([0-9.]+) GF/s\)", out)
     if m:
         res["flop_per_sweep"] = float(m[-1][0])
