@@ -46,14 +46,21 @@ class ExprBuilder:
     def __init__(self, driver: "DMRGDriver"):
         self.driver = driver
         self.terms: List[Tuple[float, List[Tuple[int, int]]]] = []
+        self.su2_terms: List[Tuple[str, List[int], float]] = []
         self.const_e = 0.0
 
     def add_term(self, expr: str, idx: Sequence[int], coeff) -> "ExprBuilder":
-        """expr like "cd" (one letter per operator), idx = site indices."""
+        """expr like "cd" (one letter per operator), idx = site indices.
+        In SAnySU2 mode expr is a coupled expression string like
+        "((C+D)2+(C+D)2)0" and idx may cover several repetitions of it
+        (reference pyblock2 ExprBuilder semantics)."""
         co = complex(coeff)
         co = co.real if co.imag == 0.0 else co
         if len(expr) == 0:
             self.const_e += co
+            return self
+        if getattr(self.driver, "_sany_su2_h", None) is not None:
+            self.su2_terms.append((expr, [int(i) for i in idx], co))
             return self
         assert len(expr) == len(idx)
         letters = getattr(self.driver, "_custom_letters", None) \
@@ -70,7 +77,14 @@ class ExprBuilder:
             self.add_term(expr, [int(i) for i in idx], arr[idx])
         return self
 
-    def finalize(self) -> TermTable:
+    def finalize(self, adjust_order: bool = True) -> TermTable:
+        """adjust_order mirrors the reference flag; site-ordering (with
+        the SU(2) recoupling it implies) is always performed here."""
+        ham = getattr(self.driver, "_sany_su2_h", None)
+        if ham is not None:
+            from ..dmrg.sany_su2 import compile_sany_su2_term_table
+            return compile_sany_su2_term_table(ham, self.su2_terms,
+                                               const_e=self.const_e)
         spec = getattr(self.driver, "_custom_specs", None)
         if spec is not None:
             return build_term_table(self.driver.n_sites, self.terms,
@@ -106,10 +120,15 @@ class DMRGDriver:
         src/core/symmetry.hpp:58 SAnyT and pyblock2 core.py:507
         set_symmetry_groups): compose up to 6 factors from "U1",
         "U1Fermi", "LZ", "AbelianPG", "Z<n>", "Z<n>Fermi".  The first
-        *Fermi factor carries the fermion parity.  Non-abelian "SU2"
-        factors are served by the dedicated spin-adapted universe
-        (SymmetryTypes.SU2 / dmrg/su2_fermion.py) rather than by factor
-        composition."""
+        *Fermi factor carries the fermion parity.
+
+        Non-abelian SU(2) (the reference's SAnySU2 mode, e.g.
+        ``set_symmetry_groups("U1Fermi", "SU2", "SU2")`` of the t-J /
+        SU(2)-Hubbard custom-Hamiltonian tutorials) is supported as a
+        consecutive "SU2", "SU2" pair (the doubled-spin slot appears
+        twice, as in the reference quantum-number wrapper) plus at most
+        one particle-number factor; such compositions are machine-
+        compiled onto the spin-adapted sweep engine (dmrg/sany_su2.py)."""
         assert 0 < len(names) <= 6
         kinds: List[str] = []
         lows: List[str] = []
@@ -128,21 +147,81 @@ class DMRGDriver:
             elif nm.startswith("Z"):
                 kinds.append(f"mod{int(nm[1:])}")
             elif nm.startswith("SU2"):
-                raise NotImplementedError(
-                    "SU2 factors in SAny composition are served by "
-                    "SymmetryTypes.SU2 (the spin-adapted universe); "
-                    "compose the remaining abelian factors here")
+                kinds.append("su2")
             else:
                 raise ValueError(f"unknown symmetry group '{nm}'")
             lows.append(nm.lower())
         self.symm_type = SymmetryTypes.SAny
         self._sany_fermionic = fermi is not None
+        self._sany_names = names
+        self._sany_su2 = None
+        self._sany_su2_h = None
+        if "su2" in kinds:
+            su2_slots = tuple(i for i, k in enumerate(kinds)
+                              if k == "su2")
+            if len(su2_slots) != 2 or su2_slots[1] != su2_slots[0] + 1:
+                raise NotImplementedError(
+                    "SU2 must appear as one consecutive pair of slots "
+                    "(the reference SAnySU2 convention)")
+            ab = [i for i, k in enumerate(kinds) if k != "su2"]
+            if len(ab) > 1 or any(kinds[i] != "u1" for i in ab):
+                raise NotImplementedError(
+                    "SAnySU2 compositions support at most one U1/"
+                    "U1Fermi particle-number factor beside the SU2 pair")
+            self._sany_su2 = {"n_slot": ab[0] if ab else None,
+                              "su2_slot": su2_slots[0]}
+            return
         self.group = SymmetryGroup(tuple(kinds), tuple(lows),
                                    fermion_index=fermi or 0)
-        self._sany_names = names
+
+    def _get_sany_su2_hamiltonian(self, site_basis, site_ops,
+                                  su2_ranks=None):
+        """SAnySU2 custom Hamiltonian: reference-style multiplet bases
+        (quanta tuples with a doubled-spin pair) + REDUCED operator
+        matrices, machine-compiled onto the spin-adapted engine
+        (dmrg/sany_su2.py; reference custom-hamiltonians tutorial)."""
+        from ..dmrg.sany_su2 import SAnySU2Hamil, infer_op_quanta
+        from ..dmrg.sany_su2 import SiteSpaceSU2
+        cfg = self._sany_su2
+        ns, ss = cfg["n_slot"], cfg["su2_slot"]
+        L = len(site_basis)
+        self.n_sites = L
+        site_mults, site_opdefs = [], []
+        for t in range(L):
+            mults = []
+            for (q, cnt) in site_basis[t]:
+                q = tuple(q)
+                assert q[ss] == q[ss + 1], \
+                    f"site {t}: SU2 slot pair must repeat 2S, got {q}"
+                mults.extend([(int(q[ns]) if ns is not None else 0,
+                               int(q[ss]), 0)] * int(cnt))
+            site_mults.append(mults)
+            space = SiteSpaceSU2(mults)
+            n_of = [m[0] for m in mults]
+            defs = {}
+            for letter, mat in site_ops[t].items():
+                if letter == "":
+                    continue
+                mat = np.asarray(mat, dtype=np.float64)
+                nm = len(mults)
+                assert mat.shape == (nm, nm), \
+                    (f"site {t} op '{letter}': expected a {nm}x{nm} "
+                     f"REDUCED matrix over the multiplets, got "
+                     f"{mat.shape}")
+                if su2_ranks and letter in su2_ranks:
+                    k2 = int(su2_ranks[letter])
+                    _k2i, dn = infer_op_quanta(mat, space, n_of)
+                else:
+                    k2, dn = infer_op_quanta(mat, space, n_of)
+                defs[letter] = (mat, k2, dn)
+            site_opdefs.append(defs)
+        self._sany_su2_h = SAnySU2Hamil(site_mults, site_opdefs)
+        self._custom_specs = None
+        return self
 
     def get_custom_hamiltonian(self, site_basis, site_ops,
-                               orb_dependent_ops: str = "cdCD"):
+                               orb_dependent_ops: str = "cdCD",
+                               su2_ranks=None):
         """Custom site bases + elementary operators for the composed
         symmetry (reference pyblock2 core.py:2430 get_custom_hamiltonian
         / general_hamiltonian.hpp:1080): site_basis[t] is a list of
@@ -150,7 +229,14 @@ class DMRGDriver:
         operator names to dense (dim, dim) matrices over that basis.
         Returns self (the driver doubles as the Hamiltonian handle) with
         expr_builder()/get_mpo()/get_random_mps wired to the custom
-        sites."""
+        sites.
+
+        With an SU(2) pair in the composition (SAnySU2 mode) the
+        matrices are REDUCED multiplet-basis matrices and terms use
+        coupled expression strings; see _get_sany_su2_hamiltonian."""
+        if getattr(self, "_sany_su2", None) is not None:
+            return self._get_sany_su2_hamiltonian(site_basis, site_ops,
+                                                  su2_ranks=su2_ranks)
         from ..ops.local_ops import SiteBasisSpec
         assert self.symm_type == SymmetryTypes.SAny, \
             "set_symmetry_groups first"
@@ -183,12 +269,28 @@ class DMRGDriver:
 
     def initialize_system(self, n_sites: int, n_elec: int = 0, spin: int = 0,
                           orb_sym: Optional[Sequence[int]] = None,
-                          pg_irrep: int = 0, pg_mod: int = 0) -> None:
+                          pg_irrep: int = 0, pg_mod: int = 0,
+                          vacuum=None, target=None,
+                          hamil_init: bool = True) -> None:
         """reference pyblock2/driver/core.py:854.  pg_mod selects the
         orbital-label arithmetic of the SU(2) engine: 0 = XOR point
         group; N > 0 = mod-N addition, covering SU2K momentum labels
         (symmetry.hpp:1313) and, with N larger than any reachable total,
-        SU2LZ additive Lz labels (symmetry.hpp:1491)."""
+        SU2LZ additive Lz labels (symmetry.hpp:1491).
+
+        vacuum/target/hamil_init mirror the reference custom-Hamiltonian
+        call style (core.py:854): a slot-tuple target is unpacked
+        through the composed symmetry's slots; hamil_init=False defers
+        the Hamiltonian to get_custom_hamiltonian."""
+        if target is not None and getattr(self, "_sany_su2", None) \
+                is not None:
+            cfg = self._sany_su2
+            n_elec = (int(target[cfg["n_slot"]])
+                      if cfg["n_slot"] is not None else 0)
+            spin = int(target[cfg["su2_slot"]])
+        elif target is not None and isinstance(target, tuple):
+            n_elec, spin = int(target[0]), \
+                (int(target[1]) if len(target) > 2 else 0)
         self.n_sites = n_sites
         self.n_elec = n_elec
         self.spin = spin
@@ -289,6 +391,18 @@ class DMRGDriver:
         general_mpo.hpp:43-99; extra kwargs — max_bond_dim,
         csvd_sparsity, disjoint_levels — pass through to
         build_mpo_svd)."""
+        from ..dmrg.su2_qc import SU2TermTable
+        if isinstance(term_table, SU2TermTable):
+            # SAnySU2 custom Hamiltonian: compile to the spin-adapted
+            # engine's symbol entries (bipartite compression)
+            from ..dmrg.su2_qc import compile_su2_entries
+            mpo = SU2MPO(*compile_su2_entries(term_table))
+            ham = self._sany_su2_h
+            mpo.site_mults = ham.site_mults
+            mpo.site_ops = {
+                t: {"I": (np.eye(len(ham.site_mults[t])), 0, 0)}
+                for t in range(ham.L)}
+            return mpo
         at = algo_type.lower().replace("_", "")
         if at.endswith("svd"):
             variant = at[:-3] or "svd"
@@ -314,6 +428,18 @@ class DMRGDriver:
         if self.symm_type == SymmetryTypes.SU2:
             return SU2MPSSpec(target or self.target, bond_dim, seed=seed,
                               init_tensors=init_tensors)
+        if getattr(self, "_sany_su2_h", None) is not None:
+            tgt = target or self.target
+            cfg = self._sany_su2
+            ss = cfg["su2_slot"]
+            if len(tgt) == len(self._sany_names) \
+                    and tgt[ss] == tgt[ss + 1]:
+                # reference-style slot tuple, e.g. (N, 2S, 2S)
+                n = int(tgt[cfg["n_slot"]]) if cfg["n_slot"] is not None \
+                    else 0
+                tgt = (n, int(tgt[ss]), 0)
+            return SU2MPSSpec(tgt, bond_dim, seed=seed,
+                              init_tensors=init_tensors)
         specs = getattr(self, "_custom_specs", None)
         if specs is not None:
             site_quanta = [sp.quanta(0) for sp in specs]
@@ -338,7 +464,8 @@ class DMRGDriver:
         """Ground-state / state-averaged / state-specific DMRG
         (reference pyblock2/driver/core.py:4437: proj_mpss/proj_weights
         project against or penalize previously converged states)."""
-        if self.symm_type == SymmetryTypes.SU2:
+        if self.symm_type == SymmetryTypes.SU2 \
+                or getattr(self, "_sany_su2_h", None) is not None:
             return _su2_dmrg(self, mpo, ket, bond_dims, noises, thrds,
                              n_sweeps, tol, iprint, n_roots=n_roots,
                              proj_mpss=proj_mpss,
@@ -1123,6 +1250,8 @@ def _su2_dmrg(driver, mpo: SU2MPO, ket: SU2MPSSpec, bond_dims, noises,
         driver.n_sites, mpo.entries, mpo.n_symbols, mpo.sym_dn,
         target=ket.target, bond_dim=max(bond_dims), seed=ket.seed,
         iprint=iprint, ops=mpo.registry, ranks=mpo.sym_rank,
+        site_mults=getattr(mpo, "site_mults", None),
+        site_ops=getattr(mpo, "site_ops", None),
         site_pgs=driver.orb_sym, n_roots=n_roots,
         proj_tensors=proj_tensors, proj_weights=proj_weights,
         init_tensors=getattr(ket, "init_tensors", None),

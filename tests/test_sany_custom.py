@@ -125,8 +125,13 @@ def test_sany_z3_clock_model():
     assert abs(e - e_ed) < 1e-8
 
 
-def test_sany_su2_factor_points_to_su2_universe():
+def test_sany_su2_factor_accepted():
+    # SU2 pairs in SAny compositions are served by the SAnySU2 route
+    # (tests/test_sany_su2.py); unsupported layouts still raise
     import pytest
     drv = DMRGDriver(SymmetryTypes.SZ)
+    drv.set_symmetry_groups("U1Fermi", "SU2", "SU2")
+    assert drv._sany_su2 == {"n_slot": 0, "su2_slot": 1}
     with pytest.raises(NotImplementedError):
-        drv.set_symmetry_groups("U1Fermi", "SU2", "SU2")
+        DMRGDriver(SymmetryTypes.SZ).set_symmetry_groups(
+            "U1Fermi", "AbelianPG", "SU2", "SU2")
