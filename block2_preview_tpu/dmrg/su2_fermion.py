@@ -388,22 +388,40 @@ class SU2FermionDMRG:
         return (a - b) % self.pg_mod if self.pg_mod else a ^ b
 
     def _fuse_l(self, q, t: int):
-        """(bond q (x) site mult m) -> [(m, q')] left fusion at site t."""
+        """(bond q (x) site mult m) -> [(m, q')] left fusion at site t.
+        Memoized: fusion lists depend only on (site, bond label) and are
+        requested ~1e5 times per sweep from the plan/contract loops."""
+        cache = getattr(self, "_fuse_cache", None)
+        if cache is None:
+            cache = self._fuse_cache = {}
+        key = (0, t, q)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         n, tj, pg = q
         out = []
         for m, (nm, tjm, pgm) in enumerate(self.mults[t]):
             for tj2 in range(abs(tj - tjm), tj + tjm + 1, 2):
                 out.append((m, (n + nm, tj2, self._pg_add(pg, pgm))))
+        cache[key] = out
         return out
 
     def _fuse_r(self, q, t: int):
         """(site m (x) right label q) -> [(m, q')]; labels are complements
         (remaining-for-left), so the site SUBTRACTS its N and pg."""
+        cache = getattr(self, "_fuse_cache", None)
+        if cache is None:
+            cache = self._fuse_cache = {}
+        key = (1, t, q)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         n, tj, pg = q
         out = []
         for m, (nm, tjm, pgm) in enumerate(self.mults[t]):
             for tj2 in range(abs(tj - tjm), tj + tjm + 1, 2):
                 out.append((m, (n - nm, tj2, self._pg_sub(pg, pgm))))
+        cache[key] = out
         return out
 
     def _fci_bonds(self, L, maxd):
