@@ -208,6 +208,46 @@ def test_sany_su2_pure_spin_heisenberg():
     assert abs(e - e_ed) < 1e-9
 
 
+@pytest.mark.slow
+def test_sany_su2_tj_4x4_reference_anchor():
+    """The reference tutorial's 4x4 t-J lattice (J=0.4, N=14, 1/8
+    doping, snake ordering): printed DMRG energy -9.029868687175632.
+    Measured here: -9.0298686872 by sweep 3 at D=250->500."""
+    LX = LY = 4
+    L, J, NE, TWOS = LX * LY, 0.4, 14, 0
+    driver = DMRGDriver(SymmetryTypes.SZ)
+    driver.set_symmetry_groups("U1Fermi", "SU2", "SU2")
+    C = np.array([[0, 0], [1, 0]])
+    D = np.array([[0, SQ2], [0, 0]])
+    site_basis = [[((0, 0, 0), 1), ((1, 1, 1), 1)] for _ in range(L)]
+    driver.initialize_system(n_sites=L, target=(NE, TWOS, TWOS),
+                             hamil_init=False)
+    driver.get_custom_hamiltonian(site_basis,
+                                  [{"": np.eye(2), "C": C, "D": D}] * L)
+    b = driver.expr_builder()
+
+    def f(i, j):
+        return i * LY + j if i % 2 == 0 else i * LY + LY - 1 - j
+
+    for i in range(LX):
+        for j in range(LY):
+            nbs = ([(i + 1, j)] if i + 1 < LX else []) \
+                + ([(i, j + 1)] if j + 1 < LY else [])
+            for nb in nbs:
+                a, bb = f(i, j), f(*nb)
+                b.add_term("(C+D)0", [a, bb, bb, a], -SQ2)
+                b.add_term("((C+D)2+(C+D)2)0", [a, a, bb, bb],
+                           J * -(3 ** 0.5) / 2)
+                b.add_term("((C+D)0+(C+D)0)0", [a, a, bb, bb],
+                           J * -1 / 2)
+    mpo = driver.get_mpo(b.finalize(adjust_order=True))
+    ket = driver.get_random_mps(bond_dim=250)
+    e = driver.dmrg(mpo, ket, bond_dims=[250] * 2 + [500] * 4,
+                    noises=[1e-4] * 2 + [1e-5] * 2 + [0],
+                    thrds=[1e-9] * 6, n_sweeps=6, iprint=0)
+    assert abs(e - (-9.029868687175632)) < 1e-7
+
+
 def test_sany_su2_rejects_bad_compositions():
     drv = DMRGDriver(SymmetryTypes.SZ)
     with pytest.raises(NotImplementedError):
