@@ -104,6 +104,12 @@ class MovingEnvironment:
         import time as _time
         verb = _os.environ.get("B2TPU_VERBOSE_ENV")
         L = self.mpo.n_sites
+        if self.stacked and L >= 8:
+            t0 = _time.time()
+            nw = self.warm_env_compiles("right")
+            if verb and nw:
+                print(f"  env warm: {nw} bonds pre-compiled in "
+                      f"{_time.time() - t0:.1f}s", flush=True)
         # down to bond 1 (not 2): one-dot sweeps starting at site 0
         # (onedot/zerodot decks) read right_envs[1]
         for t in range(L - 1, 0, -1):
@@ -206,29 +212,103 @@ class MovingEnvironment:
             meta, pool = self._stk_r[t]
         return meta.unpack(_np.asarray(pool), self.g, None)
 
-    def _stk_contract(self, t: int, direction: str):
-        """One stacked blocking step on device; returns True on success."""
-        import numpy as _np
+    def warm_env_compiles(self, direction: str = "right",
+                          max_workers: int = None) -> int:
+        """Parallel compile warm-up for a stacked env-init chain.
+
+        The remote-compile TPU setup pays ~40-70 s per fresh kernel
+        signature, and the env-init contraction chain triggers them
+        SERIALLY (bond t's kernels compile only after bond t+1's pool
+        exists).  But plans chain structurally through plan.meta_out
+        without needing pool VALUES — so this pass (1) builds every
+        bond's blocking plan host-side, then (2) executes each plan once
+        on a dummy zero pool from a thread pool, overlapping the remote
+        compile round trips (the same trick as ops/stacked.warm_stacked,
+        applied to the whole chain).  Results are discarded; the real
+        chain then runs on jit-cache hits.  Worker count is bounded
+        (B2TPU_WARM_THREADS, default 4) because each in-flight dummy
+        execute holds its input + ROT + output pools in HBM.
+
+        Returns the number of bonds warmed.  Never raises: any failure
+        falls back to the serial path (compiles then happen lazily)."""
+        import os as _os
+        if _os.environ.get("B2TPU_PAR_WARM", "1") == "0":
+            return 0
+        import concurrent.futures as _cf
 
         import jax.numpy as jnp
+        L = self.mpo.n_sites
+        try:
+            inf_dt = self._dtype_of({}, L - 1)
+            dt = (self.device_dtype
+                  if self.device_dtype is not None
+                  and inf_dt in (np.float64, np.float32) else inf_dt)
+            if dt not in (np.float64, np.float32):
+                return 0
+            left = direction == "left"
+            edge = 0 if left else L
+            ent = self._ensure_stk("l" if left else "r", edge, dt)
+            if ent is None:
+                return 0
+            meta, n_in = ent[0], len(ent[1])
+            jobs = []
+            rng = range(1, L - 1) if left else range(L - 1, 0, -1)
+            for t in rng:
+                plan = self._stk_plan_for(t, direction, meta, dt)
+                if plan is None:
+                    break   # host-fallback bond: meta chain ends here
+                jobs.append((t, plan, n_in))
+                meta = plan.meta_out
+                n_in = plan.ncap
+        except Exception as exc:   # pragma: no cover - defensive
+            print(f"  [warm] plan chain failed ({exc!r}); "
+                  "serial compiles", flush=True)
+            return 0
+        if not jobs:
+            return 0
+        from ..ops.blockv2 import (BlockingV2Plan, BlockingV3Plan,
+                                   execute_blocking_v2,
+                                   execute_blocking_v3)
+        from ..ops.stacked import execute_stacked
+        from ..ops.tiled_blocking import (TiledBlockingPlan,
+                                          execute_tiled_blocking)
 
-        from ..ops.stacked import (build_stacked_plan, execute_stacked,
-                                   meta_from_env, _cap_class)
-        # honor the DMRG(dtype=...) override only for real data: a complex
-        # MPO (DHF/SOC FCIDUMP) must not be forced into real pools, where
-        # the stacked/tiled executors would silently drop imaginary parts
-        inf_dt = self._dtype_of({}, t)
-        dt = (self.device_dtype
-              if self.device_dtype is not None
-              and inf_dt in (np.float64, np.float32) else inf_dt)
-        if dt not in (np.float64, np.float32):
-            return False
+        def run(job):
+            t, plan, n = job
+            try:
+                x = jnp.zeros(n, dtype=dt)
+                if isinstance(plan, BlockingV3Plan):
+                    out = execute_blocking_v3(plan, x, dtype=dt,
+                                              mesh=self.mesh,
+                                              axis=self.mesh_axis)
+                elif isinstance(plan, BlockingV2Plan):
+                    out = execute_blocking_v2(plan, x, dtype=dt,
+                                              mesh=self.mesh,
+                                              axis=self.mesh_axis)
+                elif isinstance(plan, TiledBlockingPlan):
+                    out = execute_tiled_blocking(plan, x, dtype=dt)
+                else:
+                    out = execute_stacked(plan, x, dtype=dt)
+                out.block_until_ready()
+            except Exception:      # a failed warm just compiles lazily
+                pass
+
+        nw = max_workers or int(_os.environ.get("B2TPU_WARM_THREADS",
+                                                "4"))
+        with _cf.ThreadPoolExecutor(max(1, nw)) as ex:
+            list(ex.map(run, jobs))
+        return len(jobs)
+
+    def _stk_plan_for(self, t: int, direction: str, meta_in, dt):
+        """Build (or fetch from the sig-keyed cache) the stacked blocking
+        plan for one bond; returns None when the bond must run on the
+        host fallback.  Shared by _stk_contract and the parallel compile
+        warm-up pass (warm_env_compiles)."""
+        import numpy as _np  # noqa: F401
+
+        from ..ops.stacked import build_stacked_plan
         left = direction == "left"
         src_bond = t if left else t + 1
-        ent = self._ensure_stk("l" if left else "r", src_bond, dt)
-        if ent is None:
-            return False
-        meta_in, pool_in = ent
         key = (t, direction)
         # leading int = plan-layout version: bump when the executor's
         # quantization/layout changes so persisted plans (B2TPU_PLAN_CACHE)
@@ -309,7 +389,7 @@ class MovingEnvironment:
                     self.mpo.bond_dqs[t + 1 if left else t])
             self._stk_plans[key] = (hash(sig), plan)
         if plan is None:
-            return False
+            return None
         from ..ops.blockv2 import (BlockingV2Plan as _BV2,
                                    BlockingV3Plan as _BV3)
         if isinstance(plan, (_BV2, _BV3)):
@@ -340,7 +420,7 @@ class MovingEnvironment:
                     if _os3.environ.get("B2TPU_SYNC_BLK"):
                         print(f"      [blk t={t} {direction}] -> host "
                               f"fallback (rot)", flush=True)
-                    return False
+                    return None
             else:
                 _items = max(int(plan.cum1[-1]), int(plan.cum2[-1]),
                              int(plan.cum3[-1]))
@@ -348,7 +428,35 @@ class MovingEnvironment:
                     if _os3.environ.get("B2TPU_SYNC_BLK"):
                         print(f"      [blk t={t} {direction}] -> host "
                               f"fallback", flush=True)
-                    return False
+                    return None
+        return plan
+
+    def _stk_contract(self, t: int, direction: str):
+        """One stacked blocking step on device; returns True on success."""
+        import numpy as _np
+
+        import jax.numpy as jnp
+
+        from ..ops.stacked import (build_stacked_plan, execute_stacked,
+                                   meta_from_env, _cap_class)
+        # honor the DMRG(dtype=...) override only for real data: a complex
+        # MPO (DHF/SOC FCIDUMP) must not be forced into real pools, where
+        # the stacked/tiled executors would silently drop imaginary parts
+        inf_dt = self._dtype_of({}, t)
+        dt = (self.device_dtype
+              if self.device_dtype is not None
+              and inf_dt in (np.float64, np.float32) else inf_dt)
+        if dt not in (np.float64, np.float32):
+            return False
+        left = direction == "left"
+        src_bond = t if left else t + 1
+        ent = self._ensure_stk("l" if left else "r", src_bond, dt)
+        if ent is None:
+            return False
+        meta_in, pool_in = ent
+        plan = self._stk_plan_for(t, direction, meta_in, dt)
+        if plan is None:
+            return False
         pool_dev = jnp.asarray(pool_in)
         from ..ops.blockv2 import (BlockingV2Plan, BlockingV3Plan,
                                    execute_blocking_v2,
