@@ -53,9 +53,23 @@ def emit():
     print(json.dumps(STATE), flush=True)
 
 
+def emit_final():
+    """Final compact record as the literal last stdout line.
+
+    The progressive emits include the merged RESULTS/*.json evidence
+    ("recorded"), which makes those lines megabytes long — the driver's
+    tail-parse choked on them every round since r2 (parsed: null).  The
+    last line drops "recorded" (those files are committed in RESULTS/)
+    and keeps every scalar leg result."""
+    STATE["bench_wall_s"] = round(time.time() - T0, 1)
+    compact = {k: v for k, v in STATE.items() if k != "recorded"}
+    compact["recorded_files"] = sorted(STATE.get("recorded", {}).keys())
+    print(json.dumps(compact), flush=True)
+
+
 def _on_term(signum, frame):
     STATE["terminated_by_signal"] = signum
-    emit()
+    emit_final()
     os._exit(0)
 
 
@@ -265,8 +279,49 @@ def recorded_results():
     return out
 
 
+def detect_contention():
+    """Refuse silent contamination: r4's headline numbers were measured
+    while two orphaned long runs held the single host core (judge
+    finding).  Scan /proc for OTHER live python compute processes and
+    record them; the bench still runs but the record is flagged."""
+    me = os.getpid()
+    others = []
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().decode(errors="replace").split("\0")
+            except OSError:
+                continue
+            base = os.path.basename(cmd[0]) if cmd and cmd[0] else ""
+            if not base.startswith("python"):
+                continue
+            args = " ".join(cmd[1:])[:120]
+            # ignore the sandbox shim / tpu tunnel infrastructure
+            if "tpu_init" in args or "stdio-shim" in args or "-S -u -c" in args:
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().split()
+                cpu_ticks = int(parts[13]) + int(parts[14])
+            except OSError:
+                continue
+            others.append({"pid": int(pid), "cmd": args,
+                           "cpu_s": round(cpu_ticks / 100.0, 1)})
+    except OSError:
+        pass
+    if others:
+        STATE["contention"] = others
+        print(f"[bench] WARNING: {len(others)} other python process(es) "
+              f"live during bench: {others}", file=sys.stderr, flush=True)
+    return others
+
+
 def main():
     _ensure_device_alive()
+    detect_contention()
     # recorded evidence first: available even if everything below stalls
     rec = recorded_results()
     if rec:
@@ -382,6 +437,8 @@ def main():
     if remaining() > 240.0:
         STATE["cr2_svp_sweep0_d500"] = cr2_leg(dev_kind, 500, remaining() - 60.0)
         emit()
+
+    emit_final()
 
 
 if __name__ == "__main__":

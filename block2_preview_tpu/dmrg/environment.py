@@ -14,6 +14,7 @@ Partition save/load — HBM spill comes later with the device executor).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -259,10 +260,15 @@ class MovingEnvironment:
                     break   # host-fallback bond: meta chain ends here
                 jobs.append((t, plan, n_in))
                 meta = plan.meta_out
-                n_in = plan.ncap
+                # StackedPlan (jax_stacked / tiled_v1 large-ncap fallback)
+                # carries out_cap, not ncap
+                n_in = getattr(plan, "ncap", None)
+                if n_in is None:
+                    n_in = plan.out_cap
         except Exception as exc:   # pragma: no cover - defensive
-            print(f"  [warm] plan chain failed ({exc!r}); "
-                  "serial compiles", flush=True)
+            if os.environ.get("B2TPU_VERBOSE_ENV"):
+                print(f"  [warm] plan chain failed ({exc!r}); "
+                      "serial compiles", flush=True)
             return 0
         if not jobs:
             return 0

@@ -289,8 +289,10 @@ class DMRGDriver:
                       if cfg["n_slot"] is not None else 0)
             spin = int(target[cfg["su2_slot"]])
         elif target is not None and isinstance(target, tuple):
-            n_elec, spin = int(target[0]), \
-                (int(target[1]) if len(target) > 2 else 0)
+            n_elec = int(target[0])
+            spin = int(target[1]) if len(target) >= 2 else 0
+            if len(target) >= 3:
+                pg_irrep = int(target[2])
         self.n_sites = n_sites
         self.n_elec = n_elec
         self.spin = spin
@@ -395,9 +397,15 @@ class DMRGDriver:
         if isinstance(term_table, SU2TermTable):
             # SAnySU2 custom Hamiltonian: compile to the spin-adapted
             # engine's symbol entries (bipartite compression)
+            ham = self._sany_su2_h
+            if ham is None:
+                raise ValueError(
+                    "get_mpo received an SU2TermTable outside SAnySU2 "
+                    "mode (no custom Hamiltonian registered); build the "
+                    "spin-adapted MPO via get_qc_mpo / the SU(2) engine "
+                    "fronts instead")
             from ..dmrg.su2_qc import compile_su2_entries
             mpo = SU2MPO(*compile_su2_entries(term_table))
-            ham = self._sany_su2_h
             mpo.site_mults = ham.site_mults
             mpo.site_ops = {
                 t: {"I": (np.eye(len(ham.site_mults[t])), 0, 0)}
