@@ -741,6 +741,21 @@ class DMRG:
                                   flush=True)
                         raise ValueError(
                             "spurious device eigenvalue")
+                # variational floor (r4 postmortem: a spurious f32
+                # Ritz value 8.4 Ha below the true ground state
+                # entered the committed record): DMRG is variational,
+                # so a site energy below a user-supplied floor —
+                # converged reference minus margin — is impossible and
+                # means the device eigensolve failed.  Redo on host.
+                floor = os.environ.get("B2TPU_E_FLOOR")
+                if floor is not None and \
+                        th + self.mpo.const_e < float(floor):
+                    if self.iprint >= 2:
+                        print(f"      [floor t={t}] device E "
+                              f"{th + self.mpo.const_e:.6f} below "
+                              f"variational floor {float(floor):.6f}; "
+                              f"redoing on host f64", flush=True)
+                    raise ValueError("below variational floor")
                 w, v = np.array([th]), xv[:, None]
                 t2 = time.time()
                 tm.teig += t2 - t1

@@ -164,14 +164,22 @@ _UNPACK = None
 def upload_packed(arrs):
     """{name: host ndarray} -> {name: device array} with one transfer
     + one unpack launch per distinct dtype."""
+    import os
+    import time
+
     import numpy as np
 
     from . import jit_cache  # noqa: F401
+    import jax
     import jax.numpy as jnp
 
+    log = os.environ.get("B2TPU_XFER_LOG")
+    t0 = time.time() if log else 0.0
     by_dt = {}
+    nbytes = 0
     for k, a in arrs.items():
         a = np.asarray(a)
+        nbytes += a.nbytes
         by_dt.setdefault(a.dtype.str, []).append((k, a))
     out = {}
     unpack = _unpack_jit()
@@ -185,4 +193,10 @@ def upload_packed(arrs):
         parts = unpack(jnp.asarray(flat), shapes)
         for (k, _a), p in zip(items, parts):
             out[k] = p
+    if log:
+        jax.block_until_ready(list(out.values()))
+        dt = time.time() - t0
+        print(f"      [xfer] upload_packed {nbytes/1e6:8.1f} MB "
+              f"in {dt:6.2f}s ({nbytes/1e6/max(dt,1e-9):7.1f} MB/s) "
+              f"keys={sorted(arrs.keys())[:4]}", flush=True)
     return out
