@@ -183,17 +183,21 @@ def gccsd(fd: FCIDUMP, max_iter: int = 200, tol: float = 1e-10,
     return e_hf, float(e_last)
 
 
-def ccsd_t(fd: FCIDUMP, t1: np.ndarray = None, t2: np.ndarray = None
-           ) -> Tuple[float, float, float]:
+def ccsd_t(fd: FCIDUMP, t1: np.ndarray = None, t2: np.ndarray = None,
+           hf=None, n_elec: int = None) -> Tuple[float, float, float]:
     """CCSD(T): perturbative triples on top of converged CCSD amplitudes
-    (reference pyblock2/cc gccsd(T) tier).  Returns (E_HF, E_CCSD, E_(T))."""
-    e_hf, f, v = hf_energy_and_fock(fd)
+    (reference pyblock2/cc gccsd(T) tier).  Returns (E_HF, E_CCSD, E_(T)).
+
+    hf: optional precomputed (e_hf, fock_so, v_antisym_so) — the UCCSD(T)
+    entry point passes UHF-sectioned spin-orbital integrals here."""
+    e_hf, f, v = hf_energy_and_fock(fd) if hf is None else hf
     n = f.shape[0]
-    no = fd.n_elec
+    no = fd.n_elec if n_elec is None else n_elec
     occ = np.arange(no)
     vir = np.arange(no, n)
     if t1 is None or t2 is None:
-        e_hf, e_cc, t1, t2 = gccsd(fd, return_amplitudes=True)
+        e_hf, e_cc, t1, t2 = gccsd(fd, return_amplitudes=True, hf=hf,
+                                   n_elec=n_elec)
     else:
         e_cc = ccsd_energy(f, v, t1, t2, occ, vir)
     eps = np.diag(f)

@@ -34,6 +34,64 @@ def spin_orbital_integrals(fd: FCIDUMP) -> Tuple[np.ndarray, np.ndarray]:
     return h, v
 
 
+def uhf_spin_orbital_integrals(fd: FCIDUMP
+                               ) -> Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray]:
+    """UHF-sectioned FCIDUMP ((ha,hb), (vaa,vbb,vab)) expanded to spin
+    orbitals, OCCUPIED-FIRST ordering: [alpha_occ (na), beta_occ (nb),
+    alpha_vir, beta_vir] so occ = arange(n_elec) as the spin-orbital CC
+    solvers assume.  Returns (h_so, v_antisym_so, spin_of) with
+    spin_of[p] in {0, 1}."""
+    assert fd.uhf
+    k = fd.n_sites
+    ha, hb = fd.h1e
+    vaa, vbb, vab = fd.g2e
+    na = (fd.n_elec + fd.twos) // 2
+    nb = fd.n_elec - na
+    # spin-orbital p -> (spatial orbital, spin)
+    orb = np.concatenate([np.arange(na), np.arange(nb),
+                          np.arange(na, k), np.arange(nb, k)])
+    spin = np.concatenate([np.zeros(na, int), np.ones(nb, int),
+                           np.zeros(k - na, int), np.ones(k - nb, int)])
+    n = 2 * k
+    h = np.zeros((n, n))
+    same = spin[:, None] == spin[None, :]
+    h[np.ix_(spin == 0, spin == 0)] = ha[np.ix_(orb[spin == 0],
+                                                orb[spin == 0])]
+    h[np.ix_(spin == 1, spin == 1)] = hb[np.ix_(orb[spin == 1],
+                                                orb[spin == 1])]
+    # chemist (pq|rs) per spin pair; physicist <pr|qs>
+    chem = {(0, 0): vaa, (1, 1): vbb, (0, 1): vab,
+            (1, 0): vab.transpose(2, 3, 0, 1)}
+    g = np.zeros((n, n, n, n))
+    for s1 in (0, 1):
+        for s2 in (0, 1):
+            m1 = np.where(spin == s1)[0]
+            m2 = np.where(spin == s2)[0]
+            c = chem[(s1, s2)][np.ix_(orb[m1], orb[m1], orb[m2],
+                                      orb[m2])]
+            # (pq|rs) -> <pr|qs>: g[p, r, q, s]
+            g[np.ix_(m1, m2, m1, m2)] = c.transpose(0, 2, 1, 3)
+    v = g - g.transpose(0, 1, 3, 2)
+    return h, v, spin
+
+
+def uhf_energy_and_fock(fd: FCIDUMP
+                        ) -> Tuple[float, np.ndarray, np.ndarray]:
+    """Aufbau UHF determinant energy + spin-orbital Fock matrix in the
+    occupied-first ordering of uhf_spin_orbital_integrals."""
+    h, v, _spin = uhf_spin_orbital_integrals(fd)
+    n = h.shape[0]
+    occ = np.arange(fd.n_elec)
+    f = h + np.einsum("piqi->pq", v[np.ix_(np.arange(n), occ,
+                                           np.arange(n), occ)],
+                      optimize=True)
+    e_hf = (np.sum(np.diag(h)[occ])
+            + 0.5 * np.einsum("ijij->", v[np.ix_(occ, occ, occ, occ)])
+            + fd.const_e)
+    return float(e_hf), f, v
+
+
 def hf_energy_and_fock(fd: FCIDUMP) -> Tuple[float, np.ndarray, np.ndarray]:
     """HF energy and Fock matrix for the aufbau determinant."""
     h, v = spin_orbital_integrals(fd)
