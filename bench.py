@@ -49,22 +49,24 @@ def remaining():
 
 
 def emit():
-    STATE["bench_wall_s"] = round(time.time() - T0, 1)
-    print(json.dumps(STATE), flush=True)
-
-
-def emit_final():
-    """Final compact record as the literal last stdout line.
-
-    The progressive emits include the merged RESULTS/*.json evidence
-    ("recorded"), which makes those lines megabytes long — the driver's
-    tail-parse choked on them every round since r2 (parsed: null).  The
-    last line drops "recorded" (those files are committed in RESULTS/)
-    and keeps every scalar leg result."""
+    """Progressive emit: EVERY printed line is the compact record (the
+    full state including the merged RESULTS/*.json evidence goes to
+    BENCH_FULL.json) — megabyte lines choked the driver's tail-parse
+    every round since r2 (parsed: null), so stdout only ever carries
+    parseable lines and the last line is always the freshest record."""
     STATE["bench_wall_s"] = round(time.time() - T0, 1)
     compact = {k: v for k, v in STATE.items() if k != "recorded"}
     compact["recorded_files"] = sorted(STATE.get("recorded", {}).keys())
     print(json.dumps(compact), flush=True)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(STATE, f)
+    except OSError:
+        pass
+
+
+emit_final = emit
 
 
 def _on_term(signum, frame):
@@ -403,15 +405,14 @@ def main():
         STATE["parity_error"] = repr(e)[:200]
     emit()
 
-    # north-star leg first: Cr2/SVP full sweep 0 at D=250 (resident
-    # f32; completes on device since round 4 — blocking v3 + mix v4 +
-    # the Davidson collapse guard).  Warm plan/jit caches make env init
-    # ~80 s; the budget covers setup + one full 41-site sweep.
-    STATE["cr2_svp_sweep0_d250"] = cr2_leg(dev_kind, 250, 540.0)
+    # north-star leg first: Cr2/SVP ONE live resumed (warm) D=250 sweep
+    # on the resident engine — the checkpoint accumulates sweeps across
+    # sessions, so this measures a true warm full-sweep wall.
+    STATE["cr2_svp_sweep0_d250"] = cr2_leg(dev_kind, 250, 520.0)
     emit()
 
     # mixed-precision accuracy demo (f32 warmup + f64 polish <= 1e-6)
-    STATE["mixed_precision_n2_d250"] = mixed_precision_leg(dev_kind, 240.0)
+    STATE["mixed_precision_n2_d250"] = mixed_precision_leg(dev_kind, 200.0)
     emit()
 
     # live-device smoke tier (precision lowering / large-pool faults /
@@ -419,7 +420,7 @@ def main():
     # storms made an in-process run eat the whole budget
     here = os.path.dirname(os.path.abspath(__file__))
     out, done, _ = _run_sub(
-        [os.path.join(here, "scripts", "run_smoke_cli.py")], 240.0)
+        [os.path.join(here, "scripts", "run_smoke_cli.py")], 120.0)
     if out is None:
         STATE["tpu_smoke"] = {"skipped": "budget exhausted"}
     else:
@@ -430,7 +431,7 @@ def main():
     emit()
 
     # multi-device program sanity (virtual CPU mesh, subprocess)
-    STATE["sharded_sweep_sanity_8dev"] = sharded_sanity_leg(240.0)
+    STATE["sharded_sweep_sanity_8dev"] = sharded_sanity_leg(150.0)
     emit()
 
     # optional: Cr2 D=500 live probe if time remains

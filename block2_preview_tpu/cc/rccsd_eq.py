@@ -112,6 +112,18 @@ def _expand_factors(term) -> List[Tuple[float, list, list]]:
             a, b, i, j = ixs
             alts = [(1.0, [("T2", (a, b, i, j))], [(a, i), (b, j)]),
                     (-1.0, [("T2", (a, b, j, i))], [(a, j), (b, i)])]
+        elif name == "t3":
+            # antisymmetrized triples over the spatial mixed amplitude:
+            # t3 = sum_{sigma in S3} sgn(sigma) prod delta(s_a, s_i')
+            #      T3[a,b,c, sigma(i,j,k)]  (rccsdt.py)
+            a, b, c3, i, j, k = ixs
+            alts = []
+            for perm, sgn in (((i, j, k), 1.0), ((i, k, j), -1.0),
+                              ((j, i, k), -1.0), ((j, k, i), 1.0),
+                              ((k, i, j), 1.0), ((k, j, i), -1.0)):
+                p1, p2, p3 = perm
+                alts.append((sgn, [("T3", (a, b, c3, p1, p2, p3))],
+                             [(a, p1), (b, p2), (c3, p3)]))
         elif name in ("delta_o", "delta_v", "delta"):
             x, y = ixs
             kind = "EQ_O" if name == "delta_o" else "EQ_V"
@@ -126,15 +138,23 @@ def _expand_factors(term) -> List[Tuple[float, list, list]]:
     return branches
 
 
-def spin_sum(expr, ext: Sequence[str], ext_spins: Sequence[int]
+def spin_sum(expr, ext: Sequence[str], ext_spins: Sequence[int],
+             pair_links: Optional[Sequence[Tuple[str, str]]] = None
              ) -> List[Tuple[float, List[Tuple[str, Tuple[str, ...]]],
                              List[str]]]:
     """Spin-sum a Wick expression with external indices `ext` carrying
     fixed spins `ext_spins` (0 = alpha, 1 = beta).  Returns merged
     spatial terms (coeff, factors, ext_labels) where factors reference
     spatial index classes and ext_labels are the class representatives
-    of the external indices."""
-    spin_of_ext = dict(zip(ext, ext_spins))
+    of the external indices.
+
+    pair_links: spin-FREE projection mode (the UGA E1-product
+    projection, reference rccsdt.py ex1/ex2/ex3): instead of fixing
+    external spins, each (occ, vir) projection pair is spin-linked and
+    its common spin SUMMED like any internal chain — the determinant-
+    block projection is replaced by <0| prod E_{i a} ... Hbar |0>.
+    ext_spins is ignored in this mode."""
+    spin_of_ext = dict(zip(ext, ext_spins)) if pair_links is None else {}
     out: Dict[Tuple, float] = {}
     order: Dict[Tuple, Tuple] = {}
     for term in expr.terms:
@@ -143,6 +163,9 @@ def spin_sum(expr, ext: Sequence[str], ext_spins: Sequence[int]
             uf = _UF()
             for (x, y) in links:
                 uf.union(x, y)
+            if pair_links is not None:
+                for (x, y) in pair_links:
+                    uf.union(x, y)
             fixed: Dict[str, int] = {}
             dead = False
             for e, sp in spin_of_ext.items():

@@ -41,15 +41,29 @@ res["t_dmrg_s"] = round(time.time() - t0, 1)
 print("dmrg done E=%.8f t=%.1f" % (e_cas, res["t_dmrg_s"]), flush=True)
 
 t0 = time.time()
+# RDMs cache on disk: every aborted E2 attempt previously re-paid the
+# ~15-30 min G1-G4 production (r4 postmortem)
+import os
+cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         os.pardir, ".cache", "icmr")
+os.makedirs(cache_dir, exist_ok=True)
 gam = {}
 for k in range(1, 5):
     tk = time.time()
-    gam[f"G{k}"] = npdm_spatial_poly(mps, k)
-    print("G%d done t=%.1f" % (k, time.time() - tk), flush=True)
+    cpath = os.path.join(cache_dir, f"g{k}_ncas{NCAS}_d{D}.npy")
+    if os.path.exists(cpath):
+        gam[f"G{k}"] = np.load(cpath)
+        print("G%d loaded from cache t=%.1f" % (k, time.time() - tk),
+              flush=True)
+    else:
+        gam[f"G{k}"] = npdm_spatial_poly(mps, k)
+        np.save(cpath, gam[f"G{k}"])
+        print("G%d done t=%.1f" % (k, time.time() - tk), flush=True)
 res["t_rdms_s"] = round(time.time() - t0, 1)
 
 t0 = time.time()
-out = sc_nevpt2(fd, ncore, NCAS, spatial=True, gammas_spatial=gam)
+out = sc_nevpt2(fd, ncore, NCAS, spatial=True, gammas_spatial=gam,
+                iprint=1)
 res["t_scnevpt2_s"] = round(time.time() - t0, 1)
 res["e2_classes"] = {k: float(v) for k, v in out.classes.items()}
 res["e2_total"] = float(sum(out.classes.values()))
