@@ -62,9 +62,13 @@ for k in range(1, 5):
 res["t_rdms_s"] = round(time.time() - t0, 1)
 
 t0 = time.time()
+p0 = time.process_time()
 out = sc_nevpt2(fd, ncore, NCAS, spatial=True, gammas_spatial=gam,
                 iprint=1)
 res["t_scnevpt2_s"] = round(time.time() - t0, 1)
+# contention-robust measure: CPU seconds actually consumed (this run
+# may share the single host core with the Cr2 record run at nice 19)
+res["t_scnevpt2_cpu_s"] = round(time.process_time() - p0, 1)
 res["e2_classes"] = {k: float(v) for k, v in out.classes.items()}
 res["e2_total"] = float(sum(out.classes.values()))
 res["wall_total_s"] = round(res["t_dmrg_s"] + res["t_rdms_s"]
