@@ -8,10 +8,14 @@ Prints one `ICMR_SCALE {json}` line.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), os.pardir)))
 
 from block2_preview_tpu.core.fcidump import FCIDUMP
 from block2_preview_tpu.dmrg.npdm_scheme import npdm_spatial_poly
