@@ -331,8 +331,14 @@ class DMRGDriver:
         if algo_type in ("nc", "cn", "conventional"):
             assert self.symm_type == SymmetryTypes.SZ, \
                 "analytic MPOQC: SZ mode"
+            from ..dmrg.mpo_simplify import simplify_mpo
             from ..dmrg.mpoqc_nc import build_mpoqc
-            return build_mpoqc(fcidump, scheme=algo_type, cutoff=cutoff)
+            mpo = build_mpoqc(fcidump, scheme=algo_type, cutoff=cutoff)
+            # the reference wraps MPOQC in SimplifiedMPO<RuleQC>
+            # (mpo_simplification.hpp:41); the numeric CSE pass is the
+            # equivalent here (N2/STO-3G NC max bond 354 -> 210)
+            simplify_mpo(mpo)
+            return mpo
         if algo_type == "svd":
             assert self.symm_type == SymmetryTypes.SZ, "SVD MPO: SZ mode"
             from ..dmrg.mpo_builder import build_mpo_svd
