@@ -124,6 +124,13 @@ def _expand_factors(term) -> List[Tuple[float, list, list]]:
                 p1, p2, p3 = perm
                 alts.append((sgn, [("T3", (a, b, c3, p1, p2, p3))],
                              [(a, p1), (b, p2), (c3, p3)]))
+        elif name == "r1":
+            a, i = ixs
+            alts = [(1.0, [("R1", (a, i))], [(a, i)])]
+        elif name == "r2":
+            a, b, i, j = ixs
+            alts = [(1.0, [("R2", (a, b, i, j))], [(a, i), (b, j)]),
+                    (-1.0, [("R2", (a, b, j, i))], [(a, j), (b, i)])]
         elif name in ("delta_o", "delta_v", "delta"):
             x, y = ixs
             kind = "EQ_O" if name == "delta_o" else "EQ_V"
