@@ -58,6 +58,43 @@ def uccsd_t(fd: FCIDUMP):
     return ccsd_t(fd, hf=hf, n_elec=fd.n_elec)
 
 
+def eom_ee_uccsd(fd: FCIDUMP, n_roots: int = 4):
+    """EOM-EE on the UHF reference (reference pyblock2/cc/eom_uccsd.py;
+    the spin-orbital WickCC machinery on UHF-sectioned integrals)."""
+    from .wick_cc import WickCC
+    return WickCC(fd).eom_ee(n_roots)
+
+
+def eom_ip_uccsd(fd: FCIDUMP, n_roots: int = 4):
+    from .wick_cc import WickCC
+    return WickCC(fd).eom_ip(n_roots)
+
+
+def eom_ea_uccsd(fd: FCIDUMP, n_roots: int = 4):
+    from .wick_cc import WickCC
+    return WickCC(fd).eom_ea(n_roots)
+
+
+def lambda_uccsd(fd: FCIDUMP):
+    """Lambda amplitudes on the UHF reference (reference
+    lambda_uccsd.py)."""
+    from .wick_cc import WickCC
+    return WickCC(fd).solve_lambda()
+
+
+def rdm1_uccsd(fd: FCIDUMP):
+    """Spin-orbital response 1-RDM on the UHF reference; split into
+    (alpha, beta) spatial blocks by the occupied-first ordering of
+    uc/mp.uhf_spin_orbital_integrals (reference rdm_uccsd.py)."""
+    from ..uc.mp import uhf_spin_orbital_integrals
+    from .wick_cc import WickCC
+    d1 = WickCC(fd).rdm1()
+    _h, _v, spin = uhf_spin_orbital_integrals(fd)
+    a = np.where(spin == 0)[0]
+    b = np.where(spin == 1)[0]
+    return d1[np.ix_(a, a)], d1[np.ix_(b, b)]
+
+
 # ---------------------------------------------------------------------------
 # tier 2: spin-blocked spatial equations
 # ---------------------------------------------------------------------------

@@ -168,10 +168,31 @@ class WickCC:
         from .gccsd import gccsd
         from ..uc.mp import spin_orbital_integrals
         self.fd = fd
-        if t1 is None or t2 is None:
-            _ehf, _ecorr, t1, t2 = gccsd(fd, return_amplitudes=True)
+        if fd.uhf:
+            # unrestricted reference: UHF-sectioned spin-orbital
+            # integrals (occupied-first ordering) — the whole EOM /
+            # Lambda / response-RDM machinery below is spin-orbital
+            # generic, so this one branch provides the reference's
+            # eom_uccsd.py / lambda_uccsd.py / rdm_uccsd.py surface
+            from ..uc.mp import uhf_energy_and_fock
+            hf = uhf_energy_and_fock(fd)
+            if t1 is None or t2 is None:
+                _ehf, _ecorr, t1, t2 = gccsd(
+                    fd, return_amplitudes=True, hf=hf,
+                    n_elec=fd.n_elec)
+            h, v = hf[1], hf[2]
+            # hf[1] is the FOCK matrix; the evaluator wants the bare h
+            no_ = fd.n_elec
+            h = hf[1] - np.einsum(
+                "piqi->pq", hf[2][np.ix_(np.arange(hf[1].shape[0]),
+                                         np.arange(no_),
+                                         np.arange(hf[1].shape[0]),
+                                         np.arange(no_))])
+        else:
+            if t1 is None or t2 is None:
+                _ehf, _ecorr, t1, t2 = gccsd(fd, return_amplitudes=True)
+            h, v = spin_orbital_integrals(fd)
         self.t1, self.t2 = t1, t2                # (o,v) / (o,o,v,v)
-        h, v = spin_orbital_integrals(fd)
         nso = h.shape[0]
         no = fd.n_elec
         self.no, self.nv = no, nso - no
