@@ -33,6 +33,17 @@ import time
 
 import numpy as np
 
+# The headline matvec legs COMPILE FRESH: a stale persistent-cache
+# executable (compiled in a degraded session) served a 7.9 TF/s binary
+# where a fresh compile of the same kernel runs at 38.6 TF/s (measured
+# r5).  The subprocess legs (Cr2 resume etc.) explicitly restore the
+# repo jit cache in _run_sub — they need the warm cache to fit their
+# budgets.
+_REPO_JIT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache", "jit")
+if "B2TPU_JIT_CACHE" not in os.environ:
+    os.environ["B2TPU_JIT_CACHE"] = f"/tmp/bench_fresh_jit_{os.getpid()}"
+
 T0 = time.time()
 TOTAL_BUDGET = float(os.environ.get("B2TPU_BENCH_TOTAL_BUDGET", "1080"))
 
@@ -151,6 +162,7 @@ def _run_sub(argv, budget, env_extra=None):
     # worker restarts, and a cold plan+jit cache costs the Cr2 leg its
     # whole budget in recompiles
     env.setdefault("B2TPU_PLAN_CACHE", os.path.join(here, ".cache", "plans"))
+    env["B2TPU_JIT_CACHE"] = _REPO_JIT   # warm cache for subprocess legs
     if env_extra:
         env.update(env_extra)
     eff_budget = min(budget, remaining() - 30.0)
@@ -419,11 +431,11 @@ def main():
     # north-star leg first: Cr2/SVP ONE live resumed (warm) D=250 sweep
     # on the resident engine — the checkpoint accumulates sweeps across
     # sessions, so this measures a true warm full-sweep wall.
-    STATE["cr2_svp_sweep0_d250"] = cr2_leg(dev_kind, 250, 520.0)
+    STATE["cr2_svp_sweep0_d250"] = cr2_leg(dev_kind, 250, 360.0)
     emit()
 
     # mixed-precision accuracy demo (f32 warmup + f64 polish <= 1e-6)
-    STATE["mixed_precision_n2_d250"] = mixed_precision_leg(dev_kind, 200.0)
+    STATE["mixed_precision_n2_d250"] = mixed_precision_leg(dev_kind, 220.0)
     emit()
 
     # live-device smoke tier (precision lowering / large-pool faults /
