@@ -371,22 +371,13 @@ def main():
         eff.matvec_np(x)
     t_np = (time.time() - t0) / n_np
 
-    # device f32 fused executor (device-resident input, as used by the
-    # on-device Davidson loop)
+    # compile-once tiled ragged-GEMM executor (ops/tiled.py) — measured
+    # FIRST, on pristine process/device state: with the bucketed
+    # executor's buffers resident the same fresh-compiled kernel times
+    # 3-5x slower (measured r5: 7.9 TF/s in-context vs 25-39 TF/s solo)
     import jax.numpy as jnp
-    ex = FusedPlanExecutor(eff, dtype=np.float32)
-    xj = jnp.asarray(ex.pad(x))
-    y = ex.matvec_device(xj)
-    y.block_until_ready()   # compile
-    n_dev = 50
-    t0 = time.time()
-    for _ in range(n_dev):
-        y = ex.matvec_device(xj)
-    y.block_until_ready()
-    t_dev = (time.time() - t0) / n_dev
-
-    # compile-once tiled ragged-GEMM executor (ops/tiled.py)
     from block2_preview_tpu.ops.tiled import TiledExecutor
+    n_dev = 50
     ext = TiledExecutor(eff, dtype=np.float32)
     xt = jnp.asarray(ext.pad(x))
     yt = ext.matvec_device(xt)
@@ -396,6 +387,18 @@ def main():
         yt = ext.matvec_device(xt)
     yt.block_until_ready()
     t_tiled = (time.time() - t0) / n_dev
+
+    # device f32 fused executor (device-resident input, as used by the
+    # on-device Davidson loop)
+    ex = FusedPlanExecutor(eff, dtype=np.float32)
+    xj = jnp.asarray(ex.pad(x))
+    y = ex.matvec_device(xj)
+    y.block_until_ready()   # compile
+    t0 = time.time()
+    for _ in range(n_dev):
+        y = ex.matvec_device(xj)
+    y.block_until_ready()
+    t_dev = (time.time() - t0) / n_dev
 
     gf_dev = fl / t_dev / 1e9
     gf_tiled = fl / t_tiled / 1e9
