@@ -844,7 +844,13 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
     # fault, localized round 4 to blk t=15 left).
     ns = len(plan.g1)
     nmax = int(_os.environ.get("B2TPU_BLK_NSCAN_MAX", "256"))
-    lane_cap = float(_os.environ.get("B2TPU_BLK_LANES_MAX", "1.5e8"))
+    # B2TPU_BLK_LANES_MULT scales the per-launch work bound uniformly:
+    # the warm engines are launch-bound on the tunnel (round-5 STATUS),
+    # so larger launches amortize the ~0.1-0.4 s dispatch — bounded by
+    # the same watchdog reasoning as the base cap (1.5e8 lanes ~ a few
+    # seconds; the kill window is ~60 s, so 4-8x has ample margin).
+    mult = float(_os.environ.get("B2TPU_BLK_LANES_MULT", "1"))
+    lane_cap = float(_os.environ.get("B2TPU_BLK_LANES_MAX", "1.5e8")) * mult
     lanes_per_group = ((plan.cum3[-1] + plan.cum1[-1] + plan.cum2[-1])
                        * (plan.T * plan.T) / max(ns, 1))
     nmax = max(1, min(nmax, int(lane_cap / max(lanes_per_group, 1.0))))

@@ -54,7 +54,11 @@ _NTP4 = 512        # prod tiles per scan step
 _DCH = 8           # max d-axis tiles per sub-item (bounds per-item tasks)
 _TP = 16           # place copy tile
 _BP = 8192         # place tasks per scan step
-_PG = 512          # place groups per launch (watchdog bound)
+# place groups per launch (watchdog bound).  The launch bounds are
+# traced fori_loop limits, so raising this mints NO new compile — it
+# only trades launches (~0.1-0.4 s dispatch each on the tunnel) for
+# per-launch work; the warm engines are launch-bound (STATUS round 5).
+_PG = max(1, int(os.environ.get("B2TPU_MIX4_PG", "512")))
 
 
 @partial(jax.jit, static_argnames=("nwin_q", "T", "B"),

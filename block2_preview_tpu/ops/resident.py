@@ -48,8 +48,12 @@ from .stacked import StackedMeta, _cap_class, _pow2
 from .tiled import pick_tile, _TILE_CFG
 from .tilev2 import MatvecV2
 
-# scan depth per mix launch (groups of B tasks per jit call)
-_MIX_SCAN = 8
+# scan depth per mix launch (groups of B tasks per jit call).  The warm
+# engines are LAUNCH-BOUND on the tunnel (~0.1-0.4 s dispatch/launch, see
+# STATUS round 5): B2TPU_MIX_SCAN trades launches for per-launch work.
+# Watchdog bound: one scan step is ~B*T*T masked-gather lanes (~0.5 ms
+# warm), so even 64-deep launches stay far under the ~60 s kill window.
+_MIX_SCAN = max(1, int(os.environ.get("B2TPU_MIX_SCAN", "8")))
 _MIX_B = 4096
 
 

@@ -31,15 +31,20 @@ with open(PIDFILE, "w") as f:
 atexit.register(lambda: os.path.exists(PIDFILE) and os.remove(PIDFILE))
 
 dav_chunk = sys.argv[1] if len(sys.argv) > 1 else "32"
-lanes_mult = sys.argv[2] if len(sys.argv) > 2 else "4"
+lanes_mult = sys.argv[2] if len(sys.argv) > 2 else "2.5"
 
 env = dict(os.environ)
 env["B2TPU_SITE_TIMERS"] = "1"
 env["B2TPU_DAV_CHUNK"] = dav_chunk
-if "B2TPU_BLK_LANES_MAX" not in env and lanes_mult != "1":
-    # the blocking kernel reads its default internally; scale via knob
-    env["B2TPU_BLK_LANES_MULT"] = lanes_mult
-env.setdefault("PYTHONPATH", REPO)
+# launch-chunk levers (all default-preserving env knobs):
+#   blockv2 window work bound  x lanes_mult  (ops/blockv2.py)
+#   mixv4 place groups/launch  512 -> 4096   (ops/mixv4.py, traced
+#       loop bounds: no new compile)
+# keep lanes well under the ~1.1e9-lane watchdog kill observed r3
+env.setdefault("B2TPU_BLK_LANES_MULT", lanes_mult)
+env.setdefault("B2TPU_BLK_NSCAN_MAX", "512")
+env.setdefault("B2TPU_MIX4_PG", "4096")
+env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
 t0 = time.time()
 p = subprocess.run(
