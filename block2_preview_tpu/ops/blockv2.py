@@ -843,13 +843,14 @@ def execute_blocking_v2(plan: BlockingV2Plan, epool_dev,
     # kernel watchdog and killed the worker (the round-3 'site 16' Cr2
     # fault, localized round 4 to blk t=15 left).
     ns = len(plan.g1)
-    nmax = int(_os.environ.get("B2TPU_BLK_NSCAN_MAX", "256"))
+    nmax = int(_os.environ.get("B2TPU_BLK_NSCAN_MAX", "512"))
     # B2TPU_BLK_LANES_MULT scales the per-launch work bound uniformly:
-    # the warm engines are launch-bound on the tunnel (round-5 STATUS),
-    # so larger launches amortize the ~0.1-0.4 s dispatch — bounded by
-    # the same watchdog reasoning as the base cap (1.5e8 lanes ~ a few
-    # seconds; the kill window is ~60 s, so 4-8x has ample margin).
-    mult = float(_os.environ.get("B2TPU_BLK_LANES_MULT", "1"))
+    # larger launches amortize the ~0.1-0.4 s tunnel dispatch.  The
+    # default 2.5 (3.75e8 lanes) keeps ~3x margin under the ~1.1e9-lane
+    # watchdog kill observed round 3, and is measured safe + fast on the
+    # Cr2 D=250 deck (RESULTS/launch_chunk.json: warm blocking
+    # 0.5-0.9 s/site).
+    mult = float(_os.environ.get("B2TPU_BLK_LANES_MULT", "2.5"))
     lane_cap = float(_os.environ.get("B2TPU_BLK_LANES_MAX", "1.5e8")) * mult
     lanes_per_group = ((plan.cum3[-1] + plan.cum1[-1] + plan.cum2[-1])
                        * (plan.T * plan.T) / max(ns, 1))

@@ -57,8 +57,9 @@ _BP = 8192         # place tasks per scan step
 # place groups per launch (watchdog bound).  The launch bounds are
 # traced fori_loop limits, so raising this mints NO new compile — it
 # only trades launches (~0.1-0.4 s dispatch each on the tunnel) for
-# per-launch work; the warm engines are launch-bound (STATUS round 5).
-_PG = max(1, int(os.environ.get("B2TPU_MIX4_PG", "512")))
+# per-launch work.  4096 measured safe + fast on the Cr2 D=250 deck
+# (RESULTS/launch_chunk.json).
+_PG = max(1, int(os.environ.get("B2TPU_MIX4_PG", "4096")))
 
 
 @partial(jax.jit, static_argnames=("nwin_q", "T", "B"),

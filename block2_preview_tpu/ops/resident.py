@@ -745,10 +745,12 @@ def _v2_dav_chunk(state, diag, ltile, rtile, l_tid, r_tid, psi_idx,
 
 def _dav_chunk_cap():
     import os
-    # 8 iterations per launch: chunk dispatch costs ~0.1-0.3 s on the
+    # 32 iterations per launch: chunk dispatch costs ~0.1-0.3 s on the
     # tunnel, so fewer/longer chunks win once single launches stay well
-    # under the worker watchdog (measured warm chunks 0.3-0.5 s)
-    return max(1, int(os.environ.get("B2TPU_DAV_CHUNK", "8")))
+    # under the worker watchdog — measured warm 32-iteration chunks are
+    # 2.6-5.3 s on the Cr2 D=250 deck (RESULTS/launch_chunk.json), so a
+    # full 30-iteration solve is 1-2 launches
+    return max(1, int(os.environ.get("B2TPU_DAV_CHUNK", "32")))
 
 
 def _v2_dav(x0, diag, ltile, rtile, l_tid, r_tid, psi_idx, sig_idx, it,
