@@ -202,15 +202,24 @@ class EffectiveHamiltonian2:
         quanta_r = mpo.site_quanta[t + 1]
 
         if getattr(self, "fast_assemble", True):
+            import os as _os
+            import time as _time
             from ..ops.blocking import assemble_fused_ops
             if not hasattr(me, "_asm_cache"):
                 me._asm_cache = {}
+            _st = _os.environ.get("B2TPU_SITE_TIMERS")
+            _t0 = _time.time()
             self.LW = assemble_fused_ops(
                 env_l, mpo.tensors[t], quanta_l, flb, bond_is_first=True,
                 join_on_input=True, group=g, active=active_lb,
                 fused_ket=flk, active_ket=active_lk, dtype=self.dtype,
                 plan_cache=me._asm_cache, plan_key=(t, "lw"),
                 env_pool=stk_l)
+            if _st:
+                _t1 = _time.time()
+                print(f"      [asm t={t}] lw={_t1 - _t0:.2f}s",
+                      flush=True)
+                _t0 = _t1
             self.RW = assemble_fused_ops(
                 env_r, mpo.tensors[t + 1], quanta_r, frb,
                 bond_is_first=False, join_on_input=False, comp_target=tb,
@@ -218,6 +227,9 @@ class EffectiveHamiltonian2:
                 comp_target_ket=tk, active_ket=active_rk, dtype=self.dtype,
                 plan_cache=me._asm_cache, plan_key=(t, "rw"),
                 env_pool=stk_r)
+            if _st:
+                print(f"      [asm t={t}] rw={_time.time() - _t0:.2f}s",
+                      flush=True)
             return
 
         # LW[m][(qLb, qLk)] built from E_L[i] and W_t[(i, m)]

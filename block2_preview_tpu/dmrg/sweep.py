@@ -563,10 +563,25 @@ class DMRG:
                 "stk": getattr(self.me, "_stk_plans", {}),
                 "res": {k: v for k, v in res.items()
                         if k in self._PERSIST_RES}}
+        # pickle components independently: one unpicklable struct must
+        # not void the whole save (a dead __slots__ field once silently
+        # killed every post-sweep save — warm restarts lost ALL plans)
+        safe = {}
+        for k, v in data.items():
+            try:
+                pickle.dumps(v, protocol=4)
+                safe[k] = v
+            except Exception as exc:
+                if not getattr(self, "_warned_save_%s" % k, False):
+                    setattr(self, "_warned_save_%s" % k, True)
+                    print(f"[plan-cache] WARNING: component '{k}' not "
+                          f"picklable ({exc!r}); saving without it",
+                          flush=True)
+                safe[k] = {}
         try:
             fn = self._cache_file()
             with open(fn + ".tmp", "wb") as f:
-                pickle.dump(data, f, protocol=4)
+                pickle.dump(safe, f, protocol=4)
             os.replace(fn + ".tmp", fn)
         except Exception:
             pass
@@ -699,6 +714,17 @@ class DMRG:
         # bond of the two-dot space is the fused-left quantum
         use_res = (self.backend == "jax_resident" and self.n_roots == 1
                    and self.hermitian and not self._proj)
+        # edge-site host escape: certain tiny edge-bond signatures pay a
+        # ~370-530 s one-time-per-process device cost that the jit cache
+        # does not amortize (measured round 5, RESULTS/launch_chunk.json);
+        # the host f64 path solves those small problems in seconds.
+        # B2TPU_RES_EDGE_HOST=k routes the first/last k two-dot centers
+        # to the host path.
+        edge_host = int(os.environ.get("B2TPU_RES_EDGE_HOST", "0"))
+        if use_res and edge_host > 0:
+            L_ = self.mpo.n_sites
+            if t < edge_host or t >= L_ - 1 - edge_host:
+                use_res = False
         eff = EffectiveHamiltonian2(
             self.me, t, key_filter=_bond_window(self.mps.info, t + 1),
             assemble=not use_res)
@@ -782,9 +808,17 @@ class DMRG:
             else:
                 rs.free()
         if rs is None:
+            _st = os.environ.get("B2TPU_SITE_TIMERS")
+            _ta = time.time()
             eff.ensure_assembled()
+            _tb = time.time()
             x0 = self._initial_guesses(eff, t)
+            _tc = time.time()
             diag = eff.diagonal()
+            if _st:
+                print(f"      [host t={t}] space={_ta - t0:.2f}s "
+                      f"asm={_tb - _ta:.2f}s guess={_tc - _tb:.2f}s "
+                      f"diag={time.time() - _tc:.2f}s", flush=True)
             t1 = time.time()
             tm.teff += t1 - t0
             w, v, nmv = self._solve_eff(eff, x0, diag, dav_thrd,
@@ -1066,6 +1100,15 @@ class DMRG:
                 print(f"   {'-->' if forward else '<--'} site {t:3d} "
                       f"E = {estr}  dw = {dw:.2e}  nmv = {nmv}  "
                       f"t = {time.time() - tsite:.2f}s", flush=True)
+            # intra-sweep plan persistence: bounded (timeout-killed)
+            # runs otherwise lose every plan built since sweep start —
+            # on big decks that re-pays minutes of host plan-building
+            # per process (post-sweep saves alone never fire)
+            save_every = int(os.environ.get("B2TPU_SAVE_EVERY_SITES",
+                                            "8"))
+            if save_every > 0 and getattr(self, "_plan_cache_dir", None) \
+                    and (t + 1) % save_every == 0:
+                self.save_plan_caches()
 
         if ls1 and not forward:
             # the backward sweep opens with the one-site big-site update;

@@ -17,6 +17,7 @@ seconds instead of minutes).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -513,8 +514,13 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
     """
     g = group
     nphys = len(quanta)
-    use_cache = (plan_cache is not None and plan_key is not None
-                 and dtype == np.float64)
+    # NOTE: no dtype gate — f32 sweeps also cache (the plan itself is
+    # dtype-free: indices + f64 coefficients; pooled execution upcasts
+    # the env pool to f64).  The old float64-only gate made every f32
+    # host-path site re-materialize the device env chain and rebuild
+    # the plan (the measured ~370-530 s one-time-per-process site-0
+    # cost, RESULTS/launch_chunk.json).
+    use_cache = plan_cache is not None and plan_key is not None
     args_sig = _plan_args_sig(entries, fused, fused_ket, active,
                               active_ket, comp_target,
                               comp_target_ket) if use_cache else None
@@ -531,6 +537,9 @@ def assemble_fused_ops(env, entries, quanta, fused, bond_is_first: bool,
             out = _exec_assembly_pooled(
                 ent[1], np.asarray(env_pool[1], dtype=np.float64))
             if out is not None:
+                if os.environ.get("B2TPU_SITE_TIMERS"):
+                    print(f"      [asm-pooled hit {plan_key}]",
+                          flush=True)
                 return out
     if callable(env):
         env = env()

@@ -310,16 +310,20 @@ class MixPlanV4:
     __slots__ = ("meta_out", "ncap_out", "out_total", "iscpx",
                  "dims_hint", "n_launch",
                  "it", "cum1", "cum2", "g1", "g2", "e1", "e2",
-                 "ng_live", "nscan", "wdense", "pack_i32", "pack_off",
+                 "ng_live", "wdense", "pack_i32", "pack_off",
                  "pit", "pcum", "png", "_devtok")
 
     def __getstate__(self):
+        # tolerate unset slots: a dead slot left in __slots__ once made
+        # getattr raise here, which silently aborted EVERY plan-cache
+        # save (the whole pickle, asm/tiled/stk included)
         return {k: getattr(self, k) for k in self.__slots__
-                if k != "_devtok"}
+                if k != "_devtok" and hasattr(self, k)}
 
     def __setstate__(self, st):
         for k, v in st.items():
-            setattr(self, k, v)
+            if k in self.__slots__:   # drop fields from older layouts
+                setattr(self, k, v)
         self._devtok = None
 
 

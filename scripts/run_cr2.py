@@ -13,6 +13,9 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.abspath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), os.pardir)))
+
 # plan structures cost minutes of host build at Cr2 scale; persist them
 # (and the jit cache, see ops/jit_cache.py) inside the checkout so
 # every later process — including the driver's bench — starts warm

@@ -8,6 +8,9 @@ Usage: python scripts/run_cr2_su2.py [D] [n_sweeps] [backend]
 Prints per-sweep timings and one `CR2_SU2 {json}` line.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), _os.pardir)))
 import json
 import os
 import sys

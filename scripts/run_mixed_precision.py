@@ -13,6 +13,9 @@ Prints one parseable line per leg:
   MIXED <deck> final <E> err <e> t <s>
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), _os.pardir)))
 import sys
 import time
 

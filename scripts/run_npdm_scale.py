@@ -8,6 +8,9 @@ Usage: python scripts/run_npdm_scale.py [ncas] [D] [order] [device01]
 Prints one `NPDM_SCALE {json}` line.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), _os.pardir)))
 import json
 import sys
 import time

@@ -6,6 +6,9 @@ Usage: python scripts/run_su2_n2.py [D] [backend] [n_sweeps]
 Prints one `SU2_N2 {json}` line.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), _os.pardir)))
 import json
 import sys
 import time

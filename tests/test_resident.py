@@ -151,6 +151,31 @@ def test_resident_backend_end_to_end(monkeypatch):
     assert abs(e_res - e_ref) < 1e-8, (e_res, e_ref)
 
 
+def test_resident_edge_host_parity(monkeypatch):
+    """B2TPU_RES_EDGE_HOST=k routes the first/last k two-dot centers to
+    the host path (the round-5 site-0 small-signature workaround,
+    RESULTS/launch_chunk.json) — energies must be unchanged vs the full
+    resident run."""
+    monkeypatch.setenv("B2TPU_RES_MIN_SIZE", "1")
+    deck = f"{DATA}/HUBBARD-L8.FCIDUMP"
+    D, ns = 80, 6
+    drv = DMRGDriver(symm_type=SymmetryTypes.SZ)
+    fd = drv.read_fcidump(deck)
+    mpo = drv.get_qc_mpo(fcidump=fd)
+    mps_a = drv.get_random_mps(D, target=drv.target, seed=7)
+    mps_b = drv.get_random_mps(D, target=drv.target, seed=7)
+    s_ref = DMRG(mpo, mps_a, backend="jax_resident", dtype=np.float64,
+                 iprint=0)
+    e_ref = s_ref.solve([D] * ns, [1e-5] * ns + [0], [1e-10],
+                        n_sweeps=ns, tol=0)
+    monkeypatch.setenv("B2TPU_RES_EDGE_HOST", "2")
+    s_eh = DMRG(mpo, mps_b, backend="jax_resident", dtype=np.float64,
+                iprint=0)
+    e_eh = s_eh.solve([D] * ns, [1e-5] * ns + [0], [1e-10],
+                      n_sweeps=ns, tol=0)
+    assert abs(e_eh - e_ref) < 1e-8, (e_eh, e_ref)
+
+
 def test_matvec_v2_multigroup_parity(monkeypatch):
     """Regression: a scan step must only process its own group's task
     range.  Groups shorter than B used to read on into the next group's
