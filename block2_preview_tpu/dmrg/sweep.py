@@ -563,25 +563,31 @@ class DMRG:
                 "stk": getattr(self.me, "_stk_plans", {}),
                 "res": {k: v for k, v in res.items()
                         if k in self._PERSIST_RES}}
-        # pickle components independently: one unpicklable struct must
-        # not void the whole save (a dead __slots__ field once silently
-        # killed every post-sweep save — warm restarts lost ALL plans)
-        safe = {}
-        for k, v in data.items():
-            try:
-                pickle.dumps(v, protocol=4)
-                safe[k] = v
-            except Exception as exc:
-                if not getattr(self, "_warned_save_%s" % k, False):
-                    setattr(self, "_warned_save_%s" % k, True)
-                    print(f"[plan-cache] WARNING: component '{k}' not "
-                          f"picklable ({exc!r}); saving without it",
-                          flush=True)
-                safe[k] = {}
+        # single-pass dump; on failure, retry per-component so one
+        # unpicklable struct can't void the whole save (a dead
+        # __slots__ field once silently killed every post-sweep save —
+        # warm restarts lost ALL plans)
+        fn = self._cache_file()
         try:
-            fn = self._cache_file()
-            with open(fn + ".tmp", "wb") as f:
-                pickle.dump(safe, f, protocol=4)
+            try:
+                with open(fn + ".tmp", "wb") as f:
+                    pickle.dump(data, f, protocol=4)
+            except Exception:
+                safe = {}
+                for k, v in data.items():
+                    try:
+                        pickle.dumps(v, protocol=4)
+                        safe[k] = v
+                    except Exception as exc:
+                        if not getattr(self, "_warned_save_%s" % k,
+                                       False):
+                            setattr(self, "_warned_save_%s" % k, True)
+                            print(f"[plan-cache] WARNING: component "
+                                  f"'{k}' not picklable ({exc!r}); "
+                                  f"saving without it", flush=True)
+                        safe[k] = {}
+                with open(fn + ".tmp", "wb") as f:
+                    pickle.dump(safe, f, protocol=4)
             os.replace(fn + ".tmp", fn)
         except Exception:
             pass
